@@ -1,0 +1,123 @@
+"""Logical data model: Label / Sample / TimeSeries / Matcher / Query.
+
+Mirrors the reference's engine-internal model (``storages/base/base.go:43-138``
+and ``prompb/prompb.proto:17-30``) as plain Python dataclasses. These are the
+in-flight row-oriented shapes; the at-rest shape is the two-table columnar
+model in :mod:`promhouse_spark.schemas`.
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+
+@dataclass(frozen=True, order=True)
+class Label:
+    """A single label pair (``prompb/prompb.proto:17-20``)."""
+
+    name: str
+    value: str
+
+
+@dataclass(frozen=True)
+class Sample:
+    """One sample: float64 value at int64 epoch-milliseconds
+    (``prompb/prompb.proto:22-25``)."""
+
+    value: float
+    timestamp_ms: int
+
+
+@dataclass
+class TimeSeries:
+    """A labelled series of samples (``prompb/prompb.proto:27-30``).
+
+    ``labels`` are canonically kept sorted by name (see
+    :func:`promhouse_spark.functions.labels.sort_labels`); samples sorted by
+    timestamp in query results (``prompb/prompb.proto:60``).
+    """
+
+    labels: list[Label] = field(default_factory=list)
+    samples: list[Sample] = field(default_factory=list)
+
+    def labels_map(self) -> dict[str, str]:
+        return {l.name: l.value for l in self.labels}
+
+
+class MatchType(enum.Enum):
+    """Matcher comparison type (``storages/base/base.go:53-60``)."""
+
+    EQ = "="
+    NEQ = "!="
+    RE = "=~"
+    NRE = "!~"
+
+
+# The reference anchors regexes exactly like Prometheus does:
+# ``regexp.MustCompile("^(?:" + value + ")$")`` (``storages/base/base.go:102-104``).
+def anchored(pattern: str) -> str:
+    return f"^(?:{pattern})$"
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """A single label matcher (``storages/base/base.go:62-82``).
+
+    Semantics (``storages/base/base.go:100-138``):
+      - an absent label is equivalent to an empty-string value
+        (the shared ``emptyLabel`` at ``base.go:90``);
+      - regexes are fully anchored (``base.go:103``).
+    """
+
+    name: str
+    type: MatchType
+    value: str
+
+    def matches(self, labels: Mapping[str, str]) -> bool:
+        v = labels.get(self.name, "")
+        if self.type is MatchType.EQ:
+            return v == self.value
+        if self.type is MatchType.NEQ:
+            return v != self.value
+        m = re.match(anchored(self.value) , v)
+        ok = bool(m) and m.end() == len(v)
+        if self.type is MatchType.RE:
+            return ok
+        return not ok
+
+    def __repr__(self) -> str:  # debug render, base.go:62-75
+        return f'{{{self.name}{self.type.value}"{self.value}"}}'
+
+
+@dataclass(frozen=True)
+class Query:
+    """A selection query: inclusive time range + conjunctive matchers
+    (``storages/base/base.go:43-47``)."""
+
+    start_ms: int
+    end_ms: int
+    matchers: tuple[Matcher, ...] = ()
+
+    def matches(self, labels: Mapping[str, str]) -> bool:
+        """Conjunction over all matchers; empty list selects all
+        (``storages/storages_test.go:264-326``)."""
+        return all(m.matches(labels) for m in self.matchers)
+
+    def __repr__(self) -> str:
+        ms = ",".join(repr(m) for m in self.matchers)
+        return f"[{self.start_ms},{self.end_ms},[{ms}]]"
+
+
+def make_matchers(*specs: tuple[str, str, str] | Matcher) -> tuple[Matcher, ...]:
+    """Convenience: ``make_matchers(("__name__", "=", "up"))``."""
+    out: list[Matcher] = []
+    for s in specs:
+        if isinstance(s, Matcher):
+            out.append(s)
+        else:
+            name, op, value = s
+            out.append(Matcher(name, MatchType(op), value))
+    return tuple(out)

@@ -1,0 +1,63 @@
+"""Persistent two-table schema (columnar at rest).
+
+Reference schema: ``storages/clickhouse/clickhouse.go:82-101`` /
+``README.md:14-32``:
+
+- ``time_series(date Date, fingerprint UInt64, labels String-JSON)`` —
+  ReplacingMergeTree, the series registry (dimension table);
+- ``samples(fingerprint UInt64, timestamp_ms Int64, value Float64)`` —
+  MergeTree partitioned by day, ordered by (fingerprint, timestamp_ms).
+
+Spark mapping (SURVEY §1.4): labels become a real ``MapType`` (JSON only at
+API edges); ``UInt64`` fingerprints are stored in ``LongType`` carrying the
+same 64 bits in two's complement; the day partition is an explicit ``date``
+column derived as ``to_date(timestamp_millis(timestamp_ms))`` so Catalyst
+partition pruning fires on day-ranged scans at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+FINGERPRINT = "fingerprint"
+TIMESTAMP_MS = "timestamp_ms"
+VALUE = "value"
+LABELS = "labels"
+DATE = "date"
+
+# Series registry (dimension). Deduplicated by fingerprint on write
+# (ReplacingMergeTree equivalent: anti-join before append, clickhouse.go:437-447).
+TIME_SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField(DATE, T.DateType(), False),
+        T.StructField(FINGERPRINT, T.LongType(), False),
+        T.StructField(LABELS, T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+# Append-only fact table. 24 bytes/sample raw (README.md:63-64); Parquet with
+# delta encoding + zstd on data sorted by (fingerprint, timestamp_ms) beats the
+# reference's ~5.3 B/sample compressed figure.
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField(FINGERPRINT, T.LongType(), False),
+        T.StructField(TIMESTAMP_MS, T.LongType(), False),
+        T.StructField(VALUE, T.DoubleType(), False),
+    ]
+)
+
+# Samples as written to disk carry the derived day-partition column.
+SAMPLES_DISK_SCHEMA = T.StructType(list(SAMPLES_SCHEMA) + [T.StructField(DATE, T.DateType(), False)])
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

@@ -1,0 +1,70 @@
+"""SparkSession factory + testdata loaders.
+
+Tuned for the harness environment (single-JVM ``local[N]``) while keeping the
+settings that matter on a real multi-executor cluster: AQE on (runtime
+re-planning, skew-join splitting), shuffle partitions sized to parallelism
+instead of the 200 default, Arrow for the Python edge, UTC session time so
+results compare bit-for-bit against UTC-naive oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "promhouse-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver's synthetic `events` table stores TIMESTAMP(NANOS) which
+        # the vanilla parquet reader rejects; read as long and convert in
+        # load_table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table, normalizing physical quirks.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with ``nanosAsLong`` it scans
+    as a long which we convert to a proper timestamp column (microsecond
+    truncation — same instant the oracle sees).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    from promhouse_spark.schemas import TESTDATA_TABLES
+
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,241 @@
+"""SparkParquetStorage — the Spark-native engine backend.
+
+Re-expresses the reference's ClickHouse backend
+(``storages/clickhouse/clickhouse.go``) on Parquet + DataFrames:
+
+- ``time_series`` registry: parquet, deduplicated by fingerprint via
+  anti-join-before-append (the ReplacingMergeTree equivalent,
+  ``clickhouse.go:88,437-447``), plus an in-memory fingerprint→labels dict as
+  the hot cache with read-your-own-writes (``clickhouse.go:51-52,437-447``);
+- ``samples`` fact table: parquet, append-only, partitioned by day
+  (``PARTITION BY toDate(timestamp_ms/1000)``, ``clickhouse.go:100``), rows
+  sorted by (fingerprint, timestamp_ms) within files for delta-encoding
+  compression and row-group min/max pruning (the MergeTree ORDER BY analog,
+  ``clickhouse.go:99-101``);
+- reads: matcher resolution → IN-list or left-semi strategy at the
+  reference's threshold (default 50, ``cmd/promhouse/main.go:198``) →
+  group-into-series (``clickhouse.go:235-280``);
+- raw-SQL passthrough (``clickhouse.go:372-388``) against the registered
+  ``time_series`` / ``samples`` temp views.
+
+Scale notes: all heavy lifting stays in JVM/Tungsten — the only Python-side
+kernel is the FNV-1a fingerprint Pandas UDF on the ingest path. The registry
+dict is a driver-side cache of series *cardinality* (not sample volume); for
+cardinalities beyond driver memory set ``cache_registry=False`` and series
+resolution runs fully distributed (``plans.read.select_series``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.functions.fingerprint import fingerprint, to_signed64, to_unsigned64
+from promhouse_spark.functions.labels import sort_labels
+from promhouse_spark.models import Label, Query, Sample, TimeSeries
+from promhouse_spark.plans.read import (
+    DEFAULT_MAX_SERIES_INLIST,
+    group_into_series,
+    restrict_to_series,
+    samples_in_range,
+)
+from promhouse_spark.plans.rawsql import rawsql_text, run_rawsql
+from promhouse_spark.schemas import (
+    DATE,
+    FINGERPRINT,
+    LABELS,
+    SAMPLES_SCHEMA,
+    TIME_SERIES_SCHEMA,
+    TIMESTAMP_MS,
+    VALUE,
+)
+from promhouse_spark.storage.base import Storage
+
+
+class SparkParquetStorage(Storage):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_series_inlist: int = DEFAULT_MAX_SERIES_INLIST,
+        cache_registry: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.samples_path = os.path.join(root, "samples")
+        self.registry_path = os.path.join(root, "time_series")
+        self.max_series_inlist = max_series_inlist
+        self.cache_registry = cache_registry
+        # fingerprint (unsigned) -> labels dict; the reference's in-memory
+        # index (clickhouse.go:51-52), refreshed from disk on construction
+        # (the 5 s reloader's job, clickhouse.go:155-204).
+        self._registry: dict[int, dict[str, str]] = {}
+        if cache_registry:
+            self.reload_registry()
+
+    # ---------------------------------------------------------------- utils
+
+    def _read_or_empty(self, path: str, schema) -> DataFrame:
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def registry_df(self) -> DataFrame:
+        df = self._read_or_empty(self.registry_path, TIME_SERIES_SCHEMA)
+        # ReplacingMergeTree semantics: collapse duplicate fingerprints that
+        # concurrent writers may have appended (clickhouse.go:88).
+        return df.dropDuplicates([FINGERPRINT])
+
+    def samples_df(self) -> DataFrame:
+        if not os.path.exists(self.samples_path):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        return self.spark.read.parquet(self.samples_path)
+
+    def reload_registry(self) -> None:
+        """S7: re-read the registry into the in-memory index
+        (``SELECT DISTINCT fingerprint, labels``, ``clickhouse.go:159``)."""
+        rows = self.registry_df().select(FINGERPRINT, LABELS).collect()
+        self._registry = {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in rows}
+
+    # ---------------------------------------------------------------- write
+
+    def write(self, timeseries: Sequence[TimeSeries]) -> None:
+        """O6 (``clickhouse.go:423-512``): canonicalize → fingerprint →
+        registry diff → registry append *before* samples append (readers must
+        always resolve labels, SURVEY §3.2)."""
+        if not timeseries:
+            return
+        new_series: dict[int, dict[str, str]] = {}
+        sample_rows: list[tuple[int, int, float]] = []
+        for ts in timeseries:
+            labels = sort_labels(ts.labels)  # clickhouse.go:428
+            fp = fingerprint((l.name, l.value) for l in labels)
+            if fp not in self._registry and fp not in new_series:
+                new_series[fp] = {l.name: l.value for l in labels}
+            sfp = to_signed64(fp)
+            # Coerce at the boundary: protocol callers may hand ints where the
+            # schema says float64 (and vice versa for timestamps).
+            sample_rows.extend(
+                (sfp, int(s.timestamp_ms), float(s.value)) for s in ts.samples
+            )
+
+        if new_series:
+            reg_rows = [
+                (to_signed64(fp), labels) for fp, labels in new_series.items()
+            ]
+            reg_df = (
+                self.spark.createDataFrame(
+                    reg_rows, f"{FINGERPRINT} long, {LABELS} map<string,string>"
+                )
+                .withColumn(DATE, F.current_date())
+                .select(DATE, FINGERPRINT, LABELS)
+            )
+            # Persist-then-cache: anti-join against the on-disk registry
+            # guards against duplicates across restarts (A3).
+            existing = self._read_or_empty(self.registry_path, TIME_SERIES_SCHEMA)
+            reg_df = reg_df.join(
+                existing.select(FINGERPRINT), FINGERPRINT, "left_anti"
+            ).select(DATE, FINGERPRINT, LABELS)
+            reg_df.write.mode("append").parquet(self.registry_path)
+            self._registry.update(new_series)  # read-your-own-writes
+
+        if sample_rows:
+            df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
+            self.ingest_df(df)
+
+    def ingest_df(self, samples_df: DataFrame) -> None:
+        """Bulk/streaming samples append: derive the day partition, cluster
+        rows by (fingerprint, ts) within partitions (compression + row-group
+        pruning), append. No sample dedup — append-only by contract."""
+        (
+            samples_df.withColumn(
+                DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+            )
+            .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+            .write.partitionBy(DATE)
+            .mode("append")
+            .parquet(self.samples_path)
+        )
+
+    # ----------------------------------------------------------------- read
+
+    def _resolve_fingerprints(self, q: Query) -> list[int]:
+        """O2 against the hot cache (signed fingerprints)."""
+        return [
+            to_signed64(fp)
+            for fp, labels in self._registry.items()
+            if q.matches(labels)
+        ]
+
+    def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
+        sql = rawsql_text(queries)
+        if sql is not None:
+            self.register_views()
+            return [run_rawsql(self.spark, sql, queries[0].end_ms)]
+
+        results: list[list[TimeSeries]] = []
+        samples = self.samples_df()
+        for q in queries:
+            if self.cache_registry:
+                fps = self._resolve_fingerprints(q)
+                if not fps:  # O3 short-circuit (clickhouse.go:405-407)
+                    results.append([])
+                    continue
+                restricted = restrict_to_series(
+                    samples_in_range(samples, q.start_ms, q.end_ms),
+                    fps,
+                    self.max_series_inlist,
+                )
+                label_of = {
+                    fp: self._registry[to_unsigned64(fp)] for fp in fps
+                }
+                rows = group_into_series(restricted).collect()
+                rows.sort(key=lambda r: to_unsigned64(r[FINGERPRINT]))
+                res = [
+                    TimeSeries(
+                        labels=[
+                            Label(n, v)
+                            for n, v in sorted(label_of[r[FINGERPRINT]].items())
+                        ],
+                        samples=[
+                            Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
+                            for s in r["samples"]
+                        ],
+                    )
+                    for r in rows
+                ]
+            else:
+                # Fully distributed: matcher filter on the registry DF, then
+                # semi-join + broadcast label attach (J5).
+                from promhouse_spark.plans.read import select_series
+
+                series = select_series(self.registry_df(), q.matchers)
+                restricted = restrict_to_series(
+                    samples_in_range(samples, q.start_ms, q.end_ms), series
+                )
+                grouped = group_into_series(restricted).join(
+                    F.broadcast(series), FINGERPRINT, "inner"
+                )
+                rows = grouped.collect()
+                rows.sort(key=lambda r: to_unsigned64(r[FINGERPRINT]))
+                res = [
+                    TimeSeries(
+                        labels=[Label(n, v) for n, v in sorted(r[LABELS].items())],
+                        samples=[
+                            Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
+                            for s in r["samples"]
+                        ],
+                    )
+                    for r in rows
+                ]
+            results.append(res)
+        return results
+
+    # ------------------------------------------------------------ analytics
+
+    def register_views(self) -> None:
+        """Expose the two tables to Spark SQL (rawsql + analytics)."""
+        self.registry_df().createOrReplaceTempView("time_series")
+        self.samples_df().createOrReplaceTempView("samples")
