@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — every kernel stays in
+built-in Spark functions (xxhash64, higher-order array functions, aggregates),
+so the hot path is JVM/Tungsten with whole-stage codegen; there is no Python
+in any per-row loop. The shapes:
+
+- exact:        hash-groupBy (one shuffle on the content hash)
+- minhash+LSH:  shingle → signature (agg per doc) → band → bucket self-join —
+                candidate pairs ∝ true near-dups, never O(n²)
+- simhash:      64-bit sketch per doc + banded hamming join
+- n-gram Jaccard: explode distinct shingles → equi-join on shingle →
+                pair intersection counts (the exact version LSH approximates)
+
+At 100 TB: the only all-to-all op is the bucket/band self-join, and its join
+key (band hash / shingle) is high-cardinality by construction, so AQE's skew
+split handles hot buckets; everything else is a keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# MinHash parameter field: h32 in [0, 2^32); a·h+b stays < 2^63 (no overflow),
+# reduced mod a prime > 2^32.
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+_MH_MAX = (1 << 32) - 1
+
+
+def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via splitmix64-style mixing of the seed."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        # a stays below 2^31 so a·h32 + b < 2^63 (no LongType overflow)
+        a = (z % ((1 << 31) - 1)) + 1
+        b = (z >> 32) % _MH_PRIME
+        params.append((a, b))
+    return params
+
+
+def shingles(tokens_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (docs shorter than n produce
+    one truncated shingle)."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(c, i, n)),
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicated content
+    with the keeper (min id) and the group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as an array<long> column, entirely in
+    built-ins: shingle → xxhash64 → per-hash-function min aggregate."""
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(toks, shingle_n))).alias("shingle"),
+    ).select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h32")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h32") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(num_hashes, seed))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs with the
+    estimated Jaccard (fraction of agreeing signature positions).
+
+    Returns [doc_a, doc_b, est_jaccard]; rows/bands tunes the S-curve
+    threshold (16 bands × 4 rows ≈ 0.5)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("signature", i * rows + 1, rows)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, all in built-ins: explode shingles →
+    per-bit ±1 sums (64 conditional aggregates) → bit-OR fold."""
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(toks, shingle_n))).alias("shingle"),
+    ).select(id_col, F.xxhash64("shingle").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(num_bits)
+    ]
+    sums = sh.groupBy(id_col).agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(num_bits):
+        # bit 63 is the sign bit in two's-complement LongType
+        bit_value = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, using 4×16-bit band
+    blocking (pigeonhole: distance ≤3 ⇒ at least one of 4 bands equal), so
+    the join never goes all-to-all."""
+    fps = simhash(df, id_col, text_col, shingle_n).cache()
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact distinct-token Jaccard similarity pairs ≥ threshold (optionally
+    blocked by ``group_col`` to bound the candidate space)."""
+    toks = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col("a.token") == F.col("b.token")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+def embedding_cosine_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, optionally blocked by
+    ``group_col`` (cluster/label) to avoid the full cross join."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane LSH
+variant as the scale path: at 100 TB the LSH bucket join touches only
+candidate buckets (probes ∝ k · bucket size), while brute force stays a
+single scan + top-k — both shapes avoid driver-side loops entirely.
+
+Vector math uses ``zip_with``/``aggregate`` higher-order functions (JVM-side)
+after casting float32 arrays to double so results are bit-comparable with a
+double-precision oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: one scan, map-side score, global
+    top-k (Spark's TakeOrdered — no full sort)."""
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = _dot(v, q) / (_norm(v) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix64 → uniform ±)."""
+    out = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            plane.append((z / float(1 << 64)) - 0.5)
+        out.append(plane)
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i), folded into an
+    integer bucket id."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(vec_col, p) > 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature
+    matches the query's bucket. Recall is tunable via num_planes (fewer
+    planes → bigger buckets → higher recall); multiprobe = drop planes."""
+    dim = dim or len(query_vec)
+    planes = _planes(num_planes, dim, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) > 0:
+            qbits |= 1 << i
+    v = F.col(vec_col).cast("array<double>")
+    candidates = df.filter(lsh_bucket(v, planes) == qbits)
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join (for each left row, its k nearest right rows by
+    cosine) via cross join + per-left-key window top-k. Exact; quadratic —
+    use LSH blocking for large sides."""
+    from pyspark.sql import Window as W
+
+    lv = left.select(
+        F.col(left_id).alias("left_id"), F.col(vec_col).cast("array<double>").alias("lv")
+    ).withColumn("lnorm", _norm(F.col("lv")))
+    rv = right.select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).cast("array<double>").alias("rv")
+    ).withColumn("rnorm", _norm(F.col("rv")))
+    scored = lv.crossJoin(rv).select(
+        "left_id",
+        "right_id",
+        F.round(_dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")), 4).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("left_id").orderBy(F.desc("cosine"), "right_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+driver north star): token stats, quality scoring, language ID, document
+fingerprinting.
+
+All kernels are built-in-function compositions (JVM-side, whole-stage
+codegen) — no Python UDFs — so they scale linearly with executors at 100 TB.
+Tokenization is a plain single-space split to stay bit-identical with the
+DuckDB oracle; swap ``tokens`` for a regex/BPE splitter in real pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword-vote language
+# ID heuristic. Deliberately minimal + deterministic.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "la", "los", "y", "es", "una"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words))).cast("long")
+
+
+def type_token_ratio(col: Column | str) -> Column:
+    return F.round(distinct_token_count(col) / token_count(col), 4)
+
+
+def quality_flag(
+    text_col: Column | str,
+    n_chars_col: Column | str,
+    min_chars: int = 100,
+    max_chars: int = 10_000,
+    min_stop_ratio: float = 0.001,
+) -> Column:
+    """Boolean quality gate: length window + minimum stopword density —
+    the C4/Gopher-style cheap filters, SQL-expressible."""
+    nc = F.col(n_chars_col) if isinstance(n_chars_col, str) else n_chars_col
+    stop_ratio = stopword_count(text_col, LANG_STOPWORDS["en"]) / token_count(text_col)
+    return (
+        (nc >= min_chars) & (nc <= max_chars) & (stop_ratio >= min_stop_ratio)
+    ).cast("int")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID: the language with the highest stopword hit
+    count wins; ties break by fixed language order; zero hits → 'unk'."""
+    scores = [(lang, stopword_count(col, words)) for lang, words in LANG_STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("unk")
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    distinct token list — the cheap document-identity hash for
+    near-exact dedup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        distinct_token_count(text_col).alias("n_distinct"),
+        type_token_ratio(text_col).alias("ttr"),
+    )

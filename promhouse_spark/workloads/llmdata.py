@@ -1,0 +1,260 @@
+"""LLM training-data pipeline workloads over ``documents`` / ``embeddings``
+(beyond-reference, driver north star): dedup, text analysis, similarity
+search — each SQL-expressible variant paired with a DuckDB oracle; the
+sketch-based variants (MinHash-LSH, SimHash, hyperplane-LSH ANN) are
+registered without oracles (driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.operators import dedup as D
+from promhouse_spark.operators import similarity as S
+from promhouse_spark.operators import text as X
+from promhouse_spark.session import load_table
+
+
+def doc_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy). The driver corpus has no byte-identical
+    duplicates, so the operator runs over documents ∪ documents — every text
+    then has exactly one duplicate, making the check non-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs.unionAll(docs)).orderBy("content_hash")
+
+
+DOC_EXACT_DUP_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY md5(text)
+HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.text_stats(docs).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       round(length(list_distinct(string_split(text, ' '))) * 1.0
+             / length(string_split(text, ' ')), 4) AS ttr
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: length window + stopword density (C4-style cheap
+    filter), aggregated per source for a compact comparable result."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "source", X.quality_flag("text", "n_chars").alias("ok")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("ok").cast("long").alias("n_quality"))
+        .orderBy("source")
+    )
+
+
+_EN_STOP = "('the','a','of','and','to','in','is')"
+
+DOC_QUALITY_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_chars >= 100 AND n_chars <= 10000
+                 AND length(list_filter(string_split(text, ' '), t -> t IN {_EN_STOP})) * 1.0
+                     / length(string_split(text, ' ')) >= 0.001
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; output is the (actual lang × predicted)
+    confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{w}'" for w in words)
+    return f"length(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
+
+
+_HITS = {lang: _lang_hits_sql(words) for lang, words in X.LANG_STOPWORDS.items()}
+
+DOC_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         {_HITS['en']} AS h_en, {_HITS['de']} AS h_de,
+         {_HITS['fr']} AS h_fr, {_HITS['es']} AS h_es
+  FROM documents
+), best AS (
+  SELECT lang, h_en, h_de, h_fr, h_es,
+         greatest(h_en, h_de, h_fr, h_es) AS hb
+  FROM scored
+)
+SELECT lang,
+       CASE WHEN hb = 0 THEN 'unk'
+            WHEN h_en = hb THEN 'en'
+            WHEN h_de = hb THEN 'de'
+            WHEN h_fr = hb THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       count(*) AS n
+FROM best
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint (md5 of sorted distinct tokens) —
+    dedup at the near-exact level; returns distinct-fingerprint counts per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", X.doc_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct_fp"))
+        .orderBy("source")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_distinct_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram(1) Jaccard near-dup pairs within the same source
+    (blocking keeps the candidate space bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, group_col="source", threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DOC_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 for vec_id 0's
+    embedding (query excluded from candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+EMB_COSINE_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def emb_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by label: cosine ≥ 0.9 within the
+    same label group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_duplicates(
+        emb, group_col="label", threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+EMB_KNN_WITHIN_LABEL_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+# ---- sketch-based operators: no SQL oracle (rows-only driver check) -------
+
+
+def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs).orderBy("doc_a", "doc_b")
+
+
+def doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+QUERIES = {
+    "doc_exact_dup": doc_exact_dup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_jaccard_pairs": doc_jaccard_pairs,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_knn_within_label": emb_knn_within_label,
+    "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_simhash_dups": doc_simhash_dups,
+    "emb_lsh_ann_topk": emb_lsh_ann_topk,
+}
+
+ORACLES = {
+    "doc_exact_dup": DOC_EXACT_DUP_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_jaccard_pairs": DOC_JACCARD_SQL,
+    "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
+    "emb_knn_within_label": EMB_KNN_WITHIN_LABEL_SQL,
+}
