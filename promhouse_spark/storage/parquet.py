@@ -236,6 +236,15 @@ class SparkParquetStorage(Storage):
     # ------------------------------------------------------------ analytics
 
     def register_views(self) -> None:
-        """Expose the two tables to Spark SQL (rawsql + analytics)."""
+        """Expose the two tables to Spark SQL (rawsql + analytics).
+
+        ``samples`` carries exactly the reference's three logical columns
+        (clickhouse.go:93-101); the day-partitioned physical layout is also
+        exposed as ``samples_physical`` for partition-pruned analytics SQL.
+        """
         self.registry_df().createOrReplaceTempView("time_series")
-        self.samples_df().createOrReplaceTempView("samples")
+        physical = self.samples_df()
+        physical.createOrReplaceTempView("samples_physical")
+        physical.select(FINGERPRINT, TIMESTAMP_MS, VALUE).createOrReplaceTempView(
+            "samples"
+        )

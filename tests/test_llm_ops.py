@@ -1,0 +1,151 @@
+"""Unit tests for the LLM-pipeline operators: dedup (exact / minhash /
+simhash / jaccard), similarity search, text analysis, multimodal plumbing.
+Small hand-built corpora with known-duplicate structure."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from promhouse_spark.operators import dedup as D
+from promhouse_spark.operators import similarity as S
+from promhouse_spark.operators import text as X
+from promhouse_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")  # one token differs
+    other = "completely different content about spark query engines and shuffles"
+    rows = [
+        (1, base, "s1"),
+        (2, base, "s1"),        # exact dup of 1
+        (3, near, "s1"),        # near dup of 1
+        (4, other, "s1"),
+        (5, "short text", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_duplicates(corpus):
+    groups = D.exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 1 and groups[0]["n_copies"] == 2
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_candidates(corpus).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # identical docs agree on every hash
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup caught by LSH
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_simhash_near_duplicates(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             D.simhash_near_duplicates(corpus, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical → identical simhash
+    assert pairs.get((1, 3), 99) <= 10  # near dup → small hamming
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, group_col="source", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # base has 13 distinct tokens, near shares 12, union 14 → 12/14
+    assert abs(pairs[(1, 3)] - round(12 / 14, 4)) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_embedding_cosine_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # same vector, different label → blocked
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_cosine_duplicates(df, group_col="label", threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]  # smallest angles first
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def test_lsh_ann_subset_of_exact_ordering(spark):
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1 * (i % 3)]) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.05, 0.0]
+    approx = S.lsh_ann_topk(df, q, k=5, num_planes=4)
+    exact = {r["vec_id"]: r["cosine"] for r in S.cosine_topk(df, q, k=99).collect()}
+    got = approx.collect()
+    assert 0 < len(got) <= 5
+    for r in got:  # every ANN hit carries the true cosine score
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-6
+
+
+def test_knn_join(spark):
+    left = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    right = spark.createDataFrame(
+        [(i, [math.cos(a), math.sin(a)]) for i, a in [(1, 0.1), (2, 0.5), (3, 1.4)]],
+        "vec_id long, embedding array<float>",
+    )
+    rows = S.knn_join(left, right, k=2).collect()
+    assert [r["right_id"] for r in rows] == [1, 2]
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat", 19)], "doc_id long, text string, n_chars long"
+    )
+    row = df.select(
+        X.token_count("text").alias("n"),
+        X.distinct_token_count("text").alias("d"),
+        X.stopword_count("text", ("the", "and")).alias("s"),
+        X.lang_id("text").alias("lang"),
+        X.doc_fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 5 and row["d"] == 4 and row["s"] == 3
+    assert row["lang"] == "en"
+    # fingerprint is order-insensitive on the token bag
+    row2 = spark.createDataFrame([(1, "hat the the cat and", 19)], "doc_id long, text string, n_chars long") \
+        .select(X.doc_fingerprint("text").alias("fp")).collect()[0]
+    assert row["fp"] == row2["fp"]
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", 11), (2, "", 0)], "doc_id long, text string, n_chars long"
+    )
+    assets = M.assets_from_documents(docs)
+    assert [f.name for f in assets.schema.fields] == ["asset_id", "media_type", "payload", "meta"]
+    feats = M.extract_features(assets, decoder=M.fake_decoder).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 11
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[1]["feature"][0] == 11.0  # first feature = byte length
+    # default decoder is an explicit stub
+    with pytest.raises(Exception) as ei:
+        M.extract_features(assets).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), (None, None, None, 3500, "h264"))],
+        M.ASSET_SCHEMA,
+    )
+    frames = M.frame_sample_plan(assets, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]

@@ -1,0 +1,66 @@
+"""Raw-SQL passthrough (O7/X8) — resurrection of the reference's dead
+ByRawSQL test (``storages/storages_test.go:358-388``, whose backend-name
+guard never matched) plus shaping-rule checks (rawsql.go:25-93)."""
+
+import pytest
+
+from promhouse_spark.models import Query, make_matchers
+from promhouse_spark.plans.rawsql import is_rawsql, rawsql_text
+from promhouse_spark.storage.parquet import SparkParquetStorage
+from tests.fixtures import T0, get_data
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = SparkParquetStorage(spark, str(tmp_path_factory.mktemp("rawsql_store")))
+    st.write(get_data())
+    return st
+
+
+def rq(sql, end_ms=T0):
+    return Query(0, end_ms, make_matchers(("job", "=", "rawsql"), ("query", "=", sql)))
+
+
+def test_trigger_detection():
+    q = rq("SELECT 1")
+    assert is_rawsql([q])
+    assert rawsql_text([q]) == "SELECT 1"
+    # not rawsql: wrong job, extra matcher, >1 query, non-EQ type
+    assert not is_rawsql([Query(0, 1, make_matchers(("job", "=", "other"), ("query", "=", "x")))])
+    assert not is_rawsql([q, q])
+    assert not is_rawsql(
+        [Query(0, 1, make_matchers(("job", "=", "rawsql"), ("query", "=~", "x")))]
+    )
+
+
+def test_by_rawsql_all_samples(store):
+    """The reference's dead test: SELECT * over samples → one series per
+    row, 15 rows for the golden fixture."""
+    res = store.read([rq("SELECT * FROM samples ORDER BY fingerprint, timestamp_ms")])
+    assert len(res) == 1
+    series = res[0]
+    assert len(series) == 15
+    # every sample's timestamp is the query End, value from the value column
+    assert all(s.samples[0].timestamp_ms == T0 for s in series)
+    values = sorted(s.samples[0].value for s in series)
+    assert values[:3] == [9.0, 9.0, 9.0] and values[-1] == 595.0
+    # non-value columns became labels
+    names = {l.name for l in series[0].labels}
+    assert names == {"fingerprint", "timestamp_ms"}
+
+
+def test_rawsql_aggregate_shape(store):
+    res = store.read(
+        [rq("SELECT count(*) AS n, avg(value) AS value FROM samples", end_ms=12345)]
+    )
+    (series,) = res[0:1][0]
+    assert series.labels_map()["n"] == "15"
+    assert series.samples[0].timestamp_ms == 12345
+    assert abs(series.samples[0].value - (sum([13, 14, 14, 14, 15, 9, 9, 9, 11, 11, 591, 592, 593, 594, 595]) / 15.0)) < 1e-9
+
+
+def test_rawsql_no_value_column(store):
+    res = store.read([rq("SELECT 'x' AS a")])
+    ts = res[0][0]
+    assert ts.samples[0].value == 0.0  # absent value column → 0.0
+    assert ts.labels_map() == {"a": "x"}
