@@ -1,0 +1,82 @@
+"""HTTP protocol layer (S1/S2/S3): the Prometheus remote read/write server.
+
+Routes and semantics mirror ``handlers/prom.go`` + ``cmd/promhouse/main.go``:
+
+- ``POST /write``: snappy → protobuf WriteRequest → storage.write
+  (``prom.go:281-310``);
+- ``POST /read``: snappy → ReadRequest → storage.read → ReadResponse →
+  snappy, order-preserving one result per query (``prom.go:229-278``);
+  ReadHints logged-and-ignored (``prom.go:184-186``);
+- ``GET /health``: liveness (the reference exposes /debug + Prometheus
+  metrics; here a JSON counter snapshot at /metrics-lite).
+
+Runs in the driver process on a warm shared SparkSession. Flask is the only
+web dependency (present in this container); the WSGI app is importable for
+test clients and any production WSGI server.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from promhouse_spark.edge import prompb, snappy_codec
+from promhouse_spark.storage.base import Storage
+
+log = logging.getLogger(__name__)
+
+
+def create_app(storage: Storage):
+    from flask import Flask, Response, request
+
+    app = Flask("promhouse_spark")
+    counters = {"written_samples": 0, "written_time_series": 0, "read_queries": 0}
+
+    @app.post("/write")
+    def write():
+        try:
+            body = snappy_codec.decompress(request.get_data())
+            series = prompb.decode_write_request(body)
+        except ValueError as e:
+            return Response(f"decode error: {e}", status=400)
+        storage.write(series)
+        counters["written_time_series"] += len(series)
+        counters["written_samples"] += sum(len(ts.samples) for ts in series)
+        return Response(status=200)
+
+    @app.post("/read")
+    def read():
+        try:
+            body = snappy_codec.decompress(request.get_data())
+            decoded = prompb.decode_read_request(body)
+        except ValueError as e:
+            return Response(f"decode error: {e}", status=400)
+        queries = []
+        for q, hints in decoded:
+            if hints is not None:
+                log.warning("ignoring read hints: %s", hints)  # prom.go:184-186
+            queries.append(q)
+        results = storage.read(queries)
+        counters["read_queries"] += len(queries)
+        payload = snappy_codec.compress(prompb.encode_read_response(results))
+        return Response(
+            payload,
+            status=200,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok"}
+
+    @app.get("/metrics-lite")
+    def metrics():
+        return dict(counters)
+
+    return app
+
+
+def serve(storage: Storage, host: str = "127.0.0.1", port: int = 7781) -> None:
+    create_app(storage).run(host=host, port=port, threaded=True)

@@ -1,0 +1,186 @@
+"""promload-equivalent migration/load CLI (S8-S12, C5).
+
+``python -m promhouse_spark.edge.promload copy <source> <destination>``
+
+Endpoints use the reference's ``type:addr`` syntax
+(``cmd/promload/main.go:53-70``):
+
+- ``file:/path``        framed snappy/protobuf dump (S8/S9)
+- ``store:/path``       a SparkParquetStorage root (read via step-sliced
+                        empty-matcher queries — S11 — write via the engine
+                        write pipeline)
+- ``exporter:URL``      scrape a Prometheus exporter's /metrics once (S10)
+- ``null:``             discard writes / empty reads (S12)
+
+Reads are sliced into ``--step`` windows over ``--last`` (defaults 1 m /
+30 d, ``cmd/promload/main.go:92-94``), streamed through a bounded queue of
+10 chunks (``main.go:201-241``) with progress logging every 10 s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import threading
+import time
+import urllib.request
+from typing import Iterable, Iterator, Sequence
+
+from promhouse_spark.edge import framed
+from promhouse_spark.edge.exposition import parse_exposition
+from promhouse_spark.models import Query, TimeSeries
+
+CHANNEL_CAP = 10  # main.go:201-202
+_SENTINEL = object()
+
+
+# ------------------------------------------------------------------ readers
+
+
+def read_file(path: str) -> Iterator[list[TimeSeries]]:
+    with open(path, "rb") as f:
+        for ts in framed.read_frames(f):
+            yield [ts]
+
+
+def read_store(path: str, step_ms: int, last_ms: int, end_ms: int) -> Iterator[list[TimeSeries]]:
+    """S11/C5: slice [end-last, end] into step windows, one empty-matcher
+    query each (promhouse.go:82-165)."""
+    from promhouse_spark.session import get_spark
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+
+    storage = SparkParquetStorage(get_spark(app_name="promload"), path)
+    start = end_ms - last_ms
+    t = start
+    while t < end_ms:
+        w_end = min(t + step_ms - 1, end_ms)
+        (series,) = storage.read([Query(t, w_end, ())])
+        if series:
+            yield series
+        t += step_ms
+
+
+def read_exporter(url: str) -> Iterator[list[TimeSeries]]:
+    with urllib.request.urlopen(url, timeout=10) as resp:  # noqa: S310
+        text = resp.read().decode()
+    now_ms = int(time.time() * 1000)
+    yield list(parse_exposition(text, default_timestamp_ms=now_ms))
+
+
+# ------------------------------------------------------------------ writers
+
+
+class NullWriter:
+    def write(self, series: Sequence[TimeSeries]) -> None:  # S12
+        pass
+
+
+class FileWriter:
+    def __init__(self, path: str) -> None:
+        self.f = open(path, "wb")  # noqa: SIM115
+
+    def write(self, series: Sequence[TimeSeries]) -> None:
+        framed.write_frames(self.f, series)
+
+    def close(self) -> None:
+        self.f.close()
+
+
+class StoreWriter:
+    def __init__(self, path: str) -> None:
+        from promhouse_spark.session import get_spark
+        from promhouse_spark.storage.parquet import SparkParquetStorage
+
+        self.storage = SparkParquetStorage(get_spark(app_name="promload"), path)
+
+    def write(self, series: Sequence[TimeSeries]) -> None:
+        self.storage.write(series)
+
+
+# --------------------------------------------------------------------- copy
+
+
+def _make_reader(spec: str, args) -> Iterator[list[TimeSeries]]:
+    kind, _, addr = spec.partition(":")
+    end_ms = getattr(args, "end_ms", 0) or int(time.time() * 1000)
+    start_ms = getattr(args, "start_ms", 0)
+    last_ms = (end_ms - start_ms) if start_ms else args.last_ms
+    if kind == "file":
+        return read_file(addr)
+    if kind == "store":
+        return read_store(addr, args.step_ms, last_ms, end_ms)
+    if kind == "exporter":
+        return read_exporter(addr)
+    if kind == "null":
+        return iter(())
+    raise SystemExit(f"unknown source type: {spec!r}")
+
+
+def _make_writer(spec: str):
+    kind, _, addr = spec.partition(":")
+    if kind == "file":
+        return FileWriter(addr)
+    if kind == "store":
+        return StoreWriter(addr)
+    if kind == "null":
+        return NullWriter()
+    raise SystemExit(f"unknown destination type: {spec!r}")
+
+
+def copy(source: str, destination: str, args) -> int:
+    """Reader thread → bounded queue → writer loop (main.go:205-241)."""
+    ch: queue.Queue = queue.Queue(maxsize=CHANNEL_CAP)
+    errors: list[BaseException] = []
+
+    def reader() -> None:
+        try:
+            for chunk in _make_reader(source, args):
+                ch.put(chunk)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            ch.put(_SENTINEL)
+
+    threading.Thread(target=reader, daemon=True).start()
+    writer = _make_writer(destination)
+    n_series = n_samples = 0
+    last_log = time.time()
+    while True:
+        chunk = ch.get()
+        if chunk is _SENTINEL:
+            break
+        writer.write(chunk)
+        n_series += len(chunk)
+        n_samples += sum(len(ts.samples) for ts in chunk)
+        if time.time() - last_log >= 10:
+            print(f"promload: {n_series} series / {n_samples} samples copied", file=sys.stderr)
+            last_log = time.time()
+    if hasattr(writer, "close"):
+        writer.close()
+    if errors:
+        raise errors[0]
+    print(f"promload: done — {n_series} series / {n_samples} samples", file=sys.stderr)
+    return n_series
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="promload", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("copy", help="copy time series between endpoints")
+    c.add_argument("source")
+    c.add_argument("destination")
+    c.add_argument("--step-ms", type=int, default=60_000)  # main.go default 1m
+    c.add_argument("--last-ms", type=int, default=30 * 24 * 3600 * 1000)  # 30d
+    # Backfill bounds: historical copies would otherwise slice [now-last, now]
+    # and walk millions of empty windows to reach old data.
+    c.add_argument("--start-ms", type=int, default=0)
+    c.add_argument("--end-ms", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.cmd == "copy":
+        copy(args.source, args.destination, args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,272 @@
+"""Hand-rolled protobuf wire codec for the prompb messages (S1/S2 payloads).
+
+Implements exactly the message set of ``prompb/prompb.proto`` (Prometheus
+2.x remote read/write compatibility is the reference's explicit goal,
+``prompb.proto:1``), mapping directly onto :mod:`promhouse_spark.models`:
+
+  Label{name=1,value=2}  Sample{value=1,timestamp_ms=2}
+  TimeSeries{labels=1,samples=2}
+  LabelMatcher{type=1 (EQ/NEQ/RE/NRE), name=2, value=3}
+  ReadHints{step_ms=1,func=2,start_ms=3,end_ms=4}
+  Query{start_timestamp_ms=1,end_timestamp_ms=2,matchers=3,hints=4}
+  QueryResult{time_series=1}  ReadRequest{queries=1}
+  ReadResponse{results=1}     WriteRequest{time_series=1}
+
+Proto3 wire rules honored: varint int64 (two's complement, 10 bytes when
+negative), little-endian fixed64 doubles, length-delimited strings/messages,
+unknown fields skipped, default values omitted on encode. ReadHints are
+decoded but ignored by the engine, matching ``handlers/prom.go:184-186``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Sequence
+
+from promhouse_spark.models import Label, MatchType, Matcher, Query, Sample, TimeSeries
+
+_MATCH_TYPE_BY_NUM = {0: MatchType.EQ, 1: MatchType.NEQ, 2: MatchType.RE, 3: MatchType.NRE}
+_NUM_BY_MATCH_TYPE = {v: k for k, v in _MATCH_TYPE_BY_NUM.items()}
+
+_MASK64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def _varint(n: int) -> bytes:
+    n &= _MASK64  # negative int64 → 10-byte two's-complement varint
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("prompb: truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("prompb: varint too long")
+
+
+def _to_int64(u: int) -> int:
+    u &= _MASK64
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object, int]]:
+    """Yield (field_number, wire_type, value, end_pos); value is int for
+    varint/fixed, bytes for length-delimited."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x07
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            yield field, wire, v, pos
+        elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError("prompb: truncated fixed64")
+            yield field, wire, int.from_bytes(buf[pos : pos + 8], "little"), pos + 8
+            pos += 8
+        elif wire == 2:
+            length, pos = _read_varint(buf, pos)
+            if pos + length > n:
+                raise ValueError("prompb: truncated length-delimited field")
+            yield field, wire, buf[pos : pos + length], pos + length
+            pos += length
+        elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError("prompb: truncated fixed32")
+            yield field, wire, int.from_bytes(buf[pos : pos + 4], "little"), pos + 4
+            pos += 4
+        else:
+            raise ValueError(f"prompb: unsupported wire type {wire}")
+
+
+# ------------------------------------------------------------------- encode
+
+
+def encode_label(l: Label) -> bytes:
+    out = b""
+    if l.name:
+        out += _len_delim(1, l.name.encode())
+    if l.value:
+        out += _len_delim(2, l.value.encode())
+    return out
+
+
+def encode_sample(s: Sample) -> bytes:
+    out = b""
+    if s.value != 0.0 or str(s.value) == "-0.0":
+        out += _tag(1, 1) + struct.pack("<d", s.value)
+    if s.timestamp_ms:
+        out += _tag(2, 0) + _varint(int(s.timestamp_ms))
+    return out
+
+
+def encode_timeseries(ts: TimeSeries) -> bytes:
+    out = b""
+    for l in ts.labels:
+        out += _len_delim(1, encode_label(l))
+    for s in ts.samples:
+        out += _len_delim(2, encode_sample(s))
+    return out
+
+
+def encode_matcher(m: Matcher) -> bytes:
+    out = b""
+    num = _NUM_BY_MATCH_TYPE[m.type]
+    if num:
+        out += _tag(1, 0) + _varint(num)
+    if m.name:
+        out += _len_delim(2, m.name.encode())
+    if m.value:
+        out += _len_delim(3, m.value.encode())
+    return out
+
+
+def encode_query(q: Query) -> bytes:
+    out = b""
+    if q.start_ms:
+        out += _tag(1, 0) + _varint(int(q.start_ms))
+    if q.end_ms:
+        out += _tag(2, 0) + _varint(int(q.end_ms))
+    for m in q.matchers:
+        out += _len_delim(3, encode_matcher(m))
+    return out
+
+
+def encode_read_request(queries: Sequence[Query]) -> bytes:
+    return b"".join(_len_delim(1, encode_query(q)) for q in queries)
+
+
+def encode_query_result(series: Sequence[TimeSeries]) -> bytes:
+    return b"".join(_len_delim(1, encode_timeseries(ts)) for ts in series)
+
+
+def encode_read_response(results: Sequence[Sequence[TimeSeries]]) -> bytes:
+    return b"".join(_len_delim(1, encode_query_result(r)) for r in results)
+
+
+def encode_write_request(series: Sequence[TimeSeries]) -> bytes:
+    return b"".join(_len_delim(1, encode_timeseries(ts)) for ts in series)
+
+
+# ------------------------------------------------------------------- decode
+
+
+def decode_label(buf: bytes) -> Label:
+    name = value = ""
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            name = v.decode()
+        elif field == 2 and wire == 2:
+            value = v.decode()
+    return Label(name, value)
+
+
+def decode_sample(buf: bytes) -> Sample:
+    value = 0.0
+    ts = 0
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 1:
+            value = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif field == 2 and wire == 0:
+            ts = _to_int64(v)
+    return Sample(value=value, timestamp_ms=ts)
+
+
+def decode_timeseries(buf: bytes) -> TimeSeries:
+    labels: list[Label] = []
+    samples: list[Sample] = []
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            labels.append(decode_label(v))
+        elif field == 2 and wire == 2:
+            samples.append(decode_sample(v))
+    return TimeSeries(labels=labels, samples=samples)
+
+
+def decode_matcher(buf: bytes) -> Matcher:
+    mtype = MatchType.EQ
+    name = value = ""
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            mtype = _MATCH_TYPE_BY_NUM.get(int(v), MatchType.EQ)
+        elif field == 2 and wire == 2:
+            name = v.decode()
+        elif field == 3 and wire == 2:
+            value = v.decode()
+    return Matcher(name, mtype, value)
+
+
+def decode_query(buf: bytes) -> tuple[Query, dict | None]:
+    """Returns (query, hints) — hints decoded but unused by the engine
+    (handlers/prom.go:184-186 logs and drops them)."""
+    start = end = 0
+    matchers: list[Matcher] = []
+    hints = None
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            start = _to_int64(v)
+        elif field == 2 and wire == 0:
+            end = _to_int64(v)
+        elif field == 3 and wire == 2:
+            matchers.append(decode_matcher(v))
+        elif field == 4 and wire == 2:
+            hints = _decode_hints(v)
+    return Query(start_ms=start, end_ms=end, matchers=tuple(matchers)), hints
+
+
+def _decode_hints(buf: bytes) -> dict:
+    hints = {"step_ms": 0, "func": "", "start_ms": 0, "end_ms": 0}
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            hints["step_ms"] = _to_int64(v)
+        elif field == 2 and wire == 2:
+            hints["func"] = v.decode()
+        elif field == 3 and wire == 0:
+            hints["start_ms"] = _to_int64(v)
+        elif field == 4 and wire == 0:
+            hints["end_ms"] = _to_int64(v)
+    return hints
+
+
+def decode_read_request(buf: bytes) -> list[tuple[Query, dict | None]]:
+    return [decode_query(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]
+
+
+def decode_query_result(buf: bytes) -> list[TimeSeries]:
+    return [decode_timeseries(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]
+
+
+def decode_read_response(buf: bytes) -> list[list[TimeSeries]]:
+    return [decode_query_result(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]
+
+
+def decode_write_request(buf: bytes) -> list[TimeSeries]:
+    return [decode_timeseries(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]

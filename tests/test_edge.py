@@ -1,0 +1,250 @@
+"""Protocol edge tests: snappy codec, prompb wire codec, framed files,
+exposition parser (golden fixture from ``cmd/promload/exporter_test.go``),
+HTTP read/write over a storage, promload copy."""
+
+import io
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from promhouse_spark.edge import framed, prompb, snappy_codec
+from promhouse_spark.edge.exposition import parse_exposition, render_exposition
+from promhouse_spark.models import Label, MatchType, Query, Sample, TimeSeries, make_matchers
+from promhouse_spark.storage.memory import MemoryStorage
+from tests.fixtures import T0, get_data, normalize
+
+
+# ------------------------------------------------------------------- snappy
+
+
+@given(st.binary(max_size=5000))
+@settings(max_examples=300, deadline=None)
+def test_snappy_roundtrip(data):
+    assert snappy_codec.decompress(snappy_codec.compress(data)) == data
+
+
+def test_snappy_decodes_copies():
+    # hand-built stream with a copy element: "abcdabcd"
+    # varint(8), literal len4 "abcd", copy-1 len4 offset4
+    stream = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([(0 << 5) | ((4 - 4) << 2) | 1, 4])
+    assert snappy_codec.decompress(stream) == b"abcdabcd"
+
+
+def test_snappy_overlapping_copy():
+    # "ab" then copy len 6 offset 2 → "abababab" (RLE-style overlap)
+    stream = bytes([8, (2 - 1) << 2]) + b"ab" + bytes([((6 - 4) << 2) | 1, 2])
+    assert snappy_codec.decompress(stream) == b"abababab"
+
+
+def test_snappy_rejects_garbage():
+    with pytest.raises(ValueError):
+        snappy_codec.decompress(b"\x05\xff")  # truncated
+    with pytest.raises(ValueError):
+        snappy_codec.decompress(bytes([4, 1, 9]))  # copy offset beyond output
+
+
+# ------------------------------------------------------------------- prompb
+
+
+def test_prompb_write_request_roundtrip():
+    data = get_data()
+    buf = prompb.encode_write_request(data)
+    back = prompb.decode_write_request(buf)
+    assert normalize(back) == normalize(data)
+
+
+def test_prompb_read_request_roundtrip():
+    queries = [
+        Query(T0 - 1000, T0 + 1000, make_matchers(("__name__", "=", "up"), ("job", "!~", "a|b"))),
+        Query(0, 0, ()),
+    ]
+    back = prompb.decode_read_request(prompb.encode_read_request(queries))
+    assert [q for q, _ in back] == queries
+    assert all(h is None for _, h in back)
+
+
+def test_prompb_read_response_roundtrip():
+    results = [get_data(), []]
+    back = prompb.decode_read_response(prompb.encode_read_response(results))
+    assert len(back) == 2 and back[1] == []
+    assert normalize(back[0]) == normalize(get_data())
+
+
+def test_prompb_special_values():
+    ts = TimeSeries(
+        labels=[Label("__name__", "weird"), Label("u", "🆗")],
+        samples=[
+            Sample(value=math.nan, timestamp_ms=-5),
+            Sample(value=math.inf, timestamp_ms=0),
+            Sample(value=0.0, timestamp_ms=T0),
+        ],
+    )
+    back = prompb.decode_timeseries(prompb.encode_timeseries(ts))
+    assert math.isnan(back.samples[0].value) and back.samples[0].timestamp_ms == -5
+    assert back.samples[1].value == math.inf
+    assert back.samples[2].value == 0.0 and back.samples[2].timestamp_ms == T0
+    assert back.labels_map()["u"] == "🆗"
+
+
+def test_prompb_skips_unknown_fields():
+    # append an unknown field (field 9, varint) to a valid Label message
+    buf = prompb.encode_label(Label("a", "b")) + bytes([9 << 3]) + bytes([42])
+    assert prompb.decode_label(buf) == Label("a", "b")
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=10), st.text(max_size=10)), max_size=5
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(allow_nan=False), st.integers(-(2**62), 2**62)
+        ),
+        max_size=5,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_prompb_timeseries_property(label_pairs, sample_pairs):
+    ts = TimeSeries(
+        labels=[Label(n, v) for n, v in label_pairs],
+        samples=[Sample(value=v, timestamp_ms=t) for v, t in sample_pairs],
+    )
+    back = prompb.decode_timeseries(prompb.encode_timeseries(ts))
+    assert back.labels == ts.labels
+    assert back.samples == ts.samples
+
+
+# ------------------------------------------------------------------- framed
+
+
+def test_framed_roundtrip(tmp_path):
+    path = tmp_path / "dump.bin"
+    with open(path, "wb") as f:
+        assert framed.write_frames(f, get_data()) == 3
+    with open(path, "rb") as f:
+        back = list(framed.read_frames(f))
+    assert normalize(back) == normalize(get_data())
+
+
+def test_framed_truncation_detected(tmp_path):
+    path = tmp_path / "trunc.bin"
+    with open(path, "wb") as f:
+        framed.write_frames(f, get_data())
+    raw = path.read_bytes()
+    with pytest.raises(ValueError):
+        list(framed.read_frames(io.BytesIO(raw[:-3])))
+    # claim a frame bigger than the file
+    bad = struct.pack(">I", 10_000) + b"xx"
+    with pytest.raises(ValueError):
+        list(framed.read_frames(io.BytesIO(bad)))
+
+
+# --------------------------------------------------------------- exposition
+
+
+GOLDEN_TEXT = """\
+# HELP go_goroutines Number of goroutines that currently exist.
+# TYPE go_goroutines gauge
+go_goroutines 38
+# HELP go_info Information about the Go environment.
+# TYPE go_info gauge
+go_info{version="go1.9.2"} 1
+"""
+
+
+def test_exposition_golden():
+    """Golden fixture from cmd/promload/exporter_test.go:29-64."""
+    series = list(parse_exposition(GOLDEN_TEXT, default_timestamp_ms=T0))
+    assert len(series) == 2
+    assert series[0].labels_map() == {"__name__": "go_goroutines"}
+    assert series[0].samples == [Sample(value=38.0, timestamp_ms=T0)]
+    assert series[1].labels_map() == {"__name__": "go_info", "version": "go1.9.2"}
+    assert series[1].samples[0].value == 1.0
+
+
+def test_exposition_escapes_and_specials():
+    text = 'm{l="a\\"b\\\\c\\nd"} NaN 123\nm2 +Inf\nm3 -1.5e3 -7\n'
+    series = list(parse_exposition(text))
+    assert series[0].labels_map()["l"] == 'a"b\\c\nd'
+    assert math.isnan(series[0].samples[0].value)
+    assert series[0].samples[0].timestamp_ms == 123
+    assert series[1].samples[0].value == math.inf
+    assert series[2].samples == [Sample(value=-1500.0, timestamp_ms=-7)]
+
+
+def test_exposition_render_parse_roundtrip():
+    from promhouse_spark.edge.exposition import merge_series
+
+    series = get_data()
+    back = merge_series(parse_exposition(render_exposition(series)))
+    assert normalize(back) == normalize(series)
+
+
+# --------------------------------------------------------------------- HTTP
+
+
+@pytest.fixture()
+def client():
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from promhouse_spark.edge.http import create_app
+
+    storage = MemoryStorage()
+    app = create_app(storage)
+    app.testing = True
+    return app.test_client()
+
+
+def test_http_write_then_read(client):
+    body = snappy_codec.compress(prompb.encode_write_request(get_data()))
+    assert client.post("/write", data=body).status_code == 200
+
+    rq = snappy_codec.compress(
+        prompb.encode_read_request(
+            [Query(T0 - 60_000, T0 + 60_000, make_matchers(("__name__", "=", "http_requests_total")))]
+        )
+    )
+    resp = client.post("/read", data=rq)
+    assert resp.status_code == 200
+    assert resp.headers["Content-Encoding"] == "snappy"
+    results = prompb.decode_read_response(snappy_codec.decompress(resp.data))
+    assert len(results) == 1 and len(results[0]) == 3
+    assert normalize(results[0]) == normalize(get_data())
+
+    metrics = client.get("/metrics-lite").get_json()
+    assert metrics["written_samples"] == 15 and metrics["read_queries"] == 1
+
+
+def test_http_bad_payload_is_400(client):
+    assert client.post("/write", data=b"\xff\xff\xff").status_code == 400
+    assert client.post("/read", data=b"junk").status_code == 400
+
+
+# ----------------------------------------------------------------- promload
+
+
+def test_promload_file_to_file(tmp_path):
+    import argparse
+
+    from promhouse_spark.edge.promload import copy
+
+    src, dst = tmp_path / "a.bin", tmp_path / "b.bin"
+    with open(src, "wb") as f:
+        framed.write_frames(f, get_data())
+    args = argparse.Namespace(step_ms=60_000, last_ms=10**9)
+    n = copy(f"file:{src}", f"file:{dst}", args)
+    assert n == 3
+    with open(dst, "rb") as f:
+        assert normalize(list(framed.read_frames(f))) == normalize(get_data())
+
+
+def test_promload_file_to_null(tmp_path):
+    import argparse
+
+    from promhouse_spark.edge.promload import copy
+
+    src = tmp_path / "a.bin"
+    with open(src, "wb") as f:
+        framed.write_frames(f, get_data())
+    assert copy(f"file:{src}", "null:", argparse.Namespace(step_ms=1, last_ms=1)) == 3
