@@ -27,6 +27,18 @@ _MH_PRIME = 4294967311  # smallest prime > 2^32
 _MH_MAX = (1 << 32) - 1
 
 
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before an
+    explode-heavy stage. Small corpora often arrive as one parquet file →
+    one partition → the whole shingle/sketch pipeline runs on one core. At
+    scale inputs already carry many partitions and this is a no-op (no
+    shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs via splitmix64-style mixing of the seed."""
     params = []
@@ -76,6 +88,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as an array<long> column, entirely in
     built-ins: shingle → xxhash64 → per-hash-function min aggregate."""
+    df = ensure_parallelism(df, id_col)
     toks = F.split(F.col(text_col), " ")
     sh = df.select(
         F.col(id_col),
@@ -126,6 +139,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "signature", "bb.band", "bb.bucket")
+    # both sides of the self-join share this lineage — persist so the
+    # signature aggregation runs once, not twice
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -165,6 +181,7 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document, all in built-ins: explode shingles →
     per-bit ±1 sums (64 conditional aggregates) → bit-OR fold."""
+    df = ensure_parallelism(df, id_col)
     toks = F.split(F.col(text_col), " ")
     sh = df.select(
         F.col(id_col),
@@ -248,11 +265,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact distinct-token Jaccard similarity pairs ≥ threshold (optionally
     blocked by ``group_col`` to bound the candidate space)."""
+    df = ensure_parallelism(df, id_col)
     toks = df.select(
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
-    )
+    ).persist()  # consumed three times: both join sides + the size table
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     cond = (F.col("a.token") == F.col("b.token")) & (
@@ -287,6 +305,7 @@ def embedding_cosine_duplicates(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, optionally blocked by
     ``group_col`` (cluster/label) to avoid the full cross join."""
+    df = ensure_parallelism(df, id_col)
     v = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col),

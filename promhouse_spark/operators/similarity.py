@@ -34,6 +34,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: one scan, map-side score, global
     top-k (Spark's TakeOrdered — no full sort)."""
+    from promhouse_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     v = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
