@@ -97,7 +97,29 @@ class SparkParquetStorage(Storage):
         """S7: re-read the registry into the in-memory index
         (``SELECT DISTINCT fingerprint, labels``, ``clickhouse.go:159``)."""
         rows = self.registry_df().select(FINGERPRINT, LABELS).collect()
-        self._registry = {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in rows}
+        merged = {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in rows}
+        # keep read-your-own-writes for series written after the scan started
+        merged.update(self._registry)
+        self._registry = merged
+
+    def start_reloader(self, interval_seconds: float = 5.0):
+        """Background registry refresh (the reference's 5 s reloader
+        goroutine, ``clickhouse.go:146-204``) — converges series written by
+        other engine instances sharing the same storage root. Returns a
+        ``threading.Event``; set it to stop the loop."""
+        import threading
+
+        stop = threading.Event()
+
+        def loop() -> None:
+            while not stop.wait(interval_seconds):
+                try:
+                    self.reload_registry()
+                except Exception:  # noqa: BLE001 — keep refreshing (logged upstream)
+                    pass
+
+        threading.Thread(target=loop, daemon=True, name="registry-reloader").start()
+        return stop
 
     # ---------------------------------------------------------------- write
 
