@@ -180,6 +180,12 @@ class SparkParquetStorage(Storage):
             .mode("append")
             .parquet(self.samples_path)
         )
+        # a pinned recent-window cache is a snapshot — drop it so reads keep
+        # read-your-own-writes; deployments re-pin on a timer
+        cache = getattr(self, "_recent_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._recent_cache = None
 
     # ----------------------------------------------------------------- read
 
@@ -198,8 +204,16 @@ class SparkParquetStorage(Storage):
             return [run_rawsql(self.spark, sql, queries[0].end_ms)]
 
         results: list[list[TimeSeries]] = []
-        samples = self.samples_df()
+        cold = self.samples_df()
+        recent = getattr(self, "_recent_cache", None)
+        recent_start = getattr(self, "_recent_start_ms", None)
         for q in queries:
+            # serve fully-recent windows from the pinned cache (risk-7 path)
+            samples = (
+                recent
+                if recent is not None and recent_start is not None and q.start_ms >= recent_start
+                else cold
+            )
             if self.cache_registry:
                 fps = self._resolve_fingerprints(q)
                 if not fps:  # O3 short-circuit (clickhouse.go:405-407)
@@ -254,6 +268,24 @@ class SparkParquetStorage(Storage):
                 ]
             results.append(res)
         return results
+
+    def cache_recent(self, days: int = 2) -> None:
+        """Pin the hottest day partitions in executor memory (SURVEY §7 risk
+        7: remote-read is latency-sensitive; Prometheus mostly reads the
+        recent window). Reads hit the cached partitions without touching
+        parquet; older windows still scan (and partition-prune) normally."""
+        samples = self.samples_df()
+        if DATE not in samples.columns:
+            return
+        import time as _time
+
+        cutoff_ms = (int(_time.time() * 1000) // 86_400_000 - days) * 86_400_000
+        recent = samples.filter(
+            F.col(DATE) >= F.to_date(F.timestamp_millis(F.lit(cutoff_ms)))
+        ).cache()
+        recent.count()  # materialize
+        self._recent_cache = recent
+        self._recent_start_ms = cutoff_ms
 
     # ------------------------------------------------------------ analytics
 
