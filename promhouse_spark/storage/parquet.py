@@ -167,19 +167,58 @@ class SparkParquetStorage(Storage):
             df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
             self.ingest_df(df)
 
-    def ingest_df(self, samples_df: DataFrame) -> None:
+    def ingest_df(self, samples_df: DataFrame, files_per_day: int | None = None) -> None:
         """Bulk/streaming samples append: derive the day partition, cluster
         rows by (fingerprint, ts) within partitions (compression + row-group
-        pruning), append. No sample dedup — append-only by contract."""
-        (
-            samples_df.withColumn(
-                DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+        pruning), append. No sample dedup — append-only by contract.
+
+        ``files_per_day`` consolidates output files per day partition —
+        without it, every upstream partition × day combination writes its
+        own (possibly tiny) file. Use for bulk loads/compaction; leave None
+        for latency-sensitive micro-batches (compact later)."""
+        df = samples_df.withColumn(
+            DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+        )
+        if files_per_day:
+            # hash-cluster on (day, series-bucket): each day lands in exactly
+            # files_per_day cells, so partitionBy(DATE) emits that many files
+            df = df.repartition(
+                max(files_per_day * 8, 200),
+                F.col(DATE),
+                F.pmod(F.col(FINGERPRINT), F.lit(files_per_day)),
             )
-            .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+        (
+            df.sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
             .write.partitionBy(DATE)
             .mode("append")
             .parquet(self.samples_path)
         )
+
+    def compact_samples(self, files_per_day: int = 1) -> None:
+        """Rewrite the fact table with consolidated, fully-clustered files —
+        the MergeTree background-merge equivalent. Run out-of-band."""
+        if not os.path.exists(self.samples_path):
+            return  # nothing ingested yet
+        current = self.samples_df().select(FINGERPRINT, TIMESTAMP_MS, VALUE)
+        tmp = self.samples_path + ".compact"
+        (
+            current.withColumn(
+                DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+            )
+            .repartition(
+                max(files_per_day * 8, 200),
+                F.col(DATE),
+                F.pmod(F.col(FINGERPRINT), F.lit(files_per_day)),
+            )
+            .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+            .write.partitionBy(DATE)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(self.samples_path)
+        os.rename(tmp, self.samples_path)
         # a pinned recent-window cache is a snapshot — drop it so reads keep
         # read-your-own-writes; deployments re-pin on a timer
         cache = getattr(self, "_recent_cache", None)

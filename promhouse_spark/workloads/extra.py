@@ -1,0 +1,229 @@
+"""Second-wave workloads: pushdown showcase, rollup/grouping analytics,
+sessionization, wordcount, vector stats — widening the Spark-SQL surface the
+raw-SQL escape hatch (O7) makes reachable, all DuckDB-oracle checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from promhouse_spark.session import load_table
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the plan should be
+    scan (with every predicate pushed) → partial agg → final agg, no join,
+    no wide shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.expr(
+            "l_shipdate >= timestamp_ntz'1997-01-01 00:00:00' AND "
+            "l_shipdate < timestamp_ntz'1998-01-01 00:00:00'"
+        )
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def sql_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping analytics through the SQL passthrough (O7 makes
+    Spark SQL's grouping-set planner reachable via the reference API)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+SQL_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def ph_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30 min gap starts a new session (lag + cumulative
+    sum over a per-user window) — the classic event-stream operator the
+    reference leaves to downstream tools."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_break = ev.withColumn(
+        "new_session",
+        F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = with_break.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PH_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def doc_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wordcount with deterministic top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+DOC_TOPK_TOKENS_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate stats per label: count + rounded norm
+    moments (JVM-side higher-order functions over array<float>)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_NORM_STATS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings
+)
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "q6_revenue_delta": q6_revenue_delta,
+    "q10_returned_items": q10_returned_items,
+    "sql_rollup_revenue": sql_rollup_revenue,
+    "ph_sessionize": ph_sessionize,
+    "doc_topk_tokens": doc_topk_tokens,
+    "emb_norm_stats": emb_norm_stats,
+}
+
+ORACLES = {
+    "q6_revenue_delta": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "sql_rollup_revenue": SQL_ROLLUP_SQL,
+    "ph_sessionize": PH_SESSIONIZE_SQL,
+    "doc_topk_tokens": DOC_TOPK_TOKENS_SQL,
+    "emb_norm_stats": EMB_NORM_STATS_SQL,
+}

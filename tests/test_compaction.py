@@ -1,0 +1,33 @@
+"""Compaction (MergeTree background-merge equivalent) and consolidated
+ingest: many micro-batch files → few clustered files, same query results."""
+
+import glob
+
+from promhouse_spark.models import Query, make_matchers
+from promhouse_spark.storage.parquet import SparkParquetStorage
+from tests.fixtures import T0, get_data, normalize
+
+
+def test_compact_preserves_results_and_reduces_files(spark, tmp_path):
+    st = SparkParquetStorage(spark, str(tmp_path / "store"))
+    data = get_data()
+    for ts in data:  # one write per series → many small files
+        st.write([ts])
+    q = Query(T0 - 60_000, T0 + 60_000, make_matchers(("__name__", "=", "http_requests_total")))
+    before = normalize(st.read([q])[0])
+    files_before = len(glob.glob(f"{st.samples_path}/**/*.parquet", recursive=True))
+
+    st.compact_samples(files_per_day=1)
+
+    files_after = len(glob.glob(f"{st.samples_path}/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    assert normalize(st.read([q])[0]) == before
+
+
+def test_ingest_files_per_day(spark, tmp_path):
+    st = SparkParquetStorage(spark, str(tmp_path / "store2"))
+    rows = [(1, T0 + i * 1000, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "fingerprint long, timestamp_ms long, value double")
+    st.ingest_df(df, files_per_day=1)
+    files = glob.glob(f"{st.samples_path}/**/*.parquet", recursive=True)
+    assert len(files) == 1  # single day, consolidated

@@ -1,0 +1,86 @@
+"""Measure at-rest storage efficiency against the reference's published
+figures (BASELINE.md: 24 B/sample raw, ~5.3 B/sample compressed in
+ClickHouse MergeTree, Prometheus TSDB 1.37 B/sample).
+
+Builds a realistic samples table from the driver's events data (monotonic
+per-series values like real counters compress best; we keep the raw event
+values — a pessimistic, honest corpus), writes it through the engine's
+ingest path (sorted by (fingerprint, timestamp_ms), zstd parquet), and
+reports bytes/sample.
+
+Usage: python3 tools/storage_efficiency.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from promhouse_spark.schemas import FINGERPRINT, TIMESTAMP_MS, VALUE  # noqa: E402
+from promhouse_spark.session import get_spark, load_table  # noqa: E402
+from promhouse_spark.storage.parquet import SparkParquetStorage  # noqa: E402
+
+
+def _measure(spark, samples, label: str) -> None:
+    n = samples.count()
+    root = tempfile.mkdtemp(prefix="phs-eff-")
+    try:
+        store = SparkParquetStorage(spark, root)
+        store.ingest_df(samples, files_per_day=1)
+        total = 0
+        for dirpath, _dirs, files in os.walk(store.samples_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        print(f"{label}: {n} samples, {total} bytes -> {total / n:.2f} B/sample "
+              f"(raw struct: 24; reference compressed: ~5.3)")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="storage-efficiency")
+
+    # Corpus 1 (pessimistic): the driver's events table — random timestamps,
+    # random 2-decimal values. Near-incompressible by design.
+    ev = load_table(spark, sf_dir, "events")
+    adversarial = ev.select(
+        F.col("user_id").alias(FINGERPRINT),
+        F.unix_millis(F.col("ts")).alias(TIMESTAMP_MS),
+        F.col("value").alias(VALUE),
+    )
+    _measure(spark, adversarial, "adversarial (random ts/values)")
+
+    # Corpus 2 (realistic): what the reference's ~5.3 B figure was measured
+    # on — regular scrape intervals, slowly-drifting counter values. 200
+    # series x 5000 scrapes at 15 s.
+    realistic = (
+        spark.range(200)
+        .select(
+            F.col("id").alias(FINGERPRINT),
+            F.explode(F.sequence(F.lit(0), F.lit(4999))).alias("i"),
+        )
+        .select(
+            FINGERPRINT,
+            (F.lit(1767225600000) + F.col("i") * 15_000).alias(TIMESTAMP_MS),
+            # counter: monotonic per series with deterministic per-step increments
+            (
+                F.col(FINGERPRINT) * 1000
+                + F.col("i") * 7
+                + F.pmod(F.xxhash64(FINGERPRINT, "i"), F.lit(5))
+            ).cast("double").alias(VALUE),
+        )
+    )
+    _measure(spark, realistic, "realistic (15s scrapes, counters)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
