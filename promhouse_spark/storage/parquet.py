@@ -193,6 +193,16 @@ class SparkParquetStorage(Storage):
             .mode("append")
             .parquet(self.samples_path)
         )
+        self._drop_recent_cache()
+
+    def _drop_recent_cache(self) -> None:
+        """A pinned recent-window cache is a snapshot — drop it after any
+        mutation so reads keep read-your-own-writes; deployments re-pin on a
+        timer."""
+        cache = getattr(self, "_recent_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._recent_cache = None
 
     def compact_samples(self, files_per_day: int = 1) -> None:
         """Rewrite the fact table with consolidated, fully-clustered files —
@@ -219,12 +229,7 @@ class SparkParquetStorage(Storage):
 
         shutil.rmtree(self.samples_path)
         os.rename(tmp, self.samples_path)
-        # a pinned recent-window cache is a snapshot — drop it so reads keep
-        # read-your-own-writes; deployments re-pin on a timer
-        cache = getattr(self, "_recent_cache", None)
-        if cache is not None:
-            cache.unpersist()
-            self._recent_cache = None
+        self._drop_recent_cache()
 
     # ----------------------------------------------------------------- read
 
