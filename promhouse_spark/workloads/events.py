@@ -281,7 +281,12 @@ def ph_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(bucket.alias("bucket"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # round(sum,2)/count: both engines collapse the sum to the same
+            # double, so the division is bit-identical — no final rounding,
+            # because round() implementations themselves disagree on exact
+            # half-boundaries (BigDecimal-exact vs round(v*10^k)/10^k), and
+            # 2-decimal inputs make avg hit .xxxx5 systematically
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
         )
@@ -293,7 +298,7 @@ PH_DOWNSAMPLE_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
        event_type,
        count(*) AS n,
-       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) / count(*) AS avg_value,
        round(min(value), 2) AS min_value,
        round(max(value), 2) AS max_value
 FROM events

@@ -1,0 +1,30 @@
+"""Driver-contract regression net: every queries() entry must analyze
+(schema resolution catches renamed columns / typos without executing), every
+oracle key must have an implementation, and entry() must run."""
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 36
+    # sketch ops are intentionally oracle-less
+    assert set(qs) - set(os_) == {"doc_minhash_lsh", "doc_simhash_dups", "emb_lsh_ann_topk"}
+
+
+def test_all_queries_analyze(spark, sf_dir):
+    qs = entrymod.queries()
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, sf_dir)
+        assert df.schema.fields, f"{name} produced an empty schema"
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"{name} has duplicate column names: {cols}"
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
