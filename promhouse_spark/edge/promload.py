@@ -45,20 +45,49 @@ def read_file(path: str) -> Iterator[list[TimeSeries]]:
 
 
 def read_store(path: str, step_ms: int, last_ms: int, end_ms: int) -> Iterator[list[TimeSeries]]:
-    """S11/C5: slice [end-last, end] into step windows, one empty-matcher
-    query each (promhouse.go:82-165)."""
+    """S11/C5: step-sliced dump of a store (promhouse.go:82-165), as ONE
+    partition-pruned scan instead of a Spark job per window: rows get a
+    window index, are globally sorted by (window, fingerprint, ts), and
+    stream through ``toLocalIterator`` while consecutive runs are cut into
+    per-window series — same chunk semantics, O(1) jobs."""
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.functions.fingerprint import to_unsigned64
+    from promhouse_spark.models import Label, Sample
+    from promhouse_spark.plans.read import samples_in_range
     from promhouse_spark.session import get_spark
     from promhouse_spark.storage.parquet import SparkParquetStorage
 
     storage = SparkParquetStorage(get_spark(app_name="promload"), path)
     start = end_ms - last_ms
-    t = start
-    while t < end_ms:
-        w_end = min(t + step_ms - 1, end_ms)
-        (series,) = storage.read([Query(t, w_end, ())])
-        if series:
-            yield series
-        t += step_ms
+    rows = (
+        samples_in_range(storage.samples_df(), start, end_ms)
+        .withColumn("w", ((F.col("timestamp_ms") - start) / step_ms).cast("long"))
+        .orderBy("w", "fingerprint", "timestamp_ms")
+        .select("w", "fingerprint", "timestamp_ms", "value")
+    )
+
+    def label_list(fp: int) -> list[Label]:
+        labels = storage._registry.get(to_unsigned64(fp), {})
+        return [Label(n, v) for n, v in sorted(labels.items())]
+
+    cur_key: tuple[int, int] | None = None
+    cur_ts: TimeSeries | None = None
+    cur_window: int | None = None
+    window_series: list[TimeSeries] = []
+    for r in rows.toLocalIterator():
+        key = (r["w"], r["fingerprint"])
+        if key != cur_key:
+            if cur_window is not None and r["w"] != cur_window and window_series:
+                yield window_series
+                window_series = []
+            cur_ts = TimeSeries(labels=label_list(r["fingerprint"]), samples=[])
+            window_series.append(cur_ts)
+            cur_key = key
+            cur_window = r["w"]
+        cur_ts.samples.append(Sample(value=r["value"], timestamp_ms=r["timestamp_ms"]))
+    if window_series:
+        yield window_series
 
 
 def read_exporter(url: str) -> Iterator[list[TimeSeries]]:
