@@ -82,8 +82,11 @@ class Matcher:
             return v == self.value
         if self.type is MatchType.NEQ:
             return v != self.value
-        m = re.match(anchored(self.value) , v)
-        ok = bool(m) and m.end() == len(v)
+        # fullmatch ≡ RE2's ^(?:p)$ where $ is end-of-text (no trailing-\n
+        # slack), and it keeps inline flags like (?i)/(?s) legal at pattern
+        # start — Python 3.11 rejects global flags mid-pattern, which the
+        # literal ^(?: prefix would force.
+        ok = re.fullmatch(self.value, v) is not None
         if self.type is MatchType.RE:
             return ok
         return not ok

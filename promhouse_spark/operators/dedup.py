@@ -265,15 +265,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     group_col: str | None = None,
     threshold: float = 0.5,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact distinct-token Jaccard similarity pairs ≥ threshold (optionally
-    blocked by ``group_col`` to bound the candidate space)."""
+    blocked by ``group_col`` to bound the candidate space).
+
+    ``max_df`` is the skew guard for large corpora: tokens present in more
+    than that fraction of documents (stopword-class tokens) are the hot join
+    keys that quadratically blow up the token self-join; dropping them
+    changes the token sets (Jaccard becomes approximate on the reduced
+    vocabulary) but bounds the per-key join fan-out. Leave None for the
+    exact oracle-comparable semantics."""
     df = ensure_parallelism(df, id_col)
     toks = df.select(
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).persist()  # consumed three times: both join sides + the size table
+    if max_df is not None:
+        n_docs = df.count()
+        hot = (
+            toks.groupBy("token")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") > max_df * n_docs)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti").persist()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     cond = (F.col("a.token") == F.col("b.token")) & (

@@ -149,3 +149,22 @@ def test_frame_sample_plan(spark):
     )
     frames = M.frame_sample_plan(assets, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ngram_jaccard_max_df_skew_guard(corpus):
+    # docs 1,2,3 share almost all tokens → every shared token has document
+    # frequency 3/5 = 0.6 > 0.5 and is dropped by the cap
+    pairs_exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, group_col="source", threshold=0.1).collect()
+    }
+    pairs_capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            corpus, group_col="source", threshold=0.1, max_df=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs_capped and pairs_capped[(1, 2)] == 1.0  # exact dup survives
+    # (1,3) was a near-dup on the full vocabulary; after the cap removes the
+    # cluster-shared tokens only the differing tokens remain → pair drops out
+    assert (1, 3) in pairs_exact and (1, 3) not in pairs_capped

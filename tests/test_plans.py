@@ -1,0 +1,87 @@
+"""Physical-plan guards: the scale properties (pushdown, partition pruning,
+broadcast strategy) must be visible in the executed plan — not assumed.
+
+These assert on plan text, so they catch regressions like a filter that
+stops reaching the parquet scan or a semi-join that silently becomes a
+shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from promhouse_spark.models import Query, make_matchers
+from promhouse_spark.plans.read import restrict_to_series, samples_in_range
+from promhouse_spark.storage.parquet import SparkParquetStorage
+from tests.fixtures import T0, get_data
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = SparkParquetStorage(spark, str(tmp_path_factory.mktemp("plans_store")))
+    st.write(get_data())
+    # second batch one day later → two day partitions on disk
+    shifted = get_data()
+    for ts in shifted:
+        for i, s in enumerate(ts.samples):
+            ts.samples[i] = type(s)(value=s.value, timestamp_ms=s.timestamp_ms + 86_400_000)
+    st.write(shifted)
+    return st
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_time_filter_prunes_day_partitions(store):
+    """The derived date predicate must reach PartitionFilters so day
+    partitions are pruned before IO (SURVEY §4 pushdown row)."""
+    df = samples_in_range(store.samples_df(), T0, T0 + 10_000)
+    plan = df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
+    # the date bounds appear as partition filters, not post-scan filters
+    assert "date" in plan.split("PartitionFilters")[1][:200]
+    # and the row-group-level time predicate is pushed to parquet
+    assert "PushedFilters" in plan
+    assert "timestamp_ms" in plan.split("PushedFilters")[1][:200]
+
+
+def test_inlist_restriction_is_pushed(store):
+    fps = [1, 2, 3]
+    df = restrict_to_series(store.samples_df(), fps, max_inlist=50)
+    plan = df._jdf.queryExecution().toString()
+    assert "In(fingerprint" in plan or "in(fingerprint" in plan.lower()
+
+
+def test_semijoin_restriction_is_broadcast(store):
+    fps = list(range(100))
+    df = restrict_to_series(store.samples_df(), fps, max_inlist=50)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+
+
+def test_q1_aggregate_pushdown(spark, sf_dir):
+    from promhouse_spark.workloads.tpch import q1_pricing_summary
+
+    plan = q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed  # the date filter reaches the scan
+
+
+def test_q5_joins_are_broadcast(spark, sf_dir):
+    from promhouse_spark.workloads.tpch import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan  # no unnecessary big-side shuffles
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    from promhouse_spark.session import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().toString()
+    read_schema = plan.split("ReadSchema")[1][:200] if "ReadSchema" in plan else ""
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
