@@ -18,8 +18,10 @@ test clients and any production WSGI server.
 from __future__ import annotations
 
 import logging
+import re
 
 from promhouse_spark.edge import prompb, snappy_codec
+from promhouse_spark.models import MatchType
 from promhouse_spark.storage.base import Storage
 
 log = logging.getLogger(__name__)
@@ -54,8 +56,20 @@ def create_app(storage: Storage):
         for q, hints in decoded:
             if hints is not None:
                 log.warning("ignoring read hints: %s", hints)  # prom.go:184-186
+            # the reference compiles matcher regexes while converting the
+            # request (storages/base/base.go:102-104 via prom.go:153-192):
+            # a bad pattern is a client error, rejected before any read
+            for m in q.matchers:
+                if m.type in (MatchType.RE, MatchType.NRE):
+                    try:
+                        re.compile(m.value)
+                    except re.error as e:
+                        return Response(f"invalid matcher regex: {e}", status=400)
             queries.append(q)
-        results = storage.read(queries)
+        try:
+            results = storage.read(queries)
+        except re.error as e:
+            return Response(f"invalid matcher regex: {e}", status=400)
         counters["read_queries"] += len(queries)
         payload = snappy_codec.compress(prompb.encode_read_response(results))
         return Response(

@@ -227,3 +227,109 @@ ORACLES = {
     "doc_topk_tokens": DOC_TOPK_TOKENS_SQL,
     "emb_norm_stats": EMB_NORM_STATS_SQL,
 }
+
+
+def q12_priority_by_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a fact-dimension
+    join (high-priority vs low-priority order counts per year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue (promo parts
+    share). Both operands rounded before the division for cross-engine
+    bit-stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.round(F.sum(promo), 2)
+                / F.round(F.sum(rev), 2)
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             / round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_share_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates — exercises Catalyst's OR-predicate handling and join
+    filter pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size") <= 40) & (F.col("l_quantity") >= 10))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 30)
+   OR (p_brand = 'Brand#13' AND p_size <= 25 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#20' AND p_size <= 40 AND l_quantity >= 10)
+"""
+
+
+QUERIES.update(
+    {
+        "q12_priority_by_shipmode": q12_priority_by_shipmode,
+        "q14_promo_share": q14_promo_share,
+        "q19_disjunctive": q19_disjunctive,
+    }
+)
+ORACLES.update(
+    {
+        "q12_priority_by_shipmode": Q12_SQL,
+        "q14_promo_share": Q14_SQL,
+        "q19_disjunctive": Q19_SQL,
+    }
+)

@@ -11,7 +11,15 @@ from hypothesis import given, settings, strategies as st
 
 from promhouse_spark.edge import framed, prompb, snappy_codec
 from promhouse_spark.edge.exposition import parse_exposition, render_exposition
-from promhouse_spark.models import Label, MatchType, Query, Sample, TimeSeries, make_matchers
+from promhouse_spark.models import (
+    Label,
+    Matcher,
+    MatchType,
+    Query,
+    Sample,
+    TimeSeries,
+    make_matchers,
+)
 from promhouse_spark.storage.memory import MemoryStorage
 from tests.fixtures import T0, get_data, normalize
 
@@ -248,3 +256,14 @@ def test_promload_file_to_null(tmp_path):
     with open(src, "wb") as f:
         framed.write_frames(f, get_data())
     assert copy(f"file:{src}", "null:", argparse.Namespace(step_ms=1, last_ms=1)) == 3
+
+
+def test_http_bad_matcher_regex_is_400(client):
+    rq = snappy_codec.compress(
+        prompb.encode_read_request(
+            [Query(0, 10, (Matcher("__name__", MatchType.RE, "(unclosed"),))]
+        )
+    )
+    resp = client.post("/read", data=rq)
+    assert resp.status_code == 400
+    assert b"invalid matcher regex" in resp.data
