@@ -1,0 +1,118 @@
+"""Continuous downsampling (C4 in streaming mode — the reference's #1
+roadmap item run as a live pipeline).
+
+Streaming windowed aggregation without a watermark can never finalize (the
+reference accepts arbitrarily late data, C1), so the rollup is maintained as
+a **commutative monoid of partial aggregates**: every micro-batch appends its
+own per-(fingerprint, window) partials (n, sum, min, max, last by ts), and
+reads merge partials. Appends need no coordination or state store, late data
+just contributes more partials, and the merge is associative — the design
+that still works when 1000 executors ingest concurrently. Compaction
+(:func:`compact_rollup`) collapses partials out-of-band exactly like the
+fact-table compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from promhouse_spark.operators.downsample import window_start_ms
+from promhouse_spark.schemas import DATE, FINGERPRINT, TIMESTAMP_MS, VALUE
+
+
+def downsample_partial(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Per-batch partial rollup: decomposable aggregates only (sum not avg;
+    last carried as (max_ts, value_at_max_ts))."""
+    return (
+        samples_df.groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(VALUE).alias("sum_value"),
+            F.min(VALUE).alias("min_value"),
+            F.max(VALUE).alias("max_value"),
+            F.max(TIMESTAMP_MS).alias("last_ts"),
+            F.max_by(VALUE, F.col(TIMESTAMP_MS)).alias("last_value"),
+        )
+        .withColumn(DATE, F.to_date(F.timestamp_millis(F.col("window_start_ms"))))
+    )
+
+
+def merge_rollup(partials: DataFrame) -> DataFrame:
+    """Merge partial rollups into final per-window aggregates (associative:
+    merging partials of partials gives the same result)."""
+    return (
+        partials.groupBy(FINGERPRINT, "window_start_ms")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.max_by("last_value", F.col("last_ts")).alias("last_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n"))
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    return merge_rollup(spark.read.parquet(rollup_path))
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    samples_path: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    step_ms: int = 300_000,
+    trigger_seconds: int = 5,
+) -> StreamingQuery:
+    """Tail the samples fact table as a file stream and maintain the rollup
+    continuously: each micro-batch of newly-arrived sample files appends its
+    partial aggregates."""
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(samples_path)
+    )
+
+    def fold(batch_df: DataFrame, _epoch: int) -> None:
+        (
+            downsample_partial(batch_df, step_ms)
+            .write.partitionBy(DATE)
+            .mode("append")
+            .parquet(rollup_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
+    """Collapse accumulated partials in place (merge is associative, so the
+    compacted table is itself a valid partials table)."""
+    import os
+    import shutil
+
+    if not os.path.exists(rollup_path):
+        return
+    merged = merge_rollup(spark.read.parquet(rollup_path)).drop("avg_value")
+    tmp = rollup_path + ".compact"
+    (
+        merged.withColumn(
+            DATE, F.to_date(F.timestamp_millis(F.col("window_start_ms")))
+        )
+        .repartition(200, F.col(DATE))
+        .sortWithinPartitions(FINGERPRINT, "window_start_ms")
+        .write.partitionBy(DATE)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(rollup_path)
+    os.rename(tmp, rollup_path)
