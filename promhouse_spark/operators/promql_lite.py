@@ -1,0 +1,73 @@
+"""PromQL-lite range functions over the samples model (beyond-reference).
+
+The reference deliberately leaves PromQL evaluation to Prometheus (SURVEY
+§"What PromHouse is"); these operators bring the core *range-vector*
+functions server-side so rollup pipelines and the raw-SQL surface can compute
+them at 100 TB without shipping raw samples out:
+
+- ``delta_over_time``:  last - first per (series, window) — gauges;
+- ``increase``:         counter-aware growth — a sample lower than its
+  predecessor is a counter reset, contributing its own value (Prometheus
+  semantics);
+- ``rate``:             increase / window seconds.
+
+All built-in expressions: one window function pass (lag per series) + one
+keyed aggregation — map-side combinable, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from promhouse_spark.operators.downsample import window_start_ms
+from promhouse_spark.schemas import FINGERPRINT, TIMESTAMP_MS, VALUE
+
+
+def _per_series_window() -> W:
+    return W.partitionBy(FINGERPRINT).orderBy(TIMESTAMP_MS)
+
+
+def increase(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Counter increase per (fingerprint, window): sum of positive
+    sample-to-sample deltas, where a drop (reset) contributes the new value.
+
+    The lag runs over the full per-series sequence first, so a window's
+    first sample correctly diffs against the previous window's last sample
+    (PromQL's extrapolation is deliberately not replicated — this is the
+    exact-sum variant rollup pipelines want)."""
+    prev = F.lag(VALUE).over(_per_series_window())
+    inc = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col(VALUE) >= prev, F.col(VALUE) - prev)
+        .otherwise(F.col(VALUE))  # counter reset
+    )
+    return (
+        samples_df.withColumn("inc", inc)
+        .groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+def rate(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Per-second rate: increase / window length."""
+    return increase(samples_df, step_ms).withColumn(
+        "rate", F.col("increase") / F.lit(step_ms / 1000.0)
+    )
+
+
+def delta_over_time(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Gauge delta per (fingerprint, window): last - first by time."""
+    return (
+        samples_df.groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(
+            F.round(
+                F.max_by(VALUE, F.col(TIMESTAMP_MS))
+                - F.min_by(VALUE, F.col(TIMESTAMP_MS)),
+                6,
+            ).alias("delta"),
+            F.count("*").alias("n_samples"),
+        )
+    )

@@ -333,3 +333,53 @@ ORACLES.update(
         "q19_disjunctive": Q19_SQL,
     }
 )
+
+
+def ph_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-lite increase/rate over the events stream treated as counters
+    per user (6 h windows): counter-reset-aware positive-delta sums."""
+    from promhouse_spark.operators.promql_lite import rate
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+    step = 6 * 3600 * 1000
+    return (
+        rate(samples, step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "increase",
+            "rate",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_RATE_COUNTER_SQL = """
+WITH deltas AS (
+  SELECT user_id,
+         epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(value) OVER w IS NULL THEN 0.0
+              WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+              ELSE value END AS inc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+)
+SELECT user_id,
+       ts_ms - (ts_ms % 21600000) AS window_start_ms,
+       round(sum(inc), 6) AS increase,
+       round(sum(inc), 6) / 21600.0 AS rate,
+       count(*) AS n_samples
+FROM deltas
+GROUP BY user_id, ts_ms - (ts_ms % 21600000)
+ORDER BY user_id, window_start_ms
+"""
+
+
+QUERIES.update({"ph_rate_counter": ph_rate_counter})
+ORACLES.update({"ph_rate_counter": PH_RATE_COUNTER_SQL})

@@ -1,0 +1,36 @@
+"""PromQL-lite range functions: increase handles counter resets, rate
+scales by window seconds, delta is last-minus-first."""
+
+from promhouse_spark.operators.promql_lite import delta_over_time, increase, rate
+from promhouse_spark.schemas import SAMPLES_SCHEMA
+
+W = 300_000
+
+
+def test_increase_with_counter_reset(spark):
+    rows = [
+        (1, 0, 10.0),
+        (1, 60_000, 15.0),   # +5
+        (1, 120_000, 3.0),   # reset → +3
+        (1, 180_000, 8.0),   # +5
+        (1, 310_000, 9.0),   # next window: +1 (diff vs prev window's last)
+    ]
+    df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    got = {r["window_start_ms"]: r["increase"] for r in increase(df, W).collect()}
+    assert got[0] == 13.0  # 5 + 3 + 5 (first sample contributes 0)
+    assert got[W] == 1.0
+
+
+def test_rate(spark):
+    df = spark.createDataFrame([(1, 0, 0.0), (1, 100_000, 30.0)], SAMPLES_SCHEMA)
+    row = rate(df, W).collect()[0]
+    assert row["increase"] == 30.0
+    assert abs(row["rate"] - 30.0 / 300.0) < 1e-12
+
+
+def test_delta_over_time(spark):
+    rows = [(1, 250_000, 5.0), (1, 10_000, 12.0), (1, 150_000, 2.0)]
+    df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    row = delta_over_time(df, W).collect()[0]
+    assert row["delta"] == 5.0 - 12.0  # last(t=250k) - first(t=10k)
+    assert row["n_samples"] == 3
