@@ -246,6 +246,11 @@ class SparkParquetStorage(Storage):
         if sql is not None:
             self.register_views()
             return [run_rawsql(self.spark, sql, queries[0].end_ms)]
+        if self.cache_registry and len(queries) > 1:
+            # multi-query requests collapse into ONE Spark job (union of
+            # per-query restricted scans tagged with the slot index) —
+            # Prometheus remote-read latency scales with jobs, not rows
+            return self._read_batched(queries)
 
         results: list[list[TimeSeries]] = []
         cold = self.samples_df()
@@ -330,6 +335,57 @@ class SparkParquetStorage(Storage):
         recent.count()  # materialize
         self._recent_cache = recent
         self._recent_start_ms = cutoff_ms
+
+    def _read_batched(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
+        """O1 as a single job: per-query restricted scans, each tagged with
+        its slot index, unioned and grouped once. Order preserved; empty
+        slots stay empty."""
+        cold = self.samples_df()
+        recent = getattr(self, "_recent_cache", None)
+        recent_start = getattr(self, "_recent_start_ms", None)
+        per_query: list[tuple[int, list[int]]] = []
+        branches = []
+        for idx, q in enumerate(queries):
+            fps = self._resolve_fingerprints(q)
+            per_query.append((idx, fps))
+            if not fps:
+                continue
+            samples = (
+                recent
+                if recent is not None and recent_start is not None and q.start_ms >= recent_start
+                else cold
+            )
+            branch = restrict_to_series(
+                samples_in_range(samples, q.start_ms, q.end_ms),
+                fps,
+                self.max_series_inlist,
+            ).select(
+                F.lit(idx).alias("qidx"), FINGERPRINT, TIMESTAMP_MS, VALUE
+            )
+            branches.append(branch)
+        results: list[list[TimeSeries]] = [[] for _ in queries]
+        if not branches:
+            return results
+        union = branches[0]
+        for b in branches[1:]:
+            union = union.unionByName(b)
+        grouped = union.groupBy("qidx", FINGERPRINT).agg(
+            F.sort_array(F.collect_list(F.struct(TIMESTAMP_MS, VALUE))).alias("samples")
+        )
+        rows = grouped.collect()
+        rows.sort(key=lambda r: (r["qidx"], to_unsigned64(r[FINGERPRINT])))
+        for r in rows:
+            labels = self._registry.get(to_unsigned64(r[FINGERPRINT]), {})
+            results[r["qidx"]].append(
+                TimeSeries(
+                    labels=[Label(n, v) for n, v in sorted(labels.items())],
+                    samples=[
+                        Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
+                        for s in r["samples"]
+                    ],
+                )
+            )
+        return results
 
     # ------------------------------------------------------------ analytics
 

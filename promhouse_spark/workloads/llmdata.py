@@ -258,3 +258,29 @@ ORACLES = {
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_knn_within_label": EMB_KNN_WITHIN_LABEL_SQL,
 }
+
+
+def doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: the deterministic fake
+    decoder is not SQL-expressible): documents wrapped as binary assets →
+    Arrow-batched feature extraction → per-source feature stats."""
+    from promhouse_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    feats = M.extract_features(assets, decoder=M.fake_decoder)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 4)), 4).alias("avg_byte_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES.update({"doc_multimodal_features": doc_multimodal_features})

@@ -267,3 +267,18 @@ def test_http_bad_matcher_regex_is_400(client):
     resp = client.post("/read", data=rq)
     assert resp.status_code == 400
     assert b"invalid matcher regex" in resp.data
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_http_never_500_on_garbage(garbage):
+    """Fuzz both endpoints: arbitrary bytes must produce 200/400, never an
+    unhandled 500."""
+    from promhouse_spark.edge.http import create_app
+
+    app = create_app(MemoryStorage())
+    app.testing = False  # let flask convert exceptions to 500 so we can detect them
+    c = app.test_client()
+    for path in ("/write", "/read"):
+        status = c.post(path, data=garbage).status_code
+        assert status in (200, 400), f"{path} returned {status} for {garbage!r}"

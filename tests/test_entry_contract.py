@@ -10,8 +10,13 @@ def test_queries_and_oracles_consistent():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 36
-    # sketch ops are intentionally oracle-less
-    assert set(qs) - set(os_) == {"doc_minhash_lsh", "doc_simhash_dups", "emb_lsh_ann_topk"}
+    # sketch/UDF ops are intentionally oracle-less
+    assert set(qs) - set(os_) == {
+        "doc_minhash_lsh",
+        "doc_simhash_dups",
+        "emb_lsh_ann_topk",
+        "doc_multimodal_features",
+    }
 
 
 def test_all_queries_analyze(spark, sf_dir):
