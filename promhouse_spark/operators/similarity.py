@@ -100,6 +100,59 @@ def lsh_ann_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_index(
+    df: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: MLlib k-means over the vectors; every vector is
+    assigned to its nearest centroid's inverted list.
+
+    Returns (assigned_df with a ``centroid_id`` column, list of centroid
+    vectors). At 100 TB the model is fit on a sample and assignment is one
+    map-side pass; the inverted lists are just a partitioning column — write
+    the table ``partitionBy("centroid_id")`` and probes prune partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(data)
+    assigned = (
+        model.transform(data)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("features")
+    )
+    return assigned, [list(c) for c in model.clusterCenters()]
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` inverted lists whose
+    centroids are nearest the query. Recall rises with nprobe
+    (nprobe == num_centroids is exact)."""
+    assigned, centers = ivf_index(df, num_centroids, id_col, vec_col, seed)
+    q = [float(x) for x in query_vec]
+
+    def l2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+
+    probe = sorted(range(len(centers)), key=lambda i: l2(centers[i]))[:nprobe]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

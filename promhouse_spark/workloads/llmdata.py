@@ -234,6 +234,12 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (MLlib k-means coarse quantizer, nprobe=4 of 16 lists)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ivf_ann_topk(emb, _query_vec(spark, sf_dir), k=10, num_centroids=16, nprobe=4)
+
+
 QUERIES = {
     "doc_exact_dup": doc_exact_dup,
     "doc_token_stats": doc_token_stats,
@@ -246,6 +252,7 @@ QUERIES = {
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash_dups": doc_simhash_dups,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
+    "emb_ivf_ann_topk": emb_ivf_ann_topk,
 }
 
 ORACLES = {

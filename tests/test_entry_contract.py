@@ -16,6 +16,7 @@ def test_queries_and_oracles_consistent():
         "doc_simhash_dups",
         "emb_lsh_ann_topk",
         "doc_multimodal_features",
+        "emb_ivf_ann_topk",
     }
 
 

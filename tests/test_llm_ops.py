@@ -168,3 +168,21 @@ def test_ngram_jaccard_max_df_skew_guard(corpus):
     # (1,3) was a near-dup on the full vocabulary; after the cap removes the
     # cluster-shared tokens only the differing tokens remain → pair drops out
     assert (1, 3) in pairs_exact and (1, 3) not in pairs_capped
+
+
+def test_ivf_ann_recall(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 25.0), math.sin(i / 25.0), ((i * 37) % 100) / 100.0])
+            for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.1, 0.3]
+    exact = [r["vec_id"] for r in S.cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.ivf_ann_topk(df, q, k=10, num_centroids=8, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall} (exact={exact}, approx={approx})"
+    # full probe == exact
+    full = [r["vec_id"] for r in
+            S.ivf_ann_topk(df, q, k=10, num_centroids=8, nprobe=8).collect()]
+    assert full == exact
