@@ -396,7 +396,16 @@ class SparkParquetStorage(Storage):
         (clickhouse.go:93-101); the day-partitioned physical layout is also
         exposed as ``samples_physical`` for partition-pruned analytics SQL.
         """
-        self.registry_df().createOrReplaceTempView("time_series")
+        registry = self.registry_df()
+        registry.createOrReplaceTempView("time_series")
+        # labels also exposed as canonical JSON so the reference's documented
+        # analytics (visitParamExtractString over the JSON string,
+        # README.md:85-98) port as get_json_object over labels_json
+        from promhouse_spark.functions.labels import labels_map_to_json
+
+        registry.withColumn(
+            "labels_json", labels_map_to_json(LABELS)
+        ).createOrReplaceTempView("time_series_json")
         physical = self.samples_df()
         physical.createOrReplaceTempView("samples_physical")
         physical.select(FINGERPRINT, TIMESTAMP_MS, VALUE).createOrReplaceTempView(

@@ -1,0 +1,125 @@
+"""The reference README's three documented analytics queries (README.md:74-119)
+run through the raw-SQL escape hatch over the engine's own two-table model —
+the Phase-3 'named tests' of SURVEY §7, plus a Spark-vs-Python differential
+for the canonical label JSON."""
+
+import json
+
+import pytest
+
+from promhouse_spark.functions.labels import labels_map_to_json, marshal_labels
+from promhouse_spark.models import Label, Query, Sample, TimeSeries, make_matchers
+from promhouse_spark.storage.parquet import SparkParquetStorage
+from tests.fixtures import T0
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = SparkParquetStorage(spark, str(tmp_path_factory.mktemp("readme_store")))
+    series = []
+    for job, inst_count, metrics in [
+        ("node", 3, ("up", "cpu", "mem")),
+        ("api", 2, ("up", "requests")),
+        ("db", 1, ("up",)),
+    ]:
+        for i in range(inst_count):
+            for m in metrics:
+                series.append(
+                    TimeSeries(
+                        labels=[
+                            Label("__name__", m),
+                            Label("instance", f"{job}-{i}"),
+                            Label("job", job),
+                        ],
+                        # sample count varies per series so top-k is meaningful
+                        samples=[
+                            Sample(1.0, T0 + k * 1000)
+                            for k in range(1 + (hash((job, i, m)) % 5))
+                        ],
+                    )
+                )
+    st.write(series)
+    st.register_views()
+    return st
+
+
+def rawsql(store, sql, end_ms=T0):
+    (res,) = store.read(
+        [Query(0, end_ms, make_matchers(("job", "=", "rawsql"), ("query", "=", sql)))]
+    )
+    return res
+
+
+def test_readme_top_jobs_by_series_count(store):
+    """README.md:79-88: biggest jobs/instances by series count — the
+    visitParamExtractString query via get_json_object over labels_json."""
+    res = rawsql(
+        store,
+        """
+        SELECT get_json_object(labels_json, '$.job') AS job,
+               get_json_object(labels_json, '$.instance') AS instance,
+               count(*) AS value
+        FROM time_series_json
+        GROUP BY 1, 2 ORDER BY value DESC, job, instance LIMIT 10
+        """,
+    )
+    top = res[0].labels_map()
+    assert top["job"] == "node"  # 3 instances × 3 metrics dominate
+    assert res[0].samples[0].value == 3.0  # 3 series per node instance
+    assert len(res) == 6  # 3+2+1 instances
+
+
+def test_readme_metric_cardinality(store):
+    """README.md:92-100: series count per metric name, top-10."""
+    res = rawsql(
+        store,
+        """
+        SELECT labels['__name__'] AS name, count(*) AS value
+        FROM time_series GROUP BY 1 ORDER BY value DESC, name LIMIT 10
+        """,
+    )
+    by_name = {ts.labels_map()["name"]: ts.samples[0].value for ts in res}
+    assert by_name["up"] == 6.0  # every instance exports up
+    assert by_name["cpu"] == 3.0 and by_name["requests"] == 2.0
+
+
+def test_readme_largest_series_join(store):
+    """README.md:104-119: registry joined to the top-10 series by sample
+    count (the ANY INNER JOIN ≡ inner join on the deduped top-k set)."""
+    res = rawsql(
+        store,
+        """
+        SELECT t.labels['job'] AS job, t.labels['instance'] AS instance,
+               t.labels['__name__'] AS name, s.cnt AS value
+        FROM time_series t
+        JOIN (SELECT fingerprint, count(*) AS cnt FROM samples
+              GROUP BY fingerprint ORDER BY cnt DESC LIMIT 10) s
+          ON t.fingerprint = s.fingerprint
+        ORDER BY value DESC, job, instance, name
+        """,
+    )
+    assert len(res) == 10
+    counts = [ts.samples[0].value for ts in res]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == 5.0  # max samples per series in the fixture
+
+
+def test_spark_json_matches_python_marshaller(spark):
+    """labels_map_to_json (Spark) ≡ marshal_labels (python) as parsed maps,
+    the same comparison discipline the reference's own tests use."""
+    label_sets = [
+        {"__name__": "up", "job": "a"},
+        {"b": "2", "a": "1", "c": "3"},
+        {"quotes": '"\\', "newline": "a\nb", "tab": "a\tb"},
+        {"🆗": "🆗"},
+        {},
+    ]
+    df = spark.createDataFrame(
+        [(i, ls) for i, ls in enumerate(label_sets)], "id long, labels map<string,string>"
+    )
+    rows = df.select("id", labels_map_to_json("labels").alias("j")).collect()
+    for r in rows:
+        ls = label_sets[r["id"]]
+        assert json.loads(r["j"]) == json.loads(marshal_labels(ls))
+        # both sides canonical: keys sorted
+        assert list(json.loads(r["j"]).keys()) == sorted(ls.keys())
