@@ -282,3 +282,54 @@ def test_http_never_500_on_garbage(garbage):
     for path in ("/write", "/read"):
         status = c.post(path, data=garbage).status_code
         assert status in (200, 400), f"{path} returned {status} for {garbage!r}"
+
+
+def test_promload_exporter_source_live(tmp_path):
+    """S10 end-to-end: scrape a live /metrics endpoint (real HTTP server)
+    through promload's exporter source into a framed file."""
+    import argparse
+    import threading
+    import wsgiref.simple_server
+
+    from promhouse_spark.edge.promload import copy
+
+    text = (
+        "# HELP up Whether the target is up.\n"
+        "# TYPE up gauge\n"
+        "up 1\n"
+        'http_requests_total{code="200"} 1027\n'
+    )
+
+    def app(environ, start_response):
+        start_response("200 OK", [("Content-Type", "text/plain")])
+        return [text.encode()]
+
+    httpd = wsgiref.simple_server.make_server("127.0.0.1", 0, app)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        dst = tmp_path / "scrape.bin"
+        n = copy(
+            f"exporter:http://127.0.0.1:{port}/metrics",
+            f"file:{dst}",
+            argparse.Namespace(step_ms=1, last_ms=1),
+        )
+        assert n == 2
+        with open(dst, "rb") as f:
+            series = list(framed.read_frames(f))
+        by_name = {ts.labels_map()["__name__"]: ts for ts in series}
+        assert by_name["up"].samples[0].value == 1.0
+        assert by_name["http_requests_total"].labels_map()["code"] == "200"
+        assert by_name["http_requests_total"].samples[0].value == 1027.0
+        # reader restamped the scrape with a real timestamp
+        assert by_name["up"].samples[0].timestamp_ms > 1_600_000_000_000
+    finally:
+        httpd.shutdown()
+
+
+def test_repr_renderers():
+    """X7: debug renderers (base.go:49-51, 62-75, 84-98 shapes)."""
+    m = Matcher("job", MatchType.RE, "a.+")
+    assert repr(m) == '{job=~"a.+"}'
+    q = Query(5, 9, (m, Matcher("x", MatchType.NEQ, "y")))
+    assert repr(q) == '[5,9,[{job=~"a.+"},{x!="y"}]]'
