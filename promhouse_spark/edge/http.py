@@ -53,8 +53,10 @@ def create_app(storage: Storage):
         except ValueError as e:
             return Response(f"decode error: {e}", status=400)
         queries = []
+        hint_list = []
         for q, hints in decoded:
-            if hints is not None:
+            hint_list.append(hints)
+            if hints is not None and not hasattr(storage, "read_with_hints"):
                 log.warning("ignoring read hints: %s", hints)  # prom.go:184-186
             # the reference compiles matcher regexes while converting the
             # request (storages/base/base.go:102-104 via prom.go:153-192):
@@ -67,7 +69,12 @@ def create_app(storage: Storage):
                         return Response(f"invalid matcher regex: {e}", status=400)
             queries.append(q)
         try:
-            results = storage.read(queries)
+            if any(h is not None for h in hint_list) and hasattr(
+                storage, "read_with_hints"
+            ):
+                results = storage.read_with_hints(queries, hint_list)
+            else:
+                results = storage.read(queries)
         except re.error as e:
             return Response(f"invalid matcher regex: {e}", status=400)
         counters["read_queries"] += len(queries)

@@ -241,6 +241,70 @@ class SparkParquetStorage(Storage):
             if q.matches(labels)
         ]
 
+    def attach_rollup(self, rollup_path: str, step_ms: int) -> None:
+        """Register a continuously-maintained rollup table
+        (``streaming/rollup.py`` partials format) so hint-aware reads can
+        serve coarse queries without scanning raw samples."""
+        self._rollup_path = rollup_path
+        self._rollup_step_ms = step_ms
+
+    def read_with_hints(
+        self, queries: Sequence[Query], hints: Sequence[dict | None]
+    ) -> list[list[TimeSeries]]:
+        """Hint-aware read: queries whose ``step_ms`` hint is at least the
+        attached rollup resolution are answered from the rollup (one sample
+        per window: last value, stamped at the window start) — the upgrade
+        the reference leaves on its roadmap (it logs-and-drops hints,
+        handlers/prom.go:184-186). Other queries take the raw path."""
+        rollup_path = getattr(self, "_rollup_path", None)
+        step = getattr(self, "_rollup_step_ms", None)
+        results: list[list[TimeSeries] | None] = [None] * len(queries)
+        raw_queries: list[tuple[int, Query]] = []
+        for i, q in enumerate(queries):
+            h = hints[i] if i < len(hints) else None
+            if (
+                rollup_path is not None
+                and h
+                and h.get("step_ms", 0) >= (step or 0) > 0
+            ):
+                results[i] = self._read_from_rollup(q)
+            else:
+                raw_queries.append((i, q))
+        if raw_queries:
+            raw_results = self.read([q for _, q in raw_queries])
+            for (i, _), res in zip(raw_queries, raw_results):
+                results[i] = res
+        return [r if r is not None else [] for r in results]
+
+    def _read_from_rollup(self, q: Query) -> list[TimeSeries]:
+        from promhouse_spark.streaming.rollup import merge_rollup
+
+        fps = self._resolve_fingerprints(q)
+        if not fps:
+            return []
+        partials = self.spark.read.parquet(self._rollup_path)
+        windowed = partials.filter(
+            (F.col("window_start_ms") >= q.start_ms)
+            & (F.col("window_start_ms") <= q.end_ms)
+        )
+        restricted = restrict_to_series(windowed, fps, self.max_series_inlist)
+        rows = merge_rollup(restricted).collect()
+        rows.sort(key=lambda r: (to_unsigned64(r[FINGERPRINT]), r["window_start_ms"]))
+        out: dict[int, TimeSeries] = {}
+        for r in rows:
+            fp = r[FINGERPRINT]
+            ts = out.get(fp)
+            if ts is None:
+                labels = self._registry.get(to_unsigned64(fp), {})
+                ts = TimeSeries(
+                    labels=[Label(n, v) for n, v in sorted(labels.items())], samples=[]
+                )
+                out[fp] = ts
+            ts.samples.append(
+                Sample(value=r["last_value"], timestamp_ms=r["window_start_ms"])
+            )
+        return list(out.values())
+
     def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         sql = rawsql_text(queries)
         if sql is not None:
