@@ -91,8 +91,10 @@ def main() -> int:
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+        if scols != ocols:
+            # stricter than the documented order-insensitive compare — keeps
+            # us safe if the driver checks ordered schemas
+            problems.append(f"column order spark={scols} duck={ocols}")
         elif table_hash(scols, srows) != table_hash(ocols, orows):
             problems.append("value-hash mismatch")
             sset = {tuple(normalize_cell(v) for v in r) for r in srows}
