@@ -88,10 +88,13 @@ def render_exposition(series: list[TimeSeries]) -> str:
         name = lm.pop("__name__", "unnamed")
         label_part = ""
         if lm:
-            inner = ",".join(
-                f'{k}="{v.replace(chr(92), chr(92)*2).replace(chr(34), chr(92)+chr(34))}"'
-                for k, v in sorted(lm.items())
-            )
+
+            def esc(v: str) -> str:
+                return (
+                    v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+                )
+
+            inner = ",".join(f'{k}="{esc(v)}"' for k, v in sorted(lm.items()))
             label_part = "{" + inner + "}"
         for s in ts.samples:
             lines.append(f"{name}{label_part} {s.value} {s.timestamp_ms}")

@@ -77,6 +77,13 @@ def create_app(storage: Storage):
                 results = storage.read(queries)
         except re.error as e:
             return Response(f"invalid matcher regex: {e}", status=400)
+        except Exception as e:  # noqa: BLE001
+            # dialect gap: a pattern Python re accepts can still fail Java's
+            # compiler on the distributed path (e.g. (?P<name>...) groups) —
+            # that's a client error, not a server fault
+            if "PatternSyntaxException" in str(e):
+                return Response(f"invalid matcher regex: {e}"[:500], status=400)
+            raise
         counters["read_queries"] += len(queries)
         payload = snappy_codec.compress(prompb.encode_read_response(results))
         return Response(

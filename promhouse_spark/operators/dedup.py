@@ -15,6 +15,13 @@ in any per-row loop. The shapes:
 At 100 TB: the only all-to-all op is the bucket/band self-join, and its join
 key (band hash / shingle) is high-cardinality by construction, so AQE's skew
 split handles hot buckets; everything else is a keyed aggregation.
+
+Note on caching: the pair-generating operators persist() the frame consumed
+by both self-join sides (computing the signatures twice costs more than the
+cache). The handles live until Spark's LRU eviction or session end — in a
+long-lived driver that loops these operators, call
+``spark.catalog.clearCache()`` between passes if storage-memory pressure
+shows up.
 """
 
 from __future__ import annotations
@@ -216,9 +223,15 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, using 4×16-bit band
-    blocking (pigeonhole: distance ≤3 ⇒ at least one of 4 bands equal), so
-    the join never goes all-to-all."""
+    """Near-dup pairs by SimHash hamming distance ≤ k, using band blocking.
+
+    Pigeonhole: splitting 64 bits into ``max_hamming + 1`` bands guarantees
+    any pair within distance ``max_hamming`` agrees on at least one whole
+    band — so band count scales with the requested radius (k=3 → the classic
+    4×16-bit split) and recall stays complete, never all-to-all."""
+    n_bands = min(max_hamming + 1, 32)
+    # band bit-boundaries: spread 64 bits as evenly as possible
+    bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
     fps = simhash(df, id_col, text_col, shingle_n).cache()
     banded = fps.select(
         id_col,
@@ -228,11 +241,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -161,7 +161,8 @@ class SparkParquetStorage(Storage):
                 existing.select(FINGERPRINT), FINGERPRINT, "left_anti"
             ).select(DATE, FINGERPRINT, LABELS)
             reg_df.write.mode("append").parquet(self.registry_path)
-            self._registry.update(new_series)  # read-your-own-writes
+            if self.cache_registry:  # read-your-own-writes via the hot dict
+                self._registry.update(new_series)
 
         if sample_rows:
             df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
@@ -206,7 +207,13 @@ class SparkParquetStorage(Storage):
 
     def compact_samples(self, files_per_day: int = 1) -> None:
         """Rewrite the fact table with consolidated, fully-clustered files —
-        the MergeTree background-merge equivalent. Run out-of-band."""
+        the MergeTree background-merge equivalent. Run out-of-band.
+
+        WARNING: a live rollup stream (``streaming/rollup.py``) tracks
+        consumed sample *files*; compaction rewrites them, so the rewritten
+        files would be re-ingested as new data (double-counted partials).
+        Stop the rollup stream and reset its checkpoint (or compact the
+        rollup from scratch afterwards) around a samples compaction."""
         if not os.path.exists(self.samples_path):
             return  # nothing ingested yet
         current = self.samples_df().select(FINGERPRINT, TIMESTAMP_MS, VALUE)
@@ -227,8 +234,12 @@ class SparkParquetStorage(Storage):
         )
         import shutil
 
-        shutil.rmtree(self.samples_path)
+        # swap via rename-aside so a crash between steps leaves the old table
+        # recoverable (never rmtree the live table first)
+        old = self.samples_path + ".old"
+        os.rename(self.samples_path, old)
         os.rename(tmp, self.samples_path)
+        shutil.rmtree(old)
         self._drop_recent_cache()
 
     # ----------------------------------------------------------------- read
@@ -260,13 +271,14 @@ class SparkParquetStorage(Storage):
         step = getattr(self, "_rollup_step_ms", None)
         results: list[list[TimeSeries] | None] = [None] * len(queries)
         raw_queries: list[tuple[int, Query]] = []
+        rollup_ready = (
+            rollup_path is not None
+            and os.path.exists(rollup_path)  # stream may not have written yet
+            and self.cache_registry  # series resolution needs the hot dict
+        )
         for i, q in enumerate(queries):
             h = hints[i] if i < len(hints) else None
-            if (
-                rollup_path is not None
-                and h
-                and h.get("step_ms", 0) >= (step or 0) > 0
-            ):
+            if rollup_ready and h and h.get("step_ms", 0) >= (step or 0) > 0:
                 results[i] = self._read_from_rollup(q)
             else:
                 raw_queries.append((i, q))

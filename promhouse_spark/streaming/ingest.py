@@ -80,9 +80,10 @@ def ingest_batch(storage: SparkParquetStorage, batch_df: DataFrame) -> None:
             storage.spark.createDataFrame(
                 new_rows, new_series.schema
             ).write.mode("append").parquet(storage.registry_path)
-            storage._registry.update(
-                {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in new_rows}
-            )
+            if storage.cache_registry:  # keep the hot dict off the driver
+                storage._registry.update(  # when cardinality disallows it
+                    {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in new_rows}
+                )
         storage.ingest_df(fp.select(FINGERPRINT, TIMESTAMP_MS, VALUE))
     finally:
         fp.unpersist()

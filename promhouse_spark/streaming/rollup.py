@@ -104,6 +104,7 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
         return
     merged = merge_rollup(spark.read.parquet(rollup_path)).drop("avg_value")
     tmp = rollup_path + ".compact"
+    old = rollup_path + ".old"
     (
         merged.withColumn(
             DATE, F.to_date(F.timestamp_millis(F.col("window_start_ms")))
@@ -114,5 +115,7 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
         .mode("overwrite")
         .parquet(tmp)
     )
-    shutil.rmtree(rollup_path)
+    # crash-safe swap: keep the old table until the new one is in place
+    os.rename(rollup_path, old)
     os.rename(tmp, rollup_path)
+    shutil.rmtree(old)
