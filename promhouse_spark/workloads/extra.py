@@ -43,14 +43,17 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: customers ranked by revenue lost to returns."""
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns.
+
+    ``orders``/``customer`` scale with SF — no broadcast hints on them
+    (AQE decides); only the fixed-size ``nation`` keeps a hint."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -238,7 +241,7 @@ def q12_priority_by_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
     ).otherwise(0)
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")), li.l_orderkey == F.col("o_orderkey"))
+        li.join(orders.select("o_orderkey", "o_orderpriority"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.sum(high).cast("long").alias("high_line_count"),
@@ -267,7 +270,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -295,7 +298,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     cond = (

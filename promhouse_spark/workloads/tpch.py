@@ -57,7 +57,12 @@ ORDER BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective 3-table join + top-k by aggregated revenue (TPC-H Q3 shape).
-    customer is the small side — broadcast."""
+
+    No explicit broadcast hints: ``orders`` and ``customer`` scale with SF,
+    so a forced broadcast is an OOM at large scale AND overrides AQE. With
+    adaptive execution on (session default), Spark converts these to
+    broadcast joins at runtime when the filtered sides are actually small —
+    the right strategy at every scale factor."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -69,9 +74,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -107,8 +110,12 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-table join with a locality predicate (TPC-H Q5 shape); all dimension
-    tables broadcast, the single shuffle is the final group-by."""
+    """6-table join with a locality predicate (TPC-H Q5 shape).
+
+    Only the true dimension tables (``nation`` 25 rows, ``region`` 5 rows —
+    fixed size at every SF) carry broadcast hints; ``orders``/``supplier``/
+    ``customer`` scale with SF, so join strategy for them is left to AQE,
+    which picks broadcast at small SF and shuffle-hash/sort-merge at 100 TB."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -121,9 +128,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))

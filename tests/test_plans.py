@@ -69,11 +69,43 @@ def test_q1_aggregate_pushdown(spark, sf_dir):
 
 
 def test_q5_joins_are_broadcast(spark, sf_dir):
+    """At small SF every join side is under autoBroadcastJoinThreshold, so
+    the planner (statically or via AQE runtime stats) must still pick
+    broadcast joins WITHOUT any forced hint on the SF-scaled tables."""
     from promhouse_spark.workloads.tpch import q5_local_supplier_volume
 
-    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    df = q5_local_supplier_volume(spark, sf_dir)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan  # no unnecessary big-side shuffles
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_forced_broadcast_on_sf_scaled_tables(spark, sf_dir):
+    """Scale guard (VERDICT r1 #1): a hard-coded broadcast() on a table that
+    grows with SF is an OOM at the 100x target and overrides AQE. The
+    analytics queries must carry hints ONLY on fixed-size dimensions
+    (nation: 25 rows, region: 5 rows) — never on orders/customer/part/
+    lineitem/supplier."""
+    from promhouse_spark.workloads import extra, tpch
+
+    hint_free = {
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        "q12_priority_by_shipmode": extra.q12_priority_by_shipmode,
+        "q14_promo_share": extra.q14_promo_share,
+        "q19_disjunctive": extra.q19_disjunctive,
+    }
+    for name, fn in hint_free.items():
+        plan = _analyzed(fn(spark, sf_dir))
+        assert "ResolvedHint" not in plan, f"{name} carries a forced join hint"
+
+    # q5 hints exactly nation+region; q10 hints exactly nation
+    assert _analyzed(tpch.q5_local_supplier_volume(spark, sf_dir)).count("ResolvedHint") == 2
+    assert _analyzed(extra.q10_returned_items(spark, sf_dir)).count("ResolvedHint") == 1
 
 
 def test_column_pruning(spark, sf_dir):
