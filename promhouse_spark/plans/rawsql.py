@@ -42,7 +42,11 @@ def rawsql_text(queries: Sequence[Query]) -> str | None:
         by_name[m.name] = m.value
     if by_name.get("job") != RAWSQL_JOB:
         return None
-    return by_name.get("query")
+    # an empty query string is NOT a raw-SQL request — the reference requires
+    # query != "" and falls through to a normal matcher read
+    # (storages/clickhouse/rawsql.go guard); returning "" here would send
+    # spark.sql("") an unparseable statement → HTTP 500
+    return by_name.get("query") or None
 
 
 def is_rawsql(queries: Sequence[Query]) -> bool:

@@ -259,14 +259,34 @@ class SparkParquetStorage(Storage):
         self._rollup_path = rollup_path
         self._rollup_step_ms = step_ms
 
+    #: PromQL functions the rollup can answer faithfully, mapped to the
+    #: merged-rollup column whose one-value-per-window is exactly what the
+    #: function would compute over the window. rate/increase/delta & friends
+    #: are deliberately ABSENT: they need raw intra-window timestamps and
+    #: counter resets, so serving them downsampled would silently corrupt
+    #: client-side math — those always take the raw path.
+    ROLLUP_SERVABLE_FUNCS = {
+        "": "last_value",  # instant vector selector: step-sampled last value
+        "last_over_time": "last_value",
+        "min_over_time": "min_value",
+        "max_over_time": "max_value",
+        "sum_over_time": "sum_value",
+        "count_over_time": "n",
+        "avg_over_time": "avg_value",
+    }
+
     def read_with_hints(
         self, queries: Sequence[Query], hints: Sequence[dict | None]
     ) -> list[list[TimeSeries]]:
         """Hint-aware read: queries whose ``step_ms`` hint is at least the
-        attached rollup resolution are answered from the rollup (one sample
-        per window: last value, stamped at the window start) — the upgrade
-        the reference leaves on its roadmap (it logs-and-drops hints,
-        handlers/prom.go:184-186). Other queries take the raw path."""
+        attached rollup resolution AND whose ``func`` hint the rollup can
+        answer faithfully (:data:`ROLLUP_SERVABLE_FUNCS`) are served from the
+        rollup (one sample per window, stamped at the window start) — the
+        upgrade the reference leaves on its roadmap (it logs-and-drops hints,
+        handlers/prom.go:184-186). Everything else — finer steps, hint-less
+        queries, and crucially rate()/increase()/delta() — takes the raw
+        path, because those funcs need intra-window timestamps and counter
+        resets that downsampling destroys."""
         rollup_path = getattr(self, "_rollup_path", None)
         step = getattr(self, "_rollup_step_ms", None)
         results: list[list[TimeSeries] | None] = [None] * len(queries)
@@ -278,8 +298,15 @@ class SparkParquetStorage(Storage):
         )
         for i, q in enumerate(queries):
             h = hints[i] if i < len(hints) else None
-            if rollup_ready and h and h.get("step_ms", 0) >= (step or 0) > 0:
-                results[i] = self._read_from_rollup(q)
+            if (
+                rollup_ready
+                and h
+                and h.get("step_ms", 0) >= (step or 0) > 0
+                and h.get("func", "") in self.ROLLUP_SERVABLE_FUNCS
+            ):
+                results[i] = self._read_from_rollup(
+                    q, self.ROLLUP_SERVABLE_FUNCS[h.get("func", "")]
+                )
             else:
                 raw_queries.append((i, q))
         if raw_queries:
@@ -288,7 +315,7 @@ class SparkParquetStorage(Storage):
                 results[i] = res
         return [r if r is not None else [] for r in results]
 
-    def _read_from_rollup(self, q: Query) -> list[TimeSeries]:
+    def _read_from_rollup(self, q: Query, value_col: str = "last_value") -> list[TimeSeries]:
         from promhouse_spark.streaming.rollup import merge_rollup
 
         fps = self._resolve_fingerprints(q)
@@ -313,7 +340,7 @@ class SparkParquetStorage(Storage):
                 )
                 out[fp] = ts
             ts.samples.append(
-                Sample(value=r["last_value"], timestamp_ms=r["window_start_ms"])
+                Sample(value=float(r[value_col]), timestamp_ms=r["window_start_ms"])
             )
         return list(out.values())
 

@@ -57,6 +57,33 @@ def test_no_hint_takes_raw_path(store):
     assert len(res[0].samples) == 10
 
 
+def test_rate_hint_takes_raw_path(store):
+    """rate/increase/delta need intra-window timestamps and counter resets;
+    serving them from the rollup would silently corrupt client-side math
+    (ADVICE r1, medium) — they must fall through to raw even with a coarse
+    step hint."""
+    for func in ("rate", "increase", "delta", "irate", "deriv", "quantile_over_time"):
+        [res] = store.read_with_hints([q()], [{"step_ms": 600_000, "func": func}])
+        assert len(res[0].samples) == 10, f"{func} must be served raw"
+
+
+def test_aggregating_funcs_served_from_matching_rollup_column(store):
+    # raw values per window: [0,1,2,3,4] and [5,6,7,8,9]
+    expect = {
+        "min_over_time": [0.0, 5.0],
+        "max_over_time": [4.0, 9.0],
+        "sum_over_time": [10.0, 35.0],
+        "count_over_time": [5.0, 5.0],
+        "avg_over_time": [2.0, 7.0],
+        "last_over_time": [4.0, 9.0],
+    }
+    for func, values in expect.items():
+        [res] = store.read_with_hints([q()], [{"step_ms": 600_000, "func": func}])
+        (ts,) = res
+        assert [s.value for s in ts.samples] == values, func
+        assert [s.timestamp_ms - T0 for s in ts.samples] == [0, STEP]
+
+
 def test_mixed_request(store):
     coarse, fine, nomatch = store.read_with_hints(
         [q(), q(), Query(T0, T0 + 1, make_matchers(("__name__", "=", "nope")))],

@@ -33,6 +33,17 @@ def test_trigger_detection():
     )
 
 
+def test_empty_query_falls_through_to_matcher_read(store):
+    """{job="rawsql", query=""} is NOT a raw-SQL request (the reference
+    requires query != "" — ADVICE r1): it must take the normal matcher path
+    instead of feeding spark.sql("") an unparseable statement."""
+    q = rq("")
+    assert not is_rawsql([q])
+    assert rawsql_text([q]) is None
+    # matcher read: no stored series has job="rawsql" → empty result, no 500
+    assert store.read([q]) == [[]]
+
+
 def test_by_rawsql_all_samples(store):
     """The reference's dead test: SELECT * over samples → one series per
     row, 15 rows for the golden fixture."""
