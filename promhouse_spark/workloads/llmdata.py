@@ -235,9 +235,12 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (MLlib k-means coarse quantizer, nprobe=4 of 16 lists)."""
+    """IVF ANN (MLlib k-means coarse quantizer, nprobe=10 of 16 lists —
+    the driver's embeddings are near-uniform, so the inverted lists separate
+    weakly and recall@10 ≥ 0.8 needs a wide probe; clustered real-world
+    embeddings reach the same recall at far lower nprobe)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return S.ivf_ann_topk(emb, _query_vec(spark, sf_dir), k=10, num_centroids=16, nprobe=4)
+    return S.ivf_ann_topk(emb, _query_vec(spark, sf_dir), k=10, num_centroids=16, nprobe=10)
 
 
 QUERIES = {

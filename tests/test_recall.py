@@ -1,0 +1,145 @@
+"""Quality gates for the sketch/ANN operators that have no SQL oracle
+(VERDICT r1 task 2): each `no_oracle` driver query is backed here by a
+deterministic check against an exact reference computed on the same data.
+
+- LSH / IVF ANN: recall@10 >= 0.8 against the exact brute-force top-k
+  (`emb_cosine_topk` is the driver baseline) on the real testdata.
+- SimHash banding: recall must be EXACTLY 1.0 within the radius — the
+  pigeonhole band split guarantees any pair at hamming <= k agrees on one
+  whole band, so the banded join must return the identical pair set as a
+  brute-force all-pairs hamming scan.
+- MinHash LSH: every pair with exact shingle-Jaccard >= 0.9 must be in the
+  candidate set (the 12x4 banding S-curve has threshold ~0.47, so 0.9-similar
+  pairs escape with probability < 1e-9), and the signature estimate must be
+  close to the exact Jaccard on those pairs.
+
+All checks are deterministic: fixed seeds, fixed testdata, no sampling.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from promhouse_spark.operators import dedup as D
+from promhouse_spark.operators import similarity as S
+from promhouse_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def query_vec(spark, sf_dir):
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    return list(emb_full.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+@pytest.fixture(scope="module")
+def exact_top10(emb, query_vec):
+    return [r["vec_id"] for r in S.cosine_topk(emb, query_vec, k=10).collect()]
+
+
+def test_lsh_ann_recall(emb, query_vec, exact_top10):
+    got = [r["vec_id"] for r in S.lsh_ann_topk(emb, query_vec, k=10).collect()]
+    assert len(got) == 10  # r1 regression: single-bucket probe returned 2/10
+    recall = len(set(exact_top10) & set(got)) / 10
+    assert recall >= 0.8, f"LSH recall@10 {recall} < 0.8 (exact={exact_top10}, got={got})"
+
+
+def test_ivf_ann_recall(emb, query_vec, exact_top10):
+    got = [
+        r["vec_id"]
+        for r in S.ivf_ann_topk(
+            emb, query_vec, k=10, num_centroids=16, nprobe=10
+        ).collect()
+    ]
+    assert len(got) == 10
+    recall = len(set(exact_top10) & set(got)) / 10
+    assert recall >= 0.8, f"IVF recall@10 {recall} < 0.8 (exact={exact_top10}, got={got})"
+
+
+def test_simhash_band_completeness(docs):
+    """The banded join must find EVERY pair within the hamming radius: compare
+    against brute-force all-pairs hamming over the collected fingerprints
+    (500 docs -> 125k pairs in driver python, exact and cheap)."""
+    max_hamming = 8
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ids = sorted(fps)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = (fps[a] ^ fps[b]) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= max_hamming:
+                brute.add((a, b))
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_duplicates(docs, max_hamming=max_hamming).collect()
+    }
+    assert banded == brute, (
+        f"banding recall {len(banded & brute)}/{len(brute)}; "
+        f"spurious={len(banded - brute)}"
+    )
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """Every >= 0.9-Jaccard pair (exact, on the same 3-gram shingle sets) must
+    appear in the MinHash-LSH candidate set, with a close estimate."""
+    shingle_n = 3
+    rows = docs.select(
+        "doc_id",
+        F.array_distinct(
+            D.shingles(F.split(F.col("text"), " "), shingle_n)
+        ).alias("sh"),
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    ids = sorted(sets)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.9:
+                exact[(a, b)] = j
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_candidates(docs, shingle_n=shingle_n).collect()
+    }
+    missing = set(exact) - set(cand)
+    assert not missing, f"minhash LSH missed high-jaccard pairs: {missing}"
+    for pair, j in exact.items():
+        assert abs(cand[pair] - j) <= 0.15, (
+            f"estimate {cand[pair]} far from exact {j} for {pair}"
+        )
+
+
+def test_lsh_probe_order_is_margin_sorted():
+    """Query-directed probe order: zero-flip bucket first, then buckets by
+    ascending lost margin, covering all 2^planes ids exactly once."""
+    margins = [0.5, -0.1, 0.3]
+    qbits = 0b101  # signs of margins
+    order = S._probe_order(qbits, margins)
+    assert order[0] == qbits
+    assert sorted(order) == list(range(8))
+    def cost(b):
+        flips = b ^ qbits
+        return sum(abs(margins[i]) for i in range(3) if flips >> i & 1)
+    costs = [cost(b) for b in order]
+    assert costs == sorted(costs)
+    # cheapest single flip is the smallest |margin| plane (bit 1)
+    assert order[1] == qbits ^ 0b010
