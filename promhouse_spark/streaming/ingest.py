@@ -75,15 +75,24 @@ def ingest_batch(storage: SparkParquetStorage, batch_df: DataFrame) -> None:
         )
         # registry before samples, so readers can always resolve labels
         # (SURVEY §3.2 ordering note)
-        new_rows = new_series.collect()
-        if new_rows:
-            storage.spark.createDataFrame(
-                new_rows, new_series.schema
-            ).write.mode("append").parquet(storage.registry_path)
-            if storage.cache_registry:  # keep the hot dict off the driver
-                storage._registry.update(  # when cardinality disallows it
+        if storage.cache_registry:
+            # opt-in hot dict: the delta is needed driver-side anyway
+            new_rows = new_series.collect()
+            if new_rows:
+                storage.spark.createDataFrame(
+                    new_rows, new_series.schema
+                ).write.mode("append").parquet(storage.registry_path)
+                storage._registry.update(
                     {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in new_rows}
                 )
+        else:
+            # high-cardinality path: the series delta stays on the executors
+            # end-to-end — a label-churn storm never lands on the driver.
+            # localCheckpoint breaks the lineage through registry_df() so the
+            # append never scans the path it is writing to.
+            delta = new_series.localCheckpoint(eager=True)
+            if not delta.isEmpty():
+                delta.write.mode("append").parquet(storage.registry_path)
         storage.ingest_df(fp.select(FINGERPRINT, TIMESTAMP_MS, VALUE))
     finally:
         fp.unpersist()

@@ -57,6 +57,44 @@ def test_stream_ingest_end_to_end(spark, tmp_path):
     assert by_job["b"].samples[0].value == 0.0
 
 
+def test_stream_series_churn_stays_distributed(spark, tmp_path):
+    """cache_registry=False: the new-series delta is written as a DataFrame
+    on the executors (ingest.py collects only for the opt-in hot dict), so a
+    label-churn storm — every sample a brand-new series — ingests without the
+    driver materializing the delta. Dedup across micro-batches still holds."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    storage = SparkParquetStorage(spark, str(tmp_path / "store3"), cache_registry=False)
+    n = 5000
+    _write_jsonl(
+        src / "storm1.json",
+        [
+            {"labels": {"__name__": "churn", "id": str(i)}, "timestamp_ms": T0, "value": 1.0}
+            for i in range(n)
+        ],
+    )
+    q = start_ingest(spark, storage, str(src), str(tmp_path / "ck3"), trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+        # second batch: half repeats (no registry growth), half new
+        _write_jsonl(
+            src / "storm2.json",
+            [
+                {"labels": {"__name__": "churn", "id": str(i)}, "timestamp_ms": T0 + 1, "value": 2.0}
+                for i in range(n // 2, n + n // 2)
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert storage.registry_df().count() == n + n // 2
+    assert storage.registry_df().select("fingerprint").distinct().count() == n + n // 2
+    res = storage.read(
+        [Query(T0 - 1, T0 + 2, make_matchers(("__name__", "=", "churn"), ("id", "=", "7")))]
+    )
+    assert [s.value for s in res[0][0].samples] == [1.0]
+
+
 def test_stream_late_data_accepted(spark, tmp_path):
     """C1 parity: no watermark — arbitrarily old timestamps ingest fine."""
     src = tmp_path / "in2"
