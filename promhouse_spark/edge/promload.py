@@ -91,10 +91,100 @@ def read_store(path: str, step_ms: int, last_ms: int, end_ms: int) -> Iterator[l
 
 
 def read_exporter(url: str) -> Iterator[list[TimeSeries]]:
+    """Single scrape (the replay loop below calls this per fresh fetch)."""
     with urllib.request.urlopen(url, timeout=10) as resp:  # noqa: S310
         text = resp.read().decode()
     now_ms = int(time.time() * 1000)
     yield list(parse_exposition(text, default_timestamp_ms=now_ms))
+
+
+def _restamp(series: Sequence[TimeSeries], ts_ms: int) -> list[TimeSeries]:
+    """Fresh copies with every sample stamped at the window start
+    (``exporter.go:207-211`` mutates in place; copying keeps the cached
+    scrape reusable without the reference's proto.Clone dance)."""
+    from promhouse_spark.models import Sample
+
+    return [
+        TimeSeries(
+            labels=list(ts.labels),
+            samples=[Sample(value=s.value, timestamp_ms=ts_ms) for s in ts.samples],
+        )
+        for ts in series
+    ]
+
+
+def read_exporter_replay(
+    url: str,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    cache: bool = False,
+) -> Iterator[list[TimeSeries]]:
+    """S10 complete: continuous exporter replay
+    (``cmd/promload/exporter.go:160-241``).
+
+    A background thread scrapes the exporter in a loop, handing each result
+    over a 1-slot queue (mirrors ``runFreshReader``'s unbuffered channel).
+    The window walker restamps the current scrape's samples to each window
+    start across ``[start_ms, end_ms)``:
+
+    - ``cache=False``: every window blocks for a fresh scrape
+      (``exporter.go:238``) — window cadence is scrape-bound.
+    - ``cache=True``: a non-blocking poll takes fresh data when available
+      and otherwise replays the last scrape (``exporter.go:229-237``) — a
+      slow upstream never stalls the walk.
+
+    Divergence from the reference: its boundary check
+    (``readCurrent.After(end)``, ``exporter.go:194``) re-emits the final
+    window forever once ``readCurrent`` clamps to ``end``; we terminate
+    after the last window start before ``end_ms``.
+    """
+    fresh: queue.Queue = queue.Queue(maxsize=1)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                fresh.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def scraper() -> None:
+        while not stop.is_set():
+            try:
+                data = next(read_exporter(url))
+            except Exception as e:  # noqa: BLE001 — surfaced to the walker
+                _put(e)
+                return
+            if not _put(data):
+                return
+
+    threading.Thread(target=scraper, daemon=True).start()
+    try:
+        data = fresh.get()
+        if isinstance(data, Exception):
+            raise data
+        w = start_ms
+        while w < end_ms:
+            yield _restamp(data, w)
+            w += step_ms
+            if w >= end_ms:
+                break
+            if cache:
+                try:
+                    nxt = fresh.get_nowait()
+                except queue.Empty:
+                    nxt = None
+            else:
+                nxt = fresh.get()
+            if nxt is not None:
+                if isinstance(nxt, Exception):
+                    raise nxt
+                data = nxt
+    finally:
+        stop.set()
 
 
 # ------------------------------------------------------------------ writers
@@ -140,7 +230,13 @@ def _make_reader(spec: str, args) -> Iterator[list[TimeSeries]]:
     if kind == "store":
         return read_store(addr, args.step_ms, last_ms, end_ms)
     if kind == "exporter":
-        return read_exporter(addr)
+        return read_exporter_replay(
+            addr,
+            end_ms - last_ms,
+            end_ms,
+            args.step_ms,
+            cache=getattr(args, "cache", False),
+        )
     if kind == "null":
         return iter(())
     raise SystemExit(f"unknown source type: {spec!r}")
@@ -205,6 +301,9 @@ def main(argv: list[str] | None = None) -> int:
     # and walk millions of empty windows to reach old data.
     c.add_argument("--start-ms", type=int, default=0)
     c.add_argument("--end-ms", type=int, default=0)
+    # exporter source: replay the last scrape when the upstream is slower
+    # than the step cadence (main.go cacheF / exporter.go:229-237)
+    c.add_argument("--cache", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "copy":
         copy(args.source, args.destination, args)

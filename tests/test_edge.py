@@ -284,6 +284,93 @@ def test_http_never_500_on_garbage(garbage):
         assert status in (200, 400), f"{path} returned {status} for {garbage!r}"
 
 
+def _serve_metrics(text: str, delay_s: float = 0.0):
+    """Live /metrics server counting requests; returns (httpd, port, counter)."""
+    import threading
+    import time as _time
+    import wsgiref.simple_server
+
+    counter = {"n": 0}
+
+    def app(environ, start_response):
+        counter["n"] += 1
+        if delay_s:
+            _time.sleep(delay_s)
+        start_response("200 OK", [("Content-Type", "text/plain")])
+        return [text.encode()]
+
+    class _Quiet(wsgiref.simple_server.WSGIRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    httpd = wsgiref.simple_server.make_server("127.0.0.1", 0, app, handler_class=_Quiet)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, httpd.server_address[1], counter
+
+
+def test_promload_exporter_replay_windows(tmp_path):
+    """S10 replay loop: >=3 step windows from a live exporter, every sample
+    restamped to its window start (exporter.go:188-241)."""
+    import argparse
+
+    from promhouse_spark.edge.promload import copy
+
+    text = "up 1\nhttp_requests_total 10\n"
+    httpd, port, counter = _serve_metrics(text)
+    try:
+        dst = tmp_path / "replay.bin"
+        n = copy(
+            f"exporter:http://127.0.0.1:{port}/metrics",
+            f"file:{dst}",
+            argparse.Namespace(
+                step_ms=1000, start_ms=1_000_000, end_ms=1_003_000, cache=False
+            ),
+        )
+        assert n == 6  # 3 windows x 2 series
+        with open(dst, "rb") as f:
+            series = list(framed.read_frames(f))
+        stamps = sorted({s.timestamp_ms for ts in series for s in ts.samples})
+        assert stamps == [1_000_000, 1_001_000, 1_002_000]
+        ups = [ts for ts in series if ts.labels_map()["__name__"] == "up"]
+        assert len(ups) == 3 and all(t.samples[0].value == 1.0 for t in ups)
+        # non-cache mode blocks for a fresh scrape per window (exporter.go:238)
+        assert counter["n"] >= 3
+    finally:
+        httpd.shutdown()
+
+
+def test_promload_exporter_replay_cache_slow_upstream(tmp_path):
+    """--cache: a slow upstream never stalls the walk — the last scrape is
+    replayed (exporter.go:229-237), so far fewer scrapes than windows."""
+    import argparse
+    import time as _time
+
+    from promhouse_spark.edge.promload import copy
+
+    httpd, port, counter = _serve_metrics("up 1\n", delay_s=0.5)
+    try:
+        dst = tmp_path / "cached.bin"
+        t0 = _time.monotonic()
+        n = copy(
+            f"exporter:http://127.0.0.1:{port}/metrics",
+            f"file:{dst}",
+            argparse.Namespace(
+                step_ms=100, start_ms=2_000_000, end_ms=2_001_000, cache=True
+            ),
+        )
+        elapsed = _time.monotonic() - t0
+        assert n == 10  # every window emitted despite the 0.5 s/scrape upstream
+        with open(dst, "rb") as f:
+            series = list(framed.read_frames(f))
+        stamps = sorted(ts.samples[0].timestamp_ms for ts in series)
+        assert stamps == [2_000_000 + 100 * i for i in range(10)]
+        # 10 fresh scrapes would take >= 5 s; the cached walk needs ~1
+        assert counter["n"] <= 4, f"cache mode scraped {counter['n']} times"
+        assert elapsed < 4.0
+    finally:
+        httpd.shutdown()
+
+
 def test_promload_exporter_source_live(tmp_path):
     """S10 end-to-end: scrape a live /metrics endpoint (real HTTP server)
     through promload's exporter source into a framed file."""
