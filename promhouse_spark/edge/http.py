@@ -103,6 +103,30 @@ def create_app(storage: Storage):
     def metrics():
         return dict(counters)
 
+    @app.get("/metrics")
+    def metrics_prom():
+        """Prometheus-scrapeable self-metrics: every reference storage is a
+        prometheus.Collector (storages/base/base.go:39) and publishes e.g.
+        promhouse_clickhouse_written_time_series (clickhouse.go:138-143,
+        506-510); here the same counters render through the exposition
+        renderer under the promhouse_spark namespace."""
+        import time
+
+        from promhouse_spark.edge.exposition import render_exposition
+        from promhouse_spark.models import Label, Sample, TimeSeries
+
+        now_ms = int(time.time() * 1000)
+        series = [
+            TimeSeries(
+                labels=[Label("__name__", f"promhouse_spark_{name}")],
+                samples=[Sample(value=float(v), timestamp_ms=now_ms)],
+            )
+            for name, v in sorted(counters.items())
+        ]
+        return Response(
+            render_exposition(series), mimetype="text/plain; version=0.0.4"
+        )
+
     return app
 
 

@@ -224,6 +224,25 @@ def test_http_write_then_read(client):
     assert metrics["written_samples"] == 15 and metrics["read_queries"] == 1
 
 
+def test_http_prometheus_metrics_scrapeable(client):
+    """/metrics renders the server counters in exposition format (reference:
+    every storage is a prometheus.Collector, base.go:39) — a Prometheus
+    scrape of our own server round-trips through parse_exposition."""
+    body = snappy_codec.compress(prompb.encode_write_request(get_data()))
+    assert client.post("/write", data=body).status_code == 200
+
+    resp = client.get("/metrics")
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/plain"
+    scraped = {
+        ts.labels_map()["__name__"]: ts.samples[0].value
+        for ts in parse_exposition(resp.get_data(as_text=True))
+    }
+    assert scraped["promhouse_spark_written_samples"] == 15.0
+    assert scraped["promhouse_spark_written_time_series"] == 3.0
+    assert scraped["promhouse_spark_read_queries"] == 0.0
+
+
 def test_http_bad_payload_is_400(client):
     assert client.post("/write", data=b"\xff\xff\xff").status_code == 400
     assert client.post("/read", data=b"junk").status_code == 400
