@@ -51,6 +51,7 @@ from promhouse_spark.schemas import (
     TIMESTAMP_MS,
     VALUE,
 )
+from promhouse_spark.storage import fs
 from promhouse_spark.storage.base import Storage
 
 
@@ -78,7 +79,7 @@ class SparkParquetStorage(Storage):
     # ---------------------------------------------------------------- utils
 
     def _read_or_empty(self, path: str, schema) -> DataFrame:
-        if not os.path.exists(path):
+        if not fs.exists(self.spark, path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
@@ -89,7 +90,7 @@ class SparkParquetStorage(Storage):
         return df.dropDuplicates([FINGERPRINT])
 
     def samples_df(self) -> DataFrame:
-        if not os.path.exists(self.samples_path):
+        if not fs.exists(self.spark, self.samples_path):
             return self.spark.createDataFrame([], SAMPLES_SCHEMA)
         return self.spark.read.parquet(self.samples_path)
 
@@ -214,7 +215,7 @@ class SparkParquetStorage(Storage):
         files would be re-ingested as new data (double-counted partials).
         Stop the rollup stream and reset its checkpoint (or compact the
         rollup from scratch afterwards) around a samples compaction."""
-        if not os.path.exists(self.samples_path):
+        if not fs.exists(self.spark, self.samples_path):
             return  # nothing ingested yet
         current = self.samples_df().select(FINGERPRINT, TIMESTAMP_MS, VALUE)
         tmp = self.samples_path + ".compact"
@@ -232,14 +233,14 @@ class SparkParquetStorage(Storage):
             .mode("overwrite")
             .parquet(tmp)
         )
-        import shutil
-
         # swap via rename-aside so a crash between steps leaves the old table
-        # recoverable (never rmtree the live table first)
+        # recoverable (never delete the live table first); Hadoop FS renames
+        # are atomic on HDFS/POSIX — see storage/fs.py for the object-store
+        # caveat under this method's single-writer contract
         old = self.samples_path + ".old"
-        os.rename(self.samples_path, old)
-        os.rename(tmp, self.samples_path)
-        shutil.rmtree(old)
+        fs.rename(self.spark, self.samples_path, old)
+        fs.rename(self.spark, tmp, self.samples_path)
+        fs.delete(self.spark, old)
         self._drop_recent_cache()
 
     # ----------------------------------------------------------------- read
@@ -293,7 +294,7 @@ class SparkParquetStorage(Storage):
         raw_queries: list[tuple[int, Query]] = []
         rollup_ready = (
             rollup_path is not None
-            and os.path.exists(rollup_path)  # stream may not have written yet
+            and fs.exists(self.spark, rollup_path)  # stream may not have written yet
             and self.cache_registry  # series resolution needs the hot dict
         )
         for i, q in enumerate(queries):

@@ -97,10 +97,9 @@ def start_rollup_stream(
 def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
     """Collapse accumulated partials in place (merge is associative, so the
     compacted table is itself a valid partials table)."""
-    import os
-    import shutil
+    from promhouse_spark.storage import fs
 
-    if not os.path.exists(rollup_path):
+    if not fs.exists(spark, rollup_path):
         return
     merged = merge_rollup(spark.read.parquet(rollup_path)).drop("avg_value")
     tmp = rollup_path + ".compact"
@@ -116,6 +115,7 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
         .parquet(tmp)
     )
     # crash-safe swap: keep the old table until the new one is in place
-    os.rename(rollup_path, old)
-    os.rename(tmp, rollup_path)
-    shutil.rmtree(old)
+    # (Hadoop FS — works on hdfs://, s3a://, ...; see storage/fs.py caveat)
+    fs.rename(spark, rollup_path, old)
+    fs.rename(spark, tmp, rollup_path)
+    fs.delete(spark, old)

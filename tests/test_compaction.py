@@ -31,3 +31,22 @@ def test_ingest_files_per_day(spark, tmp_path):
     st.ingest_df(df, files_per_day=1)
     files = glob.glob(f"{st.samples_path}/**/*.parquet", recursive=True)
     assert len(files) == 1  # single day, consolidated
+
+
+def test_hadoop_fs_ops_route_by_scheme(spark, tmp_path):
+    """storage.fs goes through org.apache.hadoop.fs.FileSystem: the path
+    scheme picks the implementation, so the same exists/rename/delete used
+    by compaction work on file://, hdfs://, s3a:// alike."""
+    from promhouse_spark.storage import fs
+
+    src = f"file://{tmp_path}/a"
+    dst = f"file://{tmp_path}/b"
+    assert not fs.exists(spark, src)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x").write_text("1")
+    assert fs.exists(spark, src)
+    fs.rename(spark, src, dst)
+    assert not fs.exists(spark, src) and fs.exists(spark, dst)
+    assert fs.delete(spark, dst)
+    assert not fs.exists(spark, dst)
+    assert fs.delete(spark, dst) is False  # idempotent on missing paths
