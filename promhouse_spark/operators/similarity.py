@@ -203,6 +203,66 @@ def ivf_ann_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_build(
+    df: DataFrame,
+    index_path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the vector table written
+    ``partitionBy("centroid_id")`` (one directory per inverted list) plus a
+    tiny centroid sidecar. Build once, probe many — the 100 TB shape, where
+    re-fitting k-means per query (``ivf_ann_topk``) would be absurd.
+
+    At scale: fit the quantizer on a sample (MLlib KMeans already
+    distributes), assignment is one map-side pass, and the partitioned
+    write is the only shuffle. The sidecar is O(num_centroids) — driver-safe
+    by construction.
+    """
+    assigned, centers = ivf_index(df, num_centroids, id_col, vec_col, seed)
+    spark = df.sparkSession
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/vectors"
+    )
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "centroid_id int, centroid array<double>",
+    )
+    centers_df.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank centroids by distance to the query
+    (sidecar, O(num_centroids) on the driver), then scan ONLY the ``nprobe``
+    nearest partitions — ``centroid_id`` is a partition column, so Catalyst
+    prunes the other directories out of the scan entirely
+    (tests assert the pruned file set)."""
+    centers = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    }
+    q = [float(x) for x in query_vec]
+
+    def l2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+
+    probe = sorted(centers, key=lambda i: l2(centers[i]))[:nprobe]
+    vectors = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("centroid_id").isin(probe)
+    )
+    return cosine_topk(vectors, query_vec, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

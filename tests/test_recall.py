@@ -143,3 +143,42 @@ def test_lsh_probe_order_is_margin_sorted():
     assert costs == sorted(costs)
     # cheapest single flip is the smallest |margin| plane (bit 1)
     assert order[1] == qbits ^ 0b010
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, emb, query_vec, exact_top10, tmp_path):
+    """Build/probe split: the probe scans only the nprobe nearest inverted
+    lists (centroid_id is a partition column -> directory pruning), and the
+    persisted probe returns the same result as the fit-per-call query at the
+    same nprobe."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_build(emb, idx, num_centroids=16)
+
+    probed = S.ivf_probe(spark, idx, query_vec, k=10, nprobe=10)
+    got = [r["vec_id"] for r in probed.collect()]
+    recall = len(set(exact_top10) & set(got)) / 10
+    assert recall >= 0.8
+
+    # the executed scan must touch files from exactly <= nprobe partitions
+    centers = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    q = [float(x) for x in query_vec]
+    probe = sorted(centers, key=lambda i: sum((a - b) ** 2 for a, b in zip(centers[i], q)))[:10]
+    scanned = (
+        spark.read.parquet(f"{idx}/vectors")
+        .filter(F.col("centroid_id").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {r["f"].rsplit("/", 2)[1] for r in scanned}
+    assert len(dirs) <= 10
+    assert all(d.startswith("centroid_id=") for d in dirs)
+    assert {int(d.split("=")[1]) for d in dirs} <= set(probe)
+
+    # equivalence with the fit-per-call path (same seed -> same quantizer)
+    inline = [r["vec_id"] for r in S.ivf_ann_topk(emb, query_vec, k=10, num_centroids=16, nprobe=10).collect()]
+    assert got == inline
