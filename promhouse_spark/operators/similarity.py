@@ -105,7 +105,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k with query-directed multiprobe (Lv et al. VLDB'07):
     probe buckets in order of increasing lost signature margin until at
-    least ``min_candidates`` (default ``max(150, 15*k)``) candidates are in
+    least ``min_candidates`` (default ``max(250, 25*k)``) candidates are in
     scope, then exact-score only those. Single-bucket probing on 64 buckets
     yields ~n/64 candidates and collapses recall (VERDICT r1 #3); blind
     hamming-radius escalation wastes the budget on low-probability buckets.
@@ -115,6 +115,10 @@ def lsh_ann_topk(
     integer column — at 100 TB with the signature precomputed and the table
     partitioned by bucket, this prunes partitions exactly like IVF, with the
     candidate budget (not n) bounding the scored set."""
+    # _probe_order and the bucket histogram are O(2^num_planes) driver-side —
+    # fine at the default 6, pathological beyond ~20 bits
+    if num_planes > 20:
+        raise ValueError(f"num_planes={num_planes} > 20: probe order is O(2^num_planes)")
     dim = dim or len(query_vec)
     planes = _planes(num_planes, dim, seed)
     margins = [
@@ -176,7 +180,9 @@ def ivf_index(
         .withColumnRenamed("prediction", "centroid_id")
         .drop("features")
     )
-    return assigned, [list(c) for c in model.clusterCenters()]
+    # clusterCenters() yields numpy arrays; createDataFrame rejects
+    # numpy.float64 for array<double>, so cast to plain Python floats
+    return assigned, [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_ann_topk(

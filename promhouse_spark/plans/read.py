@@ -64,19 +64,22 @@ def restrict_to_series(
     - list of ≤ ``max_inlist`` fingerprints → ``isin`` literal pushdown
       (reaches the parquet reader as an IN filter — the reference's
       ``WHERE fingerprint IN (...)``, ``clickhouse.go:288``);
-    - otherwise → left-semi join against a (deduped) fingerprint frame,
-      broadcast when small (the reference's temp-table ``ANY INNER JOIN``,
-      ``clickhouse.go:352-358``).
+    - otherwise → left-semi join against a (deduped) fingerprint frame
+      (the reference's temp-table ``ANY INNER JOIN``,
+      ``clickhouse.go:352-358``). No forced broadcast: an empty-matcher
+      select-all makes the matched set the whole registry, so the join
+      strategy is left to AQE, which broadcasts when the runtime size
+      statistics say it fits and shuffles otherwise.
     """
     if isinstance(fingerprints, DataFrame):
         fp_df = fingerprints.select(FINGERPRINT).dropDuplicates([FINGERPRINT])
-        return samples_df.join(F.broadcast(fp_df), FINGERPRINT, "left_semi")
+        return samples_df.join(fp_df, FINGERPRINT, "left_semi")
     fps = list(fingerprints)
     if len(fps) <= max_inlist:
         return samples_df.filter(F.col(FINGERPRINT).isin(fps))
     spark = samples_df.sparkSession
     fp_df = spark.createDataFrame([(f,) for f in set(fps)], f"{FINGERPRINT} long")
-    return samples_df.join(F.broadcast(fp_df), FINGERPRINT, "left_semi")
+    return samples_df.join(fp_df, FINGERPRINT, "left_semi")
 
 
 def group_into_series(samples_df: DataFrame) -> DataFrame:

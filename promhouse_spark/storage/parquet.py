@@ -345,6 +345,23 @@ class SparkParquetStorage(Storage):
             )
         return list(out.values())
 
+    def distributed_read_plan(self, q: Query, samples=None):
+        """Build the fully-distributed read plan for one query: matcher
+        filter on the registry DF, semi-join restriction, group-into-series,
+        label attach (J5). No forced broadcast anywhere — this branch exists
+        for registries beyond driver memory, and an empty-matcher select-all
+        makes the matched set the whole registry; AQE picks broadcast vs
+        shuffle from runtime sizes (asserted on the plan in test_plans.py)."""
+        from promhouse_spark.plans.read import select_series
+
+        if samples is None:
+            samples = self.samples_df()
+        series = select_series(self.registry_df(), q.matchers)
+        restricted = restrict_to_series(
+            samples_in_range(samples, q.start_ms, q.end_ms), series
+        )
+        return group_into_series(restricted).join(series, FINGERPRINT, "inner")
+
     def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         sql = rawsql_text(queries)
         if sql is not None:
@@ -396,18 +413,7 @@ class SparkParquetStorage(Storage):
                     for r in rows
                 ]
             else:
-                # Fully distributed: matcher filter on the registry DF, then
-                # semi-join + broadcast label attach (J5).
-                from promhouse_spark.plans.read import select_series
-
-                series = select_series(self.registry_df(), q.matchers)
-                restricted = restrict_to_series(
-                    samples_in_range(samples, q.start_ms, q.end_ms), series
-                )
-                grouped = group_into_series(restricted).join(
-                    F.broadcast(series), FINGERPRINT, "inner"
-                )
-                rows = grouped.collect()
+                rows = self.distributed_read_plan(q, samples).collect()
                 rows.sort(key=lambda r: to_unsigned64(r[FINGERPRINT]))
                 res = [
                     TimeSeries(

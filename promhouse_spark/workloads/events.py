@@ -184,7 +184,9 @@ ORDER BY event_id
 
 def ph_semijoin_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3: large matched set → left-semi join against a derived key set
-    (the temp-table ANY INNER JOIN, clickhouse.go:310-370)."""
+    (the temp-table ANY INNER JOIN, clickhouse.go:310-370). ``heavy`` scales
+    linearly with SF, so no forced broadcast — AQE decides from runtime
+    sizes (test_plans.py asserts the plan carries no hint)."""
     ev = load_table(spark, sf_dir, "events")
     heavy = (
         ev.filter(F.col("event_type") == "purchase")
@@ -194,7 +196,7 @@ def ph_semijoin_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     return (
-        ev.join(F.broadcast(heavy), "user_id", "left_semi")
+        ev.join(heavy, "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
         .orderBy("user_id")

@@ -51,12 +51,37 @@ def test_inlist_restriction_is_pushed(store):
     assert "In(fingerprint" in plan or "in(fingerprint" in plan.lower()
 
 
-def test_semijoin_restriction_is_broadcast(store):
+def test_semijoin_restriction_unhinted_but_broadcast(store):
+    """The semi-join restriction must NOT force a broadcast (VERDICT r2 #2:
+    the matched set is the whole registry on an empty-matcher select-all).
+    At this tiny scale the planner still picks broadcast — from statistics,
+    not from a hint."""
     fps = list(range(100))
     df = restrict_to_series(store.samples_df(), fps, max_inlist=50)
+    assert "ResolvedHint" not in _analyzed(df)
+    df.collect()  # let AQE finalize
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "Broadcast" in plan
+
+
+def test_distributed_read_plan_carries_no_hint(store):
+    """The cache_registry=False read path (VERDICT r2 #2): semi-join
+    restriction + label attach must leave the join strategy to AQE."""
+    q = Query(start_ms=T0, end_ms=T0 + 86_400_000 * 2, matchers=make_matchers())
+    df = store.distributed_read_plan(q)
+    assert "ResolvedHint" not in _analyzed(df)
+    df.collect()
+    plan = _plan(df)
+    # tiny data → AQE still discovers broadcast is safe, without a hint
+    assert "Broadcast" in plan
+
+
+def test_ph_semijoin_subquery_carries_no_hint(spark, sf_dir):
+    """J2 with an SF-scaled derived key set (VERDICT r2 #3)."""
+    from promhouse_spark.workloads.events import ph_semijoin_subquery
+
+    assert "ResolvedHint" not in _analyzed(ph_semijoin_subquery(spark, sf_dir))
 
 
 def test_q1_aggregate_pushdown(spark, sf_dir):
