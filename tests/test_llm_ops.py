@@ -186,3 +186,69 @@ def test_ivf_ann_recall(spark):
     full = [r["vec_id"] for r in
             S.ivf_ann_topk(df, q, k=10, num_centroids=8, nprobe=8).collect()]
     assert full == exact
+
+
+def test_multimodal_features_match_independent_python(spark, sf_dir):
+    """VERDICT r2 task 6: doc_multimodal_features was the last query with no
+    deterministic gate. Pin the per-asset feature table AND the driver
+    query's aggregate against an INDEPENDENT plain-Python computation of the
+    fake-decoder math over the same parquet rows (the math is re-implemented
+    inline here, not imported, so a bug in fake_decoder or in the Spark
+    plumbing — mapInPandas batching, join, aggregate — breaks this test)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from promhouse_spark.operators import multimodal as M
+    from promhouse_spark.session import load_table
+    from promhouse_spark.workloads.llmdata import doc_multimodal_features
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
+
+    def features(payload: bytes) -> list[float]:
+        # independent re-statement of the deterministic fake decoder
+        if not payload:
+            return [0.0] * 8
+        n = len(payload)
+        raw = [
+            float(n),
+            payload[0] / 255.0,
+            payload[-1] / 255.0,
+            sum(payload) / (255.0 * n),
+            min(payload) / 255.0,
+            max(payload) / 255.0,
+            payload[n // 2] / 255.0,
+            sum(1 for b in payload if b == 0) / n,
+        ]
+        # the Spark feature column is array<float> — round-trip through f32
+        return [float(np.float32(x)) for x in raw]
+
+    expected = {}
+    for row in docs:
+        payload = row["text"].encode("utf-8")
+        expected[row["doc_id"]] = (features(payload), len(payload), row["source"])
+
+    # 1) per-asset feature table: exact equality, every row
+    assets = M.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    got = M.extract_features(assets, decoder=M.fake_decoder).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        feats, n_bytes, _ = expected[r["asset_id"]]
+        assert r["n_bytes"] == n_bytes
+        assert list(r["feature"]) == feats, f"asset {r['asset_id']} features differ"
+
+    # 2) the driver query's per-source aggregate
+    by_source = {}
+    for feats, n_bytes, source in expected.values():
+        agg = by_source.setdefault(source, [0, 0, 0.0])
+        agg[0] += 1
+        agg[1] += n_bytes
+        agg[2] += feats[3]
+    rows = doc_multimodal_features(spark, sf_dir).collect()
+    assert sorted(r["source"] for r in rows) == sorted(by_source)
+    for r in rows:
+        n, total, fsum = by_source[r["source"]]
+        assert r["n_assets"] == n
+        assert r["total_bytes"] == total
+        assert r["avg_byte_mean"] == pytest.approx(round(fsum / n, 4), abs=1e-6)
