@@ -50,6 +50,8 @@ def read_store(path: str, step_ms: int, last_ms: int, end_ms: int) -> Iterator[l
     window index, are globally sorted by (window, fingerprint, ts), and
     stream through ``toLocalIterator`` while consecutive runs are cut into
     per-window series — same chunk semantics, O(1) jobs."""
+    if step_ms <= 0:
+        raise ValueError(f"step_ms must be > 0, got {step_ms}")
     from pyspark.sql import functions as F
 
     from promhouse_spark.functions.fingerprint import to_unsigned64
@@ -139,6 +141,8 @@ def read_exporter_replay(
     window forever once ``readCurrent`` clamps to ``end``; we terminate
     after the last window start before ``end_ms``.
     """
+    if step_ms <= 0:
+        raise ValueError(f"step_ms must be > 0, got {step_ms}")  # endless window loop otherwise
     fresh: queue.Queue = queue.Queue(maxsize=1)
     stop = threading.Event()
 
@@ -183,6 +187,15 @@ def read_exporter_replay(
                 if isinstance(nxt, Exception):
                     raise nxt
                 data = nxt
+        # cache mode never blocks on the queue, so a scraper error enqueued
+        # during the final window would be silently dropped — drain once so
+        # a failing upstream is reported (ADVICE r2)
+        try:
+            pending = fresh.get_nowait()
+        except queue.Empty:
+            pending = None
+        if isinstance(pending, Exception):
+            raise pending
     finally:
         stop.set()
 
@@ -305,6 +318,8 @@ def main(argv: list[str] | None = None) -> int:
     # than the step cadence (main.go cacheF / exporter.go:229-237)
     c.add_argument("--cache", action="store_true")
     args = p.parse_args(argv)
+    if args.cmd == "copy" and args.step_ms <= 0:
+        raise SystemExit(f"--step-ms must be > 0, got {args.step_ms}")
     if args.cmd == "copy":
         copy(args.source, args.destination, args)
     return 0

@@ -37,11 +37,19 @@ _MH_MAX = (1 << 32) - 1
 def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Spread an under-partitioned input across the cluster before an
     explode-heavy stage. Small corpora often arrive as one parquet file →
-    one partition → the whole shingle/sketch pipeline runs on one core. At
-    scale inputs already carry many partitions and this is a no-op (no
-    shuffle added)."""
+    one partition → the whole shingle/sketch pipeline runs on one core.
+
+    Parallelism is estimated from the backing file count (``inputFiles()``,
+    metadata-only) rather than ``df.rdd.getNumPartitions()``, which forces a
+    plan-to-RDD conversion on every call (VERDICT r2 #5). A DF backed by
+    enough files already scans in parallel → no-op, no shuffle; few-file and
+    in-memory inputs get spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, 8):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — estimation only; fall through to spread
+        n_files = 0
+    if n_files >= min(target, 8):
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
 

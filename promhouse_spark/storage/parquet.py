@@ -217,6 +217,15 @@ class SparkParquetStorage(Storage):
         rollup from scratch afterwards) around a samples compaction."""
         if not fs.exists(self.spark, self.samples_path):
             return  # nothing ingested yet
+        old = self.samples_path + ".old"
+        if fs.exists(self.spark, old):
+            # Hadoop rename into an existing dir NESTS src inside dst (mv
+            # semantics) — a stale .old from a crashed run would silently
+            # swallow the live table on the next swap. Fail loudly instead.
+            raise RuntimeError(
+                f"stale {old} exists — previous compaction crashed mid-swap; "
+                "inspect/remove it before compacting again"
+            )
         current = self.samples_df().select(FINGERPRINT, TIMESTAMP_MS, VALUE)
         tmp = self.samples_path + ".compact"
         (
@@ -237,7 +246,6 @@ class SparkParquetStorage(Storage):
         # recoverable (never delete the live table first); Hadoop FS renames
         # are atomic on HDFS/POSIX — see storage/fs.py for the object-store
         # caveat under this method's single-writer contract
-        old = self.samples_path + ".old"
         fs.rename(self.spark, self.samples_path, old)
         fs.rename(self.spark, tmp, self.samples_path)
         fs.delete(self.spark, old)
@@ -265,15 +273,19 @@ class SparkParquetStorage(Storage):
     #: function would compute over the window. rate/increase/delta & friends
     #: are deliberately ABSENT: they need raw intra-window timestamps and
     #: counter resets, so serving them downsampled would silently corrupt
-    #: client-side math — those always take the raw path.
+    #: client-side math — those always take the raw path. count_over_time
+    #: and avg_over_time are ABSENT for the same composition reason (ADVICE
+    #: r2): a real client re-applies the function over the returned samples,
+    #: and count over one-sample-per-window windows counts windows (not raw
+    #: samples) while avg-of-window-avgs is wrong when window sample counts
+    #: differ. min/max/sum/last compose (f(f(w1), f(w2)) == f(raw)); count
+    #: and avg do not.
     ROLLUP_SERVABLE_FUNCS = {
         "": "last_value",  # instant vector selector: step-sampled last value
         "last_over_time": "last_value",
         "min_over_time": "min_value",
         "max_over_time": "max_value",
         "sum_over_time": "sum_value",
-        "count_over_time": "n",
-        "avg_over_time": "avg_value",
     }
 
     def read_with_hints(

@@ -101,9 +101,18 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
 
     if not fs.exists(spark, rollup_path):
         return
-    merged = merge_rollup(spark.read.parquet(rollup_path)).drop("avg_value")
     tmp = rollup_path + ".compact"
     old = rollup_path + ".old"
+    if fs.exists(spark, old):
+        # Hadoop rename into an existing dir NESTS src inside dst (mv
+        # semantics) — a stale .old from a crashed run would silently
+        # swallow the live table. Fail loudly; the operator decides whether
+        # .old is the recovery copy or trash.
+        raise RuntimeError(
+            f"stale {old} exists — previous compaction crashed mid-swap; "
+            "inspect/remove it before compacting again"
+        )
+    merged = merge_rollup(spark.read.parquet(rollup_path)).drop("avg_value")
     (
         merged.withColumn(
             DATE, F.to_date(F.timestamp_millis(F.col("window_start_ms")))

@@ -68,13 +68,14 @@ def test_rate_hint_takes_raw_path(store):
 
 
 def test_aggregating_funcs_served_from_matching_rollup_column(store):
-    # raw values per window: [0,1,2,3,4] and [5,6,7,8,9]
+    # raw values per window: [0,1,2,3,4] and [5,6,7,8,9]. Only functions
+    # that COMPOSE (f over per-window f-values == f over raw samples) are
+    # rollup-servable — the client re-applies the function over what we
+    # return.
     expect = {
         "min_over_time": [0.0, 5.0],
         "max_over_time": [4.0, 9.0],
         "sum_over_time": [10.0, 35.0],
-        "count_over_time": [5.0, 5.0],
-        "avg_over_time": [2.0, 7.0],
         "last_over_time": [4.0, 9.0],
     }
     for func, values in expect.items():
@@ -82,6 +83,16 @@ def test_aggregating_funcs_served_from_matching_rollup_column(store):
         (ts,) = res
         assert [s.value for s in ts.samples] == values, func
         assert [s.timestamp_ms - T0 for s in ts.samples] == [0, STEP]
+
+
+def test_noncomposing_aggregates_take_raw_path(store):
+    """count_over_time / avg_over_time (ADVICE r2, medium): count over
+    one-sample-per-window rollup output counts windows, not raw samples;
+    avg over per-window avgs is wrong for unequal window counts — both must
+    fall through to raw even with a coarse step hint."""
+    for func in ("count_over_time", "avg_over_time"):
+        [res] = store.read_with_hints([q()], [{"step_ms": 600_000, "func": func}])
+        assert len(res[0].samples) == 10, f"{func} must be served raw"
 
 
 def test_mixed_request(store):
