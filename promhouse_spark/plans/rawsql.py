@@ -19,6 +19,7 @@ reachable through the reference-compatible API.
 from __future__ import annotations
 
 import math
+import re
 from typing import Sequence
 
 from pyspark.sql import SparkSession
@@ -26,6 +27,92 @@ from pyspark.sql import SparkSession
 from promhouse_spark.models import MatchType, Query, Sample, TimeSeries, Label
 
 RAWSQL_JOB = "rawsql"
+
+# --------------------------------------------- ClickHouse-dialect shims
+# The reference README's documented analytics (README.md:74-119) are written
+# in ClickHouse SQL. These rewrites cover exactly the constructs those
+# queries use, so they run verbatim through the escape hatch; every pattern
+# below is a parse error in Spark SQL, so the rewrite can never fire on
+# valid Spark SQL (strings inside literals excepted — documented caveat).
+
+_CH_VISITPARAM = re.compile(
+    r"visitParamExtractString\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*'([^']*)'\s*\)"
+)
+_CH_ANY_JOIN = re.compile(r"\bANY\s+((?:INNER|LEFT|RIGHT)\s+)?JOIN\b", re.IGNORECASE)
+_CH_CLAUSE_END = re.compile(r"\b(ORDER\s+BY|HAVING|LIMIT|WINDOW)\b", re.IGNORECASE)
+_CH_GROUPBY = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _hoist_groupby_aliases(sql: str) -> str:
+    """ClickHouse allows ``GROUP BY <expr> AS <alias>`` with the alias
+    visible in SELECT; Spark resolves it the other way around (SELECT-list
+    aliases are usable in GROUP BY). Hoist each aliased expr into the SELECT
+    list and group by the alias."""
+    gb = _CH_GROUPBY.search(sql)
+    if gb is None:
+        return sql
+    start = gb.end()
+    tail = _CH_CLAUSE_END.search(sql, start)
+    end = tail.start() if tail else len(sql)
+    items = _split_top_level(sql[start:end])
+    new_items: list[str] = []
+    hoists: list[tuple[str, str]] = []
+    for it in items:
+        m = re.match(r"(?si)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+        if m and not re.fullmatch(r"[A-Za-z_][\w.]*", m.group(1)):
+            hoists.append((m.group(1), m.group(2)))
+            # trailing space: the original item's trailing whitespace (often
+            # the newline before ORDER BY) was consumed by the match
+            new_items.append(f" {m.group(2)} ")
+        else:
+            new_items.append(it)
+    if not hoists:
+        return sql
+    head, rest = sql[:start], sql[start:]  # keep positions stable while editing head
+    sel = re.search(r"\bSELECT\b", head, re.IGNORECASE)
+    frm = re.search(r"\bFROM\b", head, re.IGNORECASE)
+    if sel and frm and sel.end() < frm.start():
+        select_list = head[sel.end() : frm.start()]
+        for expr, alias in hoists:
+            select_list = re.sub(
+                rf"(?<![\w.']){alias}(?![\w.'])", f"{expr} AS {alias}", select_list, count=1
+            )
+        head = head[: sel.end()] + select_list + head[frm.start() :]
+    return head + ",".join(new_items) + rest[end - start :]
+
+
+def translate_clickhouse_sql(sql: str) -> str:
+    """Best-effort ClickHouse→Spark dialect translation for the escape
+    hatch, covering the reference README's documented queries verbatim:
+
+    - ``visitParamExtractString(labels, 'k')`` reads a label key from the
+      reference's persisted JSON string; our ``time_series`` view keeps
+      labels as a MapType, so it becomes ``element_at(labels, 'k')``
+      (absent key → NULL rather than ClickHouse's ``''``).
+    - ``GROUP BY <expr> AS <alias>`` → alias hoisted into SELECT
+      (:func:`_hoist_groupby_aliases`).
+    - ``ANY INNER JOIN`` (at most one right match per row) → plain
+      ``INNER JOIN`` — equivalent whenever the right side is key-unique,
+      which the README's grouped/limited subquery is.
+    """
+    sql = _CH_VISITPARAM.sub(lambda m: f"element_at({m.group(1)}, '{m.group(2)}')", sql)
+    sql = _CH_ANY_JOIN.sub(lambda m: (m.group(1) or "") + "JOIN", sql)
+    return _hoist_groupby_aliases(sql)
 
 
 def rawsql_text(queries: Sequence[Query]) -> str | None:
@@ -66,6 +153,12 @@ def _to_float(v) -> float:
 def _to_str(v) -> str:
     if v is None:
         return "<nil>"  # Go fmt.Sprintf("%v", nil)
+    if isinstance(v, dict):
+        # a MapType labels column renders as the reference's canonical label
+        # JSON (the form ClickHouse would return for its persisted string)
+        from promhouse_spark.functions.labels import marshal_labels
+
+        return marshal_labels(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -88,7 +181,7 @@ def run_rawsql(spark: SparkSession, sql: str, end_ms: int) -> list[TimeSeries]:
     surface, not a bulk-export path, but nothing here materializes the full
     result on the driver at once.
     """
-    df = spark.sql(sql)
+    df = spark.sql(translate_clickhouse_sql(sql))
     columns = df.columns
     out: list[TimeSeries] = []
     for row in df.toLocalIterator():

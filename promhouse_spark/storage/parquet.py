@@ -155,19 +155,30 @@ class SparkParquetStorage(Storage):
                 .withColumn(DATE, F.current_date())
                 .select(DATE, FINGERPRINT, LABELS)
             )
-            # Persist-then-cache: anti-join against the on-disk registry
+            # Persist-then-cache: anti-join against the persisted registry
             # guards against duplicates across restarts (A3).
-            existing = self._read_or_empty(self.registry_path, TIME_SERIES_SCHEMA)
             reg_df = reg_df.join(
-                existing.select(FINGERPRINT), FINGERPRINT, "left_anti"
+                self._existing_fingerprints(), FINGERPRINT, "left_anti"
             ).select(DATE, FINGERPRINT, LABELS)
-            reg_df.write.mode("append").parquet(self.registry_path)
+            self._append_registry(reg_df)
             if self.cache_registry:  # read-your-own-writes via the hot dict
                 self._registry.update(new_series)
 
         if sample_rows:
             df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
             self.ingest_df(df)
+
+    def _existing_fingerprints(self) -> DataFrame:
+        """Persisted fingerprints (for the new-series anti-join) — the
+        backend-specific seam JdbcStorage overrides."""
+        return self._read_or_empty(self.registry_path, TIME_SERIES_SCHEMA).select(
+            FINGERPRINT
+        )
+
+    def _append_registry(self, reg_df: DataFrame) -> None:
+        """Persist new registry rows (DATE, FINGERPRINT, LABELS-map) — the
+        backend-specific seam JdbcStorage overrides."""
+        reg_df.write.mode("append").parquet(self.registry_path)
 
     def ingest_df(self, samples_df: DataFrame, files_per_day: int | None = None) -> None:
         """Bulk/streaming samples append: derive the day partition, cluster

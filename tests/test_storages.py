@@ -4,7 +4,8 @@
 One shared spec runs against the in-memory oracle and the Spark engine with
 both semi-join strategies forced (the reference's Memory /
 ClickHouseTempTable / ClickHouseQuery triple, ``storages_test.go:56-75``),
-plus the fully-distributed registry mode. Same data in, same results out.
+plus the fully-distributed registry mode and the JDBC (ClickHouse-connector)
+backend over in-memory Derby. Same data in, same results out.
 """
 
 from __future__ import annotations
@@ -18,7 +19,13 @@ from tests.fixtures import T0, funny_series, get_data, normalize
 
 WINDOW = (T0 - 54_000, T0 + 6_000)
 
-BACKENDS = ["memory", "spark_inlist", "spark_semijoin", "spark_distributed"]
+BACKENDS = [
+    "memory",
+    "spark_inlist",
+    "spark_semijoin",
+    "spark_distributed",
+    "jdbc_derby",
+]
 
 
 @pytest.fixture(scope="module", params=BACKENDS)
@@ -27,6 +34,20 @@ def storage(request, spark, tmp_path_factory):
     name = request.param
     if name == "memory":
         st = MemoryStorage()
+    elif name == "jdbc_derby":
+        # the ClickHouse-connector code path (storage/jdbc.py) against
+        # Spark's bundled in-memory Derby — same spec, same data
+        import uuid
+
+        from promhouse_spark.storage.jdbc import (
+            DERBY_DRIVER,
+            JdbcStorage,
+            derby_memory_url,
+        )
+
+        st = JdbcStorage(
+            spark, derby_memory_url(f"spec{uuid.uuid4().hex[:8]}"), driver=DERBY_DRIVER
+        )
     else:
         root = str(tmp_path_factory.mktemp(f"store_{name}"))
         kwargs = {
@@ -196,3 +217,31 @@ def test_differential_vs_oracle(storage, specs):
     assert normalize(read_one(storage, q(*specs))) == normalize(
         read_one(oracle, q(*specs))
     )
+
+
+# --- JDBC backend: filter pushdown reaches the remote database ------------
+
+
+def test_jdbc_filters_pushed_to_database(spark):
+    """The reference pushes time range + fingerprint IN-list into ClickHouse
+    SQL (clickhouse.go:282-308); through Spark's JDBC source the same
+    predicates must appear as PushedFilters on the JDBC scan — the database
+    ships matching rows only."""
+    import uuid
+
+    from promhouse_spark.plans.read import restrict_to_series, samples_in_range
+    from promhouse_spark.storage.jdbc import DERBY_DRIVER, JdbcStorage, derby_memory_url
+
+    st = JdbcStorage(
+        spark, derby_memory_url(f"push{uuid.uuid4().hex[:8]}"), driver=DERBY_DRIVER
+    )
+    st.write(get_data())
+    df = restrict_to_series(
+        samples_in_range(st.samples_df(), WINDOW[0], WINDOW[1]),
+        [1, 2, 3],
+        max_inlist=50,
+    )
+    plan = df._jdf.queryExecution().toString()
+    assert "JDBCRelation" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "timestamp_ms" in pushed and "fingerprint" in pushed
