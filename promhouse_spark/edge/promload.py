@@ -189,13 +189,16 @@ def read_exporter_replay(
                 data = nxt
         # cache mode never blocks on the queue, so a scraper error enqueued
         # during the final window would be silently dropped — drain once so
-        # a failing upstream is reported (ADVICE r2)
-        try:
-            pending = fresh.get_nowait()
-        except queue.Empty:
-            pending = None
-        if isinstance(pending, Exception):
-            raise pending
+        # a failing upstream is reported (ADVICE r2). Cache mode ONLY: the
+        # blocking mode surfaces errors at each get(), and draining there
+        # could fail a replay whose every window was already delivered.
+        if cache:
+            try:
+                pending = fresh.get_nowait()
+            except queue.Empty:
+                pending = None
+            if isinstance(pending, Exception):
+                raise pending
     finally:
         stop.set()
 

@@ -39,18 +39,34 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     explode-heavy stage. Small corpora often arrive as one parquet file →
     one partition → the whole shingle/sketch pipeline runs on one core.
 
-    Parallelism is estimated from the backing file count (``inputFiles()``,
-    metadata-only) rather than ``df.rdd.getNumPartitions()``, which forces a
-    plan-to-RDD conversion on every call (VERDICT r2 #5). A DF backed by
-    enough files already scans in parallel → no-op, no shuffle; few-file and
-    in-memory inputs get spread."""
+    Parallelism is estimated WITHOUT ``df.rdd.getNumPartitions()`` (which
+    forces plan-to-RDD conversion on every call, VERDICT r2 #5):
+
+    - a plan that already contains a repartition is left alone;
+    - a scan backed by ≥ ``min(target, 8)`` files already parallelizes;
+    - a big single-file scan is detected via the optimizer's size estimate
+      vs ``spark.sql.files.maxPartitionBytes`` (the splitter makes ~one
+      partition per maxPartitionBytes).
+
+    All metadata-only. In-memory / small few-file inputs get spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    need = min(target, 8)
     try:
-        n_files = len(df.inputFiles())
+        qe = df._jdf.queryExecution()
+        if "Repartition" in qe.analyzed().toString():
+            return df  # caller already chose a distribution
+        if len(df.inputFiles()) >= need:
+            return df
+        max_pb = 128 * 1024 * 1024
+        try:
+            raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+            max_pb = int(raw.lower().rstrip("b")) if raw.lower().rstrip("b").isdigit() else max_pb
+        except Exception:  # noqa: BLE001
+            pass
+        if int(str(qe.optimizedPlan().stats().sizeInBytes())) >= need * max_pb:
+            return df  # few big splittable files → the scan splitter spreads
     except Exception:  # noqa: BLE001 — estimation only; fall through to spread
-        n_files = 0
-    if n_files >= min(target, 8):
-        return df
+        pass
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 

@@ -62,38 +62,77 @@ def _hoist_groupby_aliases(sql: str) -> str:
     """ClickHouse allows ``GROUP BY <expr> AS <alias>`` with the alias
     visible in SELECT; Spark resolves it the other way around (SELECT-list
     aliases are usable in GROUP BY). Hoist each aliased expr into the SELECT
-    list and group by the alias."""
-    gb = _CH_GROUPBY.search(sql)
-    if gb is None:
-        return sql
-    start = gb.end()
-    tail = _CH_CLAUSE_END.search(sql, start)
-    end = tail.start() if tail else len(sql)
-    items = _split_top_level(sql[start:end])
-    new_items: list[str] = []
-    hoists: list[tuple[str, str]] = []
-    for it in items:
-        m = re.match(r"(?si)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
-        if m and not re.fullmatch(r"[A-Za-z_][\w.]*", m.group(1)):
-            hoists.append((m.group(1), m.group(2)))
-            # trailing space: the original item's trailing whitespace (often
-            # the newline before ORDER BY) was consumed by the match
-            new_items.append(f" {m.group(2)} ")
+    list and group by the alias.
+
+    Each GROUP BY is handled against its OWN query block: the enclosing
+    SELECT is the last one before that GROUP BY (so a subquery's aliased
+    GROUP BY never leaks its expr into the outer query), processed
+    right-to-left so edits don't shift earlier positions. If an alias has no
+    bare occurrence in that SELECT list (e.g. ``SELECT *``), the expression
+    is kept in the GROUP BY instead of dangling an undefined alias."""
+    matches = list(_CH_GROUPBY.finditer(sql))
+    for gb in reversed(matches):
+        start = gb.end()
+        tail = _CH_CLAUSE_END.search(sql, start)
+        end = tail.start() if tail else len(sql)
+        items = _split_top_level(sql[start:end])
+        new_items: list[str] = []
+        hoists: list[tuple[str, str]] = []
+        for it in items:
+            m = re.match(r"(?si)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+            if m and not re.fullmatch(r"[A-Za-z_][\w.]*", m.group(1)):
+                hoists.append((m.group(1), m.group(2)))
+                # trailing space: the original item's trailing whitespace
+                # (often the newline before ORDER BY) went into the match
+                new_items.append(f" {m.group(2)} ")
+            else:
+                new_items.append(it)
+        if not hoists:
+            continue
+        head = sql[:start]
+        # this query block's SELECT/FROM: same paren depth as the GROUP BY
+        # (so neither a subquery's SELECT nor its FROM is mistaken for the
+        # block's own — paren counting ignores string literals, acceptable
+        # for the README-shaped queries this shim targets)
+        def _depth(pos: int) -> int:
+            return sql[:pos].count("(") - sql[:pos].count(")")
+
+        gb_depth = _depth(gb.start())
+        sels = [
+            m
+            for m in re.finditer(r"\bSELECT\b", head, re.IGNORECASE)
+            if _depth(m.start()) == gb_depth
+        ]
+        sel = sels[-1] if sels else None
+        frm = None
+        if sel:
+            for m in re.finditer(r"\bFROM\b", head, re.IGNORECASE):
+                if m.start() > sel.end() and _depth(m.start()) == gb_depth:
+                    frm = m
+                    break
+        if sel and frm:
+            lo, hi = sel.end(), frm.start()
+            select_list = head[lo:hi]
+            for i, (expr, alias) in enumerate(hoists):
+                # lambda replacement: expr may contain backslashes, which a
+                # template string would mangle as escape sequences
+                select_list, n = re.subn(
+                    rf"(?<![\w.']){alias}(?![\w.'])",
+                    lambda m, e=expr, a=alias: f"{e} AS {a}",
+                    select_list,
+                    count=1,
+                )
+                if n == 0:
+                    # alias not referenced (SELECT * etc.) — group by the
+                    # expression itself rather than an undefined alias
+                    new_items[new_items.index(f" {alias} ")] = f" {expr} "
+            head = head[:lo] + select_list + head[hi:]
         else:
-            new_items.append(it)
-    if not hoists:
-        return sql
-    head, rest = sql[:start], sql[start:]  # keep positions stable while editing head
-    sel = re.search(r"\bSELECT\b", head, re.IGNORECASE)
-    frm = re.search(r"\bFROM\b", head, re.IGNORECASE)
-    if sel and frm and sel.end() < frm.start():
-        select_list = head[sel.end() : frm.start()]
-        for expr, alias in hoists:
-            select_list = re.sub(
-                rf"(?<![\w.']){alias}(?![\w.'])", f"{expr} AS {alias}", select_list, count=1
-            )
-        head = head[: sel.end()] + select_list + head[frm.start() :]
-    return head + ",".join(new_items) + rest[end - start :]
+            # no resolvable SELECT list — keep expressions in the GROUP BY
+            for expr, alias in hoists:
+                new_items[new_items.index(f" {alias} ")] = f" {expr} "
+        sql = head + ",".join(new_items) + sql[end:]
+    return sql
 
 
 def translate_clickhouse_sql(sql: str) -> str:

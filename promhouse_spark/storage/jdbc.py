@@ -101,8 +101,15 @@ class JdbcStorage(SparkParquetStorage):
         try:
             return self._opts(self.spark.read, table, partitioned).load()
         except Exception as e:  # noqa: BLE001 — absent table ≡ empty storage
-            # mirror parquet's read-or-empty: first read before first write
-            if "not exist" in str(e).lower() or "not found" in str(e).lower():
+            # mirror parquet's read-or-empty: first read before first write.
+            # Wordings across engines: Derby "does not exist", ClickHouse
+            # "Table ... doesn't exist. (UNKNOWN_TABLE)", Postgres-family
+            # "relation ... does not exist" / "not found".
+            msg = str(e).lower()
+            if any(
+                p in msg
+                for p in ("not exist", "doesn't exist", "not found", "unknown_table", "unknown table")
+            ):
                 return None
             raise
 

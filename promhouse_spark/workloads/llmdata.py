@@ -204,6 +204,35 @@ def emb_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def emb_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (operators/similarity.py:knn_join): the 5 lowest-id
+    embeddings — a bounded query batch — each matched to their 3 nearest
+    corpus neighbors by cosine. The bounded left side makes the cross join
+    5×N (a broadcast nested-loop at any scale), so exact k-NN is safe here;
+    unbounded-left callers use the LSH/IVF paths instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.orderBy("vec_id").limit(5)
+    return S.knn_join(batch, emb, k=3).orderBy("left_id", F.desc("cosine"), "right_id")
+
+
+EMB_KNN_JOIN_BATCH_SQL = """
+SELECT left_id, right_id, cosine FROM (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) a
+  CROSS JOIN embeddings b
+) WHERE rn <= 3
+ORDER BY left_id, cosine DESC, right_id
+"""
+
+
 EMB_KNN_WITHIN_LABEL_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -270,6 +299,7 @@ QUERIES = {
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_knn_within_label": emb_knn_within_label,
+    "emb_knn_join_batch": emb_knn_join_batch,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash_dups": doc_simhash_dups,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
@@ -285,6 +315,7 @@ ORACLES = {
     "doc_jaccard_pairs": DOC_JACCARD_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_knn_within_label": EMB_KNN_WITHIN_LABEL_SQL,
+    "emb_knn_join_batch": EMB_KNN_JOIN_BATCH_SQL,
 }
 
 

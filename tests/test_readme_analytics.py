@@ -187,8 +187,23 @@ ANY INNER JOIN
 ) USING (fingerprint)""",
     )
     assert len(res) == 10
-    counts = sorted((ts.samples[0].value for ts in res), reverse=True)
-    assert counts[0] == max(counts) and counts[0] >= counts[-1]
+    # expected: the top-10 per-series sample counts from the fixture
+    # (rebuilt with the same in-process hash the fixture used)
+    fixture_counts = sorted(
+        (
+            float(1 + (hash((job, i, m)) % 5))
+            for job, n, metrics in [
+                ("node", 3, ("up", "cpu", "mem")),
+                ("api", 2, ("up", "requests")),
+                ("db", 1, ("up",)),
+            ]
+            for i in range(n)
+            for m in metrics
+        ),
+        reverse=True,
+    )[:10]
+    got_counts = sorted((ts.samples[0].value for ts in res), reverse=True)
+    assert got_counts == fixture_counts
     # every labels "column" is the canonical JSON object string
     for ts in res:
         parsed = json.loads(ts.labels_map()["labels"])
