@@ -42,7 +42,12 @@ def _increase_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     """Per-series fold: vectorized counter-reset-aware increase over the
-    batch's samples, seeded from (and updating) the keyed state."""
+    batch's samples, seeded from (and updating) the keyed state.
+
+    The group iterator yields one pandas chunk per Arrow batch with NO
+    ordering guarantee across chunks, so the whole group is concatenated
+    before the single time-sort — sorting chunks independently would
+    mis-order samples whenever a series spans >maxRecordsPerBatch rows."""
     (fp,) = key
     if state.exists:
         last_ts, last_value, cum = state.get
@@ -50,12 +55,11 @@ def _increase_fn(
         last_ts, last_value, cum = None, None, 0.0
     inc = 0.0
     n = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(TIMESTAMP_MS)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(TIMESTAMP_MS)
         vals = pdf[VALUE].to_numpy()
-        if len(vals) == 0:
-            continue
-        n += len(vals)
+        n = len(vals)
         prev = vals[:-1]
         if last_value is not None:
             import numpy as np
@@ -66,7 +70,7 @@ def _increase_fn(
             cur = vals[1:]
         diffs = cur - prev
         # counter reset: a drop restarts the counter at cur
-        inc += float((diffs * (diffs >= 0) + cur * (diffs < 0)).sum())
+        inc = float((diffs * (diffs >= 0) + cur * (diffs < 0)).sum())
         last_value = float(vals[-1])
         last_ts = int(pdf[TIMESTAMP_MS].iloc[-1])
     cum += inc

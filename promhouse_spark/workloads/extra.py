@@ -386,3 +386,94 @@ ORDER BY user_id, window_start_ms
 
 QUERIES.update({"ph_rate_counter": ph_rate_counter})
 ORACLES.update({"ph_rate_counter": PH_RATE_COUNTER_SQL})
+
+
+def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous stateful increase (streaming/stateful.py) driven as a real
+    two-micro-batch Structured Streaming run: events are time-split at the
+    midpoint, the first half is streamed, then the second half arrives as a
+    later micro-batch — so every series' boundary delta crosses keyed state.
+    The per-series cumulative totals must equal the batch/SQL computation
+    regardless of the split (the differential the oracle pins)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+    from promhouse_spark.streaming.stateful import continuous_increase
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+    lo, hi = samples.agg(F.min("timestamp_ms"), F.max("timestamp_ms")).first()
+    mid = (lo + hi) // 2
+
+    tmp = tempfile.mkdtemp(prefix="ph_stream_inc_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    name = f"ph_stream_inc_{uuid.uuid4().hex[:8]}"
+    samples.filter(F.col("timestamp_ms") < mid).write.parquet(src)
+    q = (
+        continuous_increase(
+            spark.readStream.schema(SAMPLES_SCHEMA).parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        samples.filter(F.col("timestamp_ms") >= mid).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)  # memory sink rows outlive the stream + tmp dir
+    shutil.rmtree(tmp, ignore_errors=True)
+    # update mode emits one row per (series, batch); the final state of a
+    # series is its max-last_ts row, total samples the sum over its batches
+    return (
+        out.groupBy("fingerprint")
+        .agg(
+            F.round(F.max("cum_increase"), 6).alias("cum_increase"),
+            F.max("last_ts").alias("last_ts"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "cum_increase",
+            "last_ts",
+            "n_samples",
+        )
+        .orderBy("user_id")
+    )
+
+
+PH_STREAM_INCREASE_SQL = """
+WITH deltas AS (
+  SELECT user_id,
+         epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(value) OVER w IS NULL THEN 0.0
+              WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+              ELSE value END AS inc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+)
+SELECT user_id,
+       round(sum(inc), 6) AS cum_increase,
+       max(ts_ms) AS last_ts,
+       count(*) AS n_samples
+FROM deltas
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES.update({"ph_stream_increase": ph_stream_increase})
+ORACLES.update({"ph_stream_increase": PH_STREAM_INCREASE_SQL})
