@@ -118,22 +118,39 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Per-doc MinHash signature as an array<long> column, entirely in
-    built-ins: shingle → xxhash64 → per-hash-function min aggregate."""
+    built-ins and entirely shuffle-free: shingle → xxhash64 array, then the
+    whole signature as one nested higher-order expression
+    ``transform(params, p -> array_min(transform(h32s, x -> perm(p, x))))``.
+
+    The earlier explode→groupBy formulation shuffled #docs × #shingles rows
+    and paid 48-aggregate codegen; this is a pure per-row map — at 100 TB it
+    pipelines with the scan, no exchange at all."""
     df = ensure_parallelism(df, id_col)
     toks = F.split(F.col(text_col), " ")
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(toks, shingle_n))).alias("shingle"),
-    ).select(
-        id_col, F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h32")
+    h32s = F.transform(
+        F.array_distinct(shingles(toks, shingle_n)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h32") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_mh_params(num_hashes, seed))
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature")
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for (a, b) in _mh_params(num_hashes, seed)
+        ]
+    )
+    # h32s is materialized in its own projection so the 48 per-param scans
+    # reuse the hashed array instead of re-hashing every shingle 48×
+    withh = df.select(F.col(id_col), h32s.alias("h32s"))
+    return withh.select(
+        id_col,
+        F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(
+                    F.col("h32s"),
+                    lambda x: F.pmod(p["a"] * x + p["b"], F.lit(_MH_PRIME)),
+                )
+            ),
+        ).alias("signature"),
     )
 
 
@@ -155,10 +172,14 @@ def minhash_lsh_candidates(
     aggregate-expression count (64 also hits a pathological JIT regime on
     repeat runs), while fewer hashes lose estimator resolution."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # persisted once, consumed three times (both join sides share the banded
+    # lineage; the signature attach reuses it after the pair dedup)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
+    # the band self-join moves only (id, band, bucket) — 24 bytes/row, not
+    # the 48-long signature; at corpus scale the exchange is 20× slimmer and
+    # the dedup shuffle never carries arrays
     banded = sig.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -172,10 +193,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
-    # both sides of the self-join share this lineage — persist so the
-    # signature aggregation runs once, not twice
-    banded = banded.persist()
+    ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -188,10 +206,17 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # candidate pairs ≪ corpus: attach signatures after dedup (AQE picks
+    # broadcast/shuffle by runtime size; ids are unique so no skew)
+    attached = pairs.join(
+        sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sig.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b")),
+        "doc_b",
     )
     est = F.round(
         F.size(
@@ -203,7 +228,7 @@ def minhash_lsh_candidates(
         / F.lit(num_hashes),
         4,
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return attached.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def simhash(
