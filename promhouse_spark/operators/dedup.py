@@ -238,31 +238,37 @@ def simhash(
     shingle_n: int = 2,
     num_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document, all in built-ins: explode shingles →
-    per-bit ±1 sums (64 conditional aggregates) → bit-OR fold."""
+    """64-bit SimHash per document, all in built-ins and shuffle-free:
+    shingle → xxhash64 array, then per-bit one-counts as 64 array folds.
+    Bit i of the fingerprint is set when the ±1 sum is positive, i.e. when
+    ``2·ones_i > n``. The earlier explode→groupBy(64 conditional aggregates)
+    shuffled #docs × #shingles rows; this is a pure per-row map that
+    pipelines with the scan."""
     df = ensure_parallelism(df, id_col)
     toks = F.split(F.col(text_col), " ")
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(toks, shingle_n))).alias("shingle"),
-    ).select(id_col, F.xxhash64("shingle").alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(num_bits)
-    ]
-    sums = sh.groupBy(id_col).agg(*bit_aggs)
+    hs = F.transform(
+        F.array_distinct(shingles(toks, shingle_n)), lambda s: F.xxhash64(s)
+    )
+    # hs/n materialized in their own projection so the 64 folds reuse them
+    withh = df.select(F.col(id_col), hs.alias("hs"), F.size(hs).alias("n"))
+
+    def ones(i: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, x: acc + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
     fp = F.lit(0).cast("long")
     for i in range(num_bits):
         # bit 63 is the sign bit in two's-complement LongType
         bit_value = (1 << i) if i < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
-            F.when(F.col(f"s{i}") > 0, F.lit(bit_value).cast("long")).otherwise(
+            F.when(ones(i) * 2 > F.col("n"), F.lit(bit_value).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return sums.select(id_col, fp.alias("simhash"))
+    return withh.select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_duplicates(
