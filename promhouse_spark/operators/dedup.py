@@ -118,13 +118,19 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Per-doc MinHash signature as an array<long> column, entirely in
-    built-ins and entirely shuffle-free: shingle → xxhash64 array, then the
-    whole signature as one nested higher-order expression
-    ``transform(params, p -> array_min(transform(h32s, x -> perm(p, x))))``.
+    built-ins and entirely shuffle-free: shingle → xxhash64 array, then one
+    fold over the hashes with a ``num_hashes``-slot running-minimum
+    accumulator — ``aggregate(h32s, [P..], (acc, x) -> zip_with(acc, params,
+    (m, p) -> least(m, perm(p, x))))``.
 
     The earlier explode→groupBy formulation shuffled #docs × #shingles rows
     and paid 48-aggregate codegen; this is a pure per-row map — at 100 TB it
-    pipelines with the scan, no exchange at all."""
+    pipelines with the scan, no exchange at all. The loop order matters:
+    folding over the hash array once keeps the shingle split/hash chain
+    evaluated once per document even after Catalyst's CollapseProject
+    inlines it (the params-outer formulation re-hashed every shingle
+    ``num_hashes``× because the inlined chain sat inside the per-param
+    lambda)."""
     df = ensure_parallelism(df, id_col)
     toks = F.split(F.col(text_col), " ")
     h32s = F.transform(
@@ -137,21 +143,18 @@ def minhash_signatures(
             for (a, b) in _mh_params(num_hashes, seed)
         ]
     )
-    # h32s is materialized in its own projection so the 48 per-param scans
-    # reuse the hashed array instead of re-hashing every shingle 48×
-    withh = df.select(F.col(id_col), h32s.alias("h32s"))
-    return withh.select(
-        id_col,
-        F.transform(
+    # P is prime and > every pmod value, so it is the identity for least()
+    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes)
+    sig = F.aggregate(
+        h32s,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
             params,
-            lambda p: F.array_min(
-                F.transform(
-                    F.col("h32s"),
-                    lambda x: F.pmod(p["a"] * x + p["b"], F.lit(_MH_PRIME)),
-                )
-            ),
-        ).alias("signature"),
+            lambda m, p: F.least(m, F.pmod(p["a"] * x + p["b"], F.lit(_MH_PRIME))),
+        ),
     )
+    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(

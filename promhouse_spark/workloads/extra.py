@@ -399,8 +399,6 @@ def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import Window
-
     from promhouse_spark.schemas import SAMPLES_SCHEMA
     from promhouse_spark.streaming.stateful import continuous_increase
 
@@ -438,11 +436,14 @@ def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name)  # memory sink rows outlive the stream + tmp dir
     shutil.rmtree(tmp, ignore_errors=True)
     # update mode emits one row per (series, batch); the final state of a
-    # series is its max-last_ts row, total samples the sum over its batches
-    return (
+    # series is its max-last_ts row (max_by, NOT max(cum): cum_increase is
+    # only monotone while samples are non-negative), total samples the sum
+    agg = (
         out.groupBy("fingerprint")
         .agg(
-            F.round(F.max("cum_increase"), 6).alias("cum_increase"),
+            F.round(
+                F.max_by("cum_increase", "last_ts"), 6
+            ).alias("cum_increase"),
             F.max("last_ts").alias("last_ts"),
             F.sum("n_samples").alias("n_samples"),
         )
@@ -454,6 +455,11 @@ def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+    # one row per series — materialize so the uuid-named memory-sink view
+    # can be dropped instead of leaking into the session catalog per run
+    rows = agg.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 PH_STREAM_INCREASE_SQL = """

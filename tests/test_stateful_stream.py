@@ -10,7 +10,7 @@ from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.streaming.stateful import continuous_increase
 
 
-def _write_batch(spark, path, rows, part):
+def _write_batch(spark, path, rows):
     spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(path)
@@ -29,7 +29,6 @@ def stream_env(spark, tmp_path):
             (1, 2_000, 13.0),  # +3
             (2, 1_000, 5.0),
         ],
-        0,
     )
     return src, ckpt
 
@@ -70,7 +69,6 @@ def test_increase_state_survives_batches(spark, stream_env):
                 (2, 3_000, 2.0),
                 (2, 4_000, 4.0),
             ],
-            1,
         )
         q.processAllAvailable()
         rows = spark.sql(
@@ -92,10 +90,16 @@ def test_increase_matches_batch_operator(spark, stream_env, tmp_path):
     """Differential: the streaming cumulative total over all batches equals
     the batch promql_lite increase over the union of the data."""
     src, _ = stream_env
-    _write_batch(spark, src, [(1, 3_000, 20.0), (1, 4_000, 2.0)], 1)
+    _write_batch(spark, src, [(1, 3_000, 20.0), (1, 4_000, 2.0)])
 
     ckpt2 = str(tmp_path / "ckpt2")
-    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(src)
+    # one file per trigger: the second file MUST cross keyed state (the
+    # boundary-delta + reset-at-boundary path this differential exists for)
+    stream = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
     q = (
         continuous_increase(stream)
         .writeStream.format("memory")
@@ -127,3 +131,69 @@ def test_increase_matches_batch_operator(spark, stream_env, tmp_path):
     )
     for r in batch:
         assert got[r["fingerprint"]] == r["total"], r
+
+
+def test_increase_timeout_reaps_idle_series(spark, stream_env):
+    """timeout_ms arms a per-key processing-time timer; an idle series is
+    removed from state (observable as numRowsRemoved in query progress) and
+    a later sample re-seeds from scratch — its cumulative restarts at 0
+    instead of continuing the pre-reap total.
+
+    NOTE: with a processing-time timeout the engine keeps running no-data
+    state-cleanup batches, so ``processAllAvailable`` never returns — the
+    test polls the sink and the progress feed instead (same as production,
+    where a trigger interval paces those cleanup batches)."""
+    import time
+
+    src, ckpt = stream_env
+    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(src)
+    q = (
+        continuous_increase(stream, timeout_ms=1_500)
+        .writeStream.format("memory")
+        .queryName("inc_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def poll(pred, what, tries=90):
+        for _ in range(tries):
+            if pred():
+                return
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    def reaped():
+        return any(
+            so.get("numRowsRemoved", 0) > 0
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
+
+    try:
+        poll(
+            lambda: spark.sql(
+                "SELECT * FROM inc_timeout WHERE last_ts = 2000"
+            ).count()
+            > 0,
+            "first batch output",
+        )
+        # series 1 ends batch 1 at cum=3; let its 1.5 s timer fire
+        poll(reaped, "state reap (numRowsRemoved > 0)")
+        _write_batch(spark, src, [(1, 3_000, 20.0)])
+        poll(
+            lambda: spark.sql(
+                "SELECT * FROM inc_timeout WHERE last_ts = 3000"
+            ).count()
+            > 0,
+            "post-reap output",
+        )
+        row = spark.sql(
+            "SELECT * FROM inc_timeout WHERE last_ts = 3000"
+        ).collect()[0]
+        # state was removed: the 20.0 sample is a fresh series, not 13→20
+        assert row["batch_increase"] == 0.0
+        assert row["cum_increase"] == 0.0
+        assert row["n_samples"] == 1
+    finally:
+        q.stop()
