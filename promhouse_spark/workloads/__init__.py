@@ -22,8 +22,21 @@ from promhouse_spark.workloads import events as _events
 from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import tpch as _tpch
+from promhouse_spark.workloads import tpch2 as _tpch2
 
-QUERIES = {**_tpch.QUERIES, **_events.QUERIES, **_llmdata.QUERIES, **_extra.QUERIES}
-ORACLES = {**_tpch.ORACLES, **_events.ORACLES, **_llmdata.ORACLES, **_extra.ORACLES}
+QUERIES = {
+    **_tpch.QUERIES,
+    **_tpch2.QUERIES,
+    **_events.QUERIES,
+    **_llmdata.QUERIES,
+    **_extra.QUERIES,
+}
+ORACLES = {
+    **_tpch.ORACLES,
+    **_tpch2.ORACLES,
+    **_events.ORACLES,
+    **_llmdata.ORACLES,
+    **_extra.ORACLES,
+}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"

@@ -133,6 +133,24 @@ def test_no_forced_broadcast_on_sf_scaled_tables(spark, sf_dir):
     assert _analyzed(extra.q10_returned_items(spark, sf_dir)).count("ResolvedHint") == 1
 
 
+def test_tpch2_decorrelated_shapes_carry_no_sf_hint(spark, sf_dir):
+    """The third-wave shapes (correlated-subquery decorrelations) derive
+    SF-scaled sets (per-part averages, per-order supplier counts, the
+    revenue view) — none may carry a forced hint; q7 hints exactly its two
+    25-row nation roles."""
+    from promhouse_spark.workloads import tpch2
+
+    for name in (
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q21_waiting_supplier",
+        "q22_global_sales_opportunity",
+    ):
+        plan = _analyzed(tpch2.QUERIES[name](spark, sf_dir))
+        assert "ResolvedHint" not in plan, f"{name} carries a forced join hint"
+    assert _analyzed(tpch2.q7_volume_shipping(spark, sf_dir)).count("ResolvedHint") == 2
+
+
 def test_column_pruning(spark, sf_dir):
     """A 2-column projection must not read all 11 lineitem columns."""
     from promhouse_spark.session import load_table
