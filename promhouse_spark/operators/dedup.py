@@ -423,3 +423,62 @@ def embedding_cosine_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components over an undirected dup-pair graph:
+    the glue between pair generation (Jaccard / MinHash / SimHash /
+    embedding-cosine) and "keep one document per duplicate cluster".
+
+    Min-label propagation over the static symmetrized edge set: every node
+    starts labeled with its own id; each round every node takes the minimum
+    of its label and its neighbors' labels (one shuffle-join on node id +
+    one keyed aggregation per round). By induction the label after round k
+    is the minimum id within k hops, so the fixpoint is the component
+    minimum, reached in O(diameter) rounds — 1-2 for real duplicate
+    clusters, which are near-cliques; ``max_iter`` bounds adversarial
+    chains. Per round the label frame is localCheckpointed — without it the
+    join lineage doubles per iteration and Catalyst re-plans the whole
+    history.
+
+    Returns (node, component) with component = min node id reachable.
+    Driver-side work is one boolean convergence check per round (``head(1)``
+    on the changed-labels frame), never the edge or node set itself.
+    """
+    # undirected → both directions, self-loops dropped; edges are REUSED
+    # every round, so materialize once
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = e.select("u").distinct().select("u", F.col("u").alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            e.join(lab.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = (
+            lab.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = not nxt.filter(F.col("changed")).head(1)
+        lab = nxt.drop("changed")
+        if done:
+            break
+    return lab.select(F.col("u").alias("node"), F.col("label").alias("component"))

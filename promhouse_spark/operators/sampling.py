@@ -1,0 +1,64 @@
+"""Deterministic dataset splitting for training-data pipelines
+(beyond-reference).
+
+A split must be (a) reproducible across runs and engines, (b) a pure
+per-row map — no shuffle, no global state — so it composes with any scan at
+any scale, and (c) independent of row order and partitioning. Both paths
+here are single-expression column maps over the id:
+
+- ``lcg`` (default for oracle-paired tests): bucket =
+  (id * 1103515245 + 12345) mod 2^31 — plain integer arithmetic any SQL
+  engine reproduces bit-for-bit. Overflow-safe for ids < ~8.3e9
+  (2^63 / 1103515245); assert-guarded, not truncated.
+- ``xxhash64``: Spark's JVM hash for production scale (no arithmetic
+  bound, better avalanche) — not reproducible outside Spark, so tests pin
+  the LCG path and the production path is plan-shape-tested only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1 << 31
+
+
+def split_bucket(id_col: Column | str, method: str = "lcg") -> Column:
+    """Uniform [0, 1) bucket for a 64-bit id column, order/partition
+    independent."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if method == "lcg":
+        return (
+            F.pmod(c * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+            / F.lit(float(_LCG_M))
+        )
+    if method == "xxhash64":
+        # map signed long to [0, 1): shift the sign bit out first
+        return F.shiftrightunsigned(F.xxhash64(c), 11) / F.lit(float(1 << 53))
+    raise ValueError(f"unknown split method: {method}")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    method: str = "lcg",
+) -> DataFrame:
+    """Assign every row a deterministic split label from cumulative weight
+    ranges over the id bucket. Adds a ``split`` column; never shuffles."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = split_bucket(id_col, method)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        expr = (
+            F.when(bucket < acc, name)
+            if expr is None
+            else expr.when(bucket < acc, name)
+        )
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

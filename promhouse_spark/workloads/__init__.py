@@ -21,6 +21,7 @@ from __future__ import annotations
 from promhouse_spark.workloads import events as _events
 from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
+from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 
@@ -29,6 +30,7 @@ QUERIES = {
     **_tpch2.QUERIES,
     **_events.QUERIES,
     **_llmdata.QUERIES,
+    **_llmdata2.QUERIES,
     **_extra.QUERIES,
 }
 ORACLES = {
@@ -36,6 +38,7 @@ ORACLES = {
     **_tpch2.ORACLES,
     **_events.ORACLES,
     **_llmdata.ORACLES,
+    **_llmdata2.ORACLES,
     **_extra.ORACLES,
 }
 

@@ -485,6 +485,84 @@ QUERIES.update({"ph_stream_increase": ph_stream_increase})
 ORACLES.update({"ph_stream_increase": PH_STREAM_INCREASE_SQL})
 
 
+def ph_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous sample dedup — the streaming form of the reference's
+    ReplacingMergeTree collapse (`clickhouse.go:86-91`, duplicate series/
+    sample rows written concurrently by multiple instances): a
+    ``dropDuplicates`` on the natural sample key with cross-batch keyed
+    state. Driven as a real two-micro-batch run where the second batch
+    re-sends a third of the first (every fingerprint % 3 == 0) alongside
+    its own new rows; the deduped per-series totals must equal the batch
+    DISTINCT the oracle computes, proving re-sent rows were absorbed by
+    state, not re-emitted."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+    lo, hi = samples.agg(F.min("timestamp_ms"), F.max("timestamp_ms")).first()
+    mid = (lo + hi) // 2
+    first = samples.filter(F.col("timestamp_ms") < mid)
+
+    tmp = tempfile.mkdtemp(prefix="ph_stream_dedup_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    name = f"ph_stream_dedup_{uuid.uuid4().hex[:8]}"
+    first.write.parquet(src)
+    q = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .parquet(src)
+        .dropDuplicates(["fingerprint", "timestamp_ms"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
+            first.filter(F.col("fingerprint") % 3 == 0)
+        )
+        second.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    agg = (
+        out.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("fingerprint").alias("user_id"), "n_samples", "sum_value")
+        .orderBy("user_id")
+    )
+    rows = agg.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+PH_STREAM_DEDUP_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(value), 6) AS sum_value
+FROM (SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms, value FROM events)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES.update({"ph_stream_dedup": ph_stream_dedup})
+ORACLES.update({"ph_stream_dedup": PH_STREAM_DEDUP_SQL})
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted: no commit/receipt dates in this schema —
     "late" = a lineitem shipped >60 days after the order date): correlated

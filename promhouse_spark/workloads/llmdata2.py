@@ -1,0 +1,226 @@
+"""Third-wave LLM-data-pipeline workloads: duplicate-cluster resolution
+(connected components over the near-dup pair graph), exact length quantiles,
+deterministic train/val/test splitting, and per-label embedding centroid
+analytics. Each pairs a Spark-native implementation with a DuckDB oracle
+that reaches the same answer by a different algorithm (recursive CTE vs
+iterative propagation, correlated quantiles vs keyed percentile, the same
+arithmetic hash, parallel-unnest vs higher-order array folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.operators import dedup as D
+from promhouse_spark.operators import sampling as SP
+from promhouse_spark.session import load_table
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact-Jaccard ≥ 0.8 pairs (source-
+    blocked, same edges as ``doc_jaccard_pairs``) fed through distributed
+    min-label propagation (operators/dedup.py:connected_components). One
+    row per cluster: its id (= min doc_id = the keeper a dedup pipeline
+    retains), member count, and max member. The oracle computes the same
+    components by recursive-CTE transitive closure — a genuinely different
+    algorithm reaching the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, group_col="source", threshold=0.8)
+    cc = D.connected_components(edges, "doc_a", "doc_b")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("node").alias("max_doc"),
+        )
+        .select(F.col("component").alias("cluster_id"), "n_docs", "max_doc")
+        .orderBy("cluster_id")
+    )
+
+
+DOC_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(node) AS max_doc
+FROM comp
+GROUP BY component
+ORDER BY cluster_id
+"""
+
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation length percentiles per language — corpus
+    distribution analysis ahead of filtering. Spark's ``percentile`` (exact,
+    sort-based per group) vs DuckDB's ``quantile_cont``."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            qs.alias("q"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            *[
+                F.round(F.col("q")[i], 4).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p90", "p99"])
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by arithmetic id hash
+    (operators/sampling.py) — a pure per-row map, no shuffle, identical
+    assignment in any engine. Per-split membership is pinned by count, a
+    doc_id checksum, and the char total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+DOC_TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(doc_id) AS id_checksum,
+       sum(n_chars) AS total_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS b
+  FROM documents
+)
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid analytics: element-wise mean vector per
+    label (posexplode → keyed avg → re-assembled array), then each member's
+    euclidean distance to its centroid via one zip_with/aggregate fold —
+    the spread statistic a clustering-quality gate reads. Everything is
+    JVM-side built-ins; the 64-dim centroid table is tiny (one row per
+    label) and joins back broadcast-style under AQE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    exploded = emb.select("vec_id", "label", F.posexplode(v).alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    return (
+        emb.join(cent, "label")
+        .select("label", dist.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("d"), 4).alias("avg_dist"),
+            F.round(F.max("d"), 4).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_SQL = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), exploded AS (
+  SELECT vec_id, label,
+         unnest(emb) AS x,
+         unnest(range(1, array_length(emb) + 1)) AS i
+  FROM v
+), cent AS (
+  SELECT label, i, avg(x) AS c FROM exploded GROUP BY label, i
+), dist AS (
+  SELECT e.vec_id, e.label, sqrt(sum((e.x - c.c) * (e.x - c.c))) AS d
+  FROM exploded e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY e.vec_id, e.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(d), 4) AS avg_dist,
+       round(max(d), 4) AS max_dist
+FROM dist
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "doc_dup_clusters": doc_dup_clusters,
+    "doc_length_quantiles": doc_length_quantiles,
+    "doc_train_split": doc_train_split,
+    "emb_centroid_per_label": emb_centroid_per_label,
+}
+
+ORACLES = {
+    "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
+    "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
+    "doc_train_split": DOC_TRAIN_SPLIT_SQL,
+    "emb_centroid_per_label": EMB_CENTROID_SQL,
+}

@@ -252,3 +252,58 @@ def test_multimodal_features_match_independent_python(spark, sf_dir):
         assert r["n_assets"] == n
         assert r["total_bytes"] == total
         assert r["avg_byte_mean"] == pytest.approx(round(fsum / n, 4), abs=1e-6)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (worst-case diameter), a triangle, an isolated pair,
+    and a singleton-free graph: every node must land on its component min,
+    including multi-hop propagation along the chain."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),        # chain: component 10
+         (20, 21), (21, 22), (20, 22),        # triangle: component 20
+         (31, 30)],                           # pair given in desc order
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_max_iter_bound(spark):
+    """max_iter=1 on the chain stops after one hop — labels are the 1-hop
+    minima, not the fixpoint — proving the bound actually cuts off."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(edges, max_iter=1).collect()
+    }
+    assert got[13] == 12  # 1 hop: 13 sees only 12, not 10
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from promhouse_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    one = {r["doc_id"]: r["split"] for r in SP.hash_split(df, "doc_id").collect()}
+    two = {
+        r["doc_id"]: r["split"]
+        for r in SP.hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert one == two  # partitioning must not affect assignment
+    from collections import Counter
+
+    frac = Counter(one.values())
+    assert 0.75 <= frac["train"] / 2000 <= 0.85
+    assert 0.05 <= frac["val"] / 2000 <= 0.15
+    assert 0.05 <= frac["test"] / 2000 <= 0.15
+    # xxhash64 production path: same contract, different hash
+    x = {
+        r["doc_id"]: r["split"]
+        for r in SP.hash_split(df, "doc_id", method="xxhash64").collect()
+    }
+    assert set(x.values()) == {"train", "val", "test"}
