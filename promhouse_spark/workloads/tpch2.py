@@ -16,7 +16,7 @@ which Spark plans as a broadcast nested loop of a single row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from promhouse_spark.session import load_table
 
@@ -24,15 +24,17 @@ from promhouse_spark.session import load_table
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar AVG subquery — lineitems of one
     brand whose quantity is below 20% of that part's average quantity.
-    Decorrelated: per-part AVG aggregate, joined back on partkey."""
+    Decorrelated as a window aggregate, not an aggregate-join: the brand
+    semi-join keeps EVERY lineitem of the selected parts, so the per-part
+    average over the joined frame equals the subquery's — one lineitem scan
+    and one shuffle on partkey instead of two of each (the aggregate-join
+    form planned 3 scans / 4 exchanges with no reuse)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
-    )
+    qty_cut = F.lit(0.2) * F.avg("l_quantity").over(W.partitionBy("l_partkey"))
     return (
-        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
-        .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -55,34 +57,40 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: no commit/receipt dates in this schema —
     "late" = shipped >90 days after the order date): suppliers that were the
     ONLY late supplier on a multi-supplier order. The reference query is a
-    correlated EXISTS + NOT EXISTS pair; here both collapse into one
-    per-order aggregate — n_supp ≥ 2 ⟺ EXISTS(other supplier),
-    n_late_supp = 1 ⟺ NOT EXISTS(other late supplier) given the probe row
-    itself is late — so one shuffle on orderkey replaces two correlated
-    scans."""
+    correlated EXISTS + NOT EXISTS pair; here both collapse into window
+    aggregates over one orderkey shuffle — n_supp ≥ 2 ⟺ EXISTS(other
+    supplier), n_late_supp = 1 ⟺ NOT EXISTS(other late supplier) given the
+    probe row itself is late. Both collect_sets share one window spec, so
+    the whole correlation costs a single exchange and a single lineitem
+    scan (the aggregate-plus-semi-join form planned 5 scans / 7 exchanges
+    with no reuse)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    lo = li.join(orders, li.l_orderkey == F.col("o_orderkey")).withColumn(
-        "is_late",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        ).cast("int"),
-    )
-    per_order = lo.groupBy("o_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    w = W.partitionBy("o_orderkey")
+    lo = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int"),
+        )
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
     )
     return (
-        lo.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ).select("o_orderkey"),
-            "o_orderkey",
-            "left_semi",
+        lo.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
