@@ -24,10 +24,12 @@ from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
+from promhouse_spark.workloads import tpch3 as _tpch3
 
 QUERIES = {
     **_tpch.QUERIES,
     **_tpch2.QUERIES,
+    **_tpch3.QUERIES,
     **_events.QUERIES,
     **_llmdata.QUERIES,
     **_llmdata2.QUERIES,
@@ -36,6 +38,7 @@ QUERIES = {
 ORACLES = {
     **_tpch.ORACLES,
     **_tpch2.ORACLES,
+    **_tpch3.ORACLES,
     **_events.ORACLES,
     **_llmdata.ORACLES,
     **_llmdata2.ORACLES,

@@ -699,3 +699,190 @@ ORACLES.update(
         "q18_large_volume_customer": Q18_SQL,
     }
 )
+
+
+def ph_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window range aggregation — the PromQL range-vector shape
+    (avg_over_time with range 2h, step 1h; `prompb.proto:45-50` ReadHints
+    step_ms semantics the reference receives): Spark's built-in sliding
+    ``F.window`` assigns every sample to range/step = 2 overlapping
+    windows JVM-side; one shuffle on (window, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+PH_SLIDING_AVG_SQL = """
+SELECT win_start AS window_start_ms, event_type,
+       round(avg(value), 6) AS avg_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type, value,
+         (epoch_ms(ts) - (epoch_ms(ts) % 3600000)) - s.o * 3600000 AS win_start
+  FROM events, (SELECT unnest(range(0, 2)) AS o) s
+)
+GROUP BY win_start, event_type
+ORDER BY window_start_ms, event_type
+"""
+
+
+def ph_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type — the 100 TB form
+    of the cardinality analytics (A4 `ph_cardinality_topk` is exact
+    countDistinct: a full shuffle of the key set; the sketch is a fixed
+    few-KB accumulator per group, mergeable map-side, so cardinality over
+    billions of series costs one narrow pass). Not SQL-expressible (DuckDB's
+    approx_count_distinct uses a different sketch) — the driver records the
+    rows-only check; tests/test_llm_ops.py pins the ≤2% relative-error gate
+    against the exact count at rsd=0.01."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES.update(
+    {"ph_sliding_avg": ph_sliding_avg, "ph_cardinality_approx": ph_cardinality_approx}
+)
+ORACLES.update({"ph_sliding_avg": PH_SLIDING_AVG_SQL})
+
+
+def ph_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation with real late-data drops: hourly
+    sample counts under ``withWatermark(delay=0)``, driven as two
+    micro-batches where the second batch re-sends rows >2 h older than the
+    first batch's max event time. Those windows closed when the watermark
+    advanced past them at the batch-1 boundary, so streaming state MUST
+    drop the re-sends — the oracle counts every event exactly once, which
+    only holds if the drops happened (absorbing them would inflate the
+    per-window counts; re-emitting closed windows would add rows)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+    lo, hi = samples.agg(F.min("timestamp_ms"), F.max("timestamp_ms")).first()
+    mid = lo + (hi - lo) * 7 // 10
+    first = samples.filter(F.col("timestamp_ms") < mid)
+    late_cut = mid - 2 * 3600 * 1000  # window end ≤ watermark - 1h: must drop
+
+    tmp = tempfile.mkdtemp(prefix="ph_stream_late_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    name = f"ph_stream_late_{uuid.uuid4().hex[:8]}"
+    first.write.parquet(src)
+    q = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp_ms")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
+            first.filter(F.col("timestamp_ms") < late_cut)
+        )
+        second.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # update mode re-emits a window each time its count grows; the final
+    # count is the max (counts are monotone)
+    agg = (
+        out.groupBy(F.unix_millis(F.col("w.start")).alias("window_start_ms"))
+        .agg(F.max("n").cast("long").alias("n_samples"))
+        .orderBy("window_start_ms")
+    )
+    rows = agg.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+PH_STREAM_LATE_DROP_SQL = """
+SELECT epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS window_start_ms,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM events
+GROUP BY 1
+ORDER BY window_start_ms
+"""
+
+QUERIES.update({"ph_stream_late_drop": ph_stream_late_drop})
+ORACLES.update({"ph_stream_late_drop": PH_STREAM_LATE_DROP_SQL})
+
+
+def ph_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-gap detection: per-series maximum inter-sample gap and the
+    timestamp where it opened (lag window + max_by) — the query an operator
+    runs to find series with scrape failures. One shuffle on the series
+    key; at 100 TB the window partitions by fingerprint exactly like the
+    storage sort order, so the sort within partitions is cheap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    gaps = ev.withColumn("gap_ms", gap_ms).filter(F.col("gap_ms").isNotNull())
+    # tie-break the arg-max by latest timestamp: max_by on equal gaps is
+    # execution-order-dependent, a struct key makes the pick total
+    key = F.struct(F.col("gap_ms"), F.unix_millis(F.col("ts")).alias("ts_ms"))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.max("gap_ms").alias("max_gap_ms"),
+            F.max(key).getField("ts_ms").alias("gap_end_ms"),
+            F.count("*").cast("long").alias("n_gaps"),
+        )
+        .orderBy(F.desc("max_gap_ms"), "user_id")
+        .limit(20)
+    )
+
+
+PH_GAP_DETECT_SQL = """
+WITH gaps AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_ms
+  FROM events
+)
+SELECT user_id, max(gap_ms) AS max_gap_ms,
+       max({'gap_ms': gap_ms, 'ts_ms': ts_ms}).ts_ms AS gap_end_ms,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps
+WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+ORDER BY max_gap_ms DESC, user_id
+LIMIT 20
+"""
+
+QUERIES.update({"ph_gap_detect": ph_gap_detect})
+ORACLES.update({"ph_gap_detect": PH_GAP_DETECT_SQL})

@@ -9,7 +9,7 @@ arithmetic hash, parallel-unnest vs higher-order array folds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from promhouse_spark.operators import dedup as D
 from promhouse_spark.operators import sampling as SP
@@ -224,3 +224,129 @@ ORACLES = {
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "emb_centroid_per_label": EMB_CENTROID_SQL,
 }
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language — the classic rebalance before
+    training (keep 10% of the dominant 'en' stratum, 50% of the rest) —
+    using the same deterministic per-row id hash as the splitter, so the
+    sample is reproducible, engine-independent, and a pure scan-time
+    filter (no shuffle, no sampleBy RNG state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 0.1).otherwise(0.5)
+    return (
+        docs.filter(SP.split_bucket("doc_id") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(doc_id) AS id_checksum,
+       sum(n_chars) AS total_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the 3 longest documents of every source (window
+    row_number with a total tiebreak) — the keep-best-per-domain selection
+    step of a curation pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
+DOC_TOP_PER_SOURCE_SQL = """
+SELECT source, rk, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+ORDER BY source, rk
+"""
+
+
+QUERIES.update(
+    {
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_top_per_source": doc_top_per_source,
+    }
+)
+ORACLES.update(
+    {
+        "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
+    }
+)
+
+
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio — the Gopher-style quality signal
+    (fraction of word 3-grams that are duplicates of an earlier 3-gram in
+    the same doc): one per-row array fold, no shuffle until the per-source
+    rollup. Flags the generated-text/boilerplate failure mode n-gram
+    Jaccard can't see (it compares across docs, not within)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = D.shingles(toks, 3)
+    rep = 1.0 - F.size(F.array_distinct(sh)) / F.size(sh)
+    return (
+        docs.select("source", rep.alias("rep_ratio"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("rep_ratio"), 4).alias("avg_rep"),
+            F.sum((F.col("rep_ratio") > 0.2).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         1.0 - list_unique(sh) * 1.0 / len(sh) AS rep_ratio
+  FROM (
+    SELECT source,
+           list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           ) AS sh
+    FROM documents
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(rep_ratio), 4) AS avg_rep,
+       sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update({"doc_repetition_filter": doc_repetition_filter})
+ORACLES.update({"doc_repetition_filter": DOC_REPETITION_SQL})

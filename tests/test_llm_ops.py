@@ -307,3 +307,26 @@ def test_hash_split_deterministic_and_partition_independent(spark):
         for r in SP.hash_split(df, "doc_id", method="xxhash64").collect()
     }
     assert set(x.values()) == {"train", "val", "test"}
+
+
+def test_cardinality_approx_error_bound(spark, sf_dir):
+    """ph_cardinality_approx has no SQL oracle (engine sketches differ);
+    its deterministic gate: HLL++ at rsd=0.01 within 2% of the exact
+    countDistinct per group."""
+    from promhouse_spark.workloads.extra import ph_cardinality_approx
+    from promhouse_spark.session import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ph_cardinality_approx(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.02 * ex), (k, approx[k], ex)
