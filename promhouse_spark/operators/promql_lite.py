@@ -58,6 +58,50 @@ def rate(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
     )
 
 
+def histogram_quantile(
+    buckets_df: DataFrame,
+    q: float,
+    group_cols: tuple[str, ...] = (FINGERPRINT,),
+    le_col: str = "le",
+    count_col: str = "cum_count",
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` over cumulative buckets.
+
+    Input: one row per (group, bucket upper bound ``le``) carrying the
+    CUMULATIVE count ≤ le (the Prometheus ``_bucket`` series shape). Per
+    group: rank = q × total; the answer is linearly interpolated inside the
+    first bucket whose cumulative count reaches the rank, from the previous
+    bucket bound (0 below the first bucket — Prometheus semantics).
+
+    One lag-window pass over the le order + a rank filter — no Python, no
+    per-group iteration; the window partitions by the group key, so at
+    100 TB this shuffles each group's ≤ few-dozen bucket rows once (the raw
+    samples never move — bucket counts are the pre-aggregated input)."""
+    wg = W.partitionBy(*group_cols)
+    w = wg.orderBy(le_col)
+    rank = F.lit(q) * F.max(count_col).over(wg)
+    prev_le = F.lag(le_col).over(w)
+    prev_cnt = F.coalesce(F.lag(count_col).over(w), F.lit(0.0))
+    lo = F.coalesce(prev_le, F.lit(0.0))
+    # materialize every window value BEFORE the rank filter — a window
+    # expression evaluated after the filter would re-run over the filtered
+    # frame and lag against the wrong neighbor
+    interp = F.col("_lo") + (F.col(le_col) - F.col("_lo")) * (
+        F.col("_rank") - F.col("_pcnt")
+    ) / (F.col(count_col) - F.col("_pcnt"))
+    return (
+        buckets_df.withColumn("_rank", rank)
+        .withColumn("_pcnt", prev_cnt)
+        .withColumn("_lo", lo)
+        .filter((F.col(count_col) >= F.col("_rank")) & (F.col("_pcnt") < F.col("_rank")))
+        .select(
+            *group_cols,
+            F.round(interp, 6).alias("quantile"),
+            F.col("_rank").alias("rank"),
+        )
+    )
+
+
 def delta_over_time(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
     """Gauge delta per (fingerprint, window): last - first by time."""
     return (

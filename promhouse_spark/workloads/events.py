@@ -356,7 +356,88 @@ ORDER BY day
 """
 
 
+# one bucketed copy of the fact table per (Spark app, corpus dir): the
+# bucket shuffle is paid once at write time, every query after is
+# exchange-free on the bucket key
+_BUCKETED_CACHE: dict[tuple[str, str], str] = {}
+
+
+def ph_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1 on a bucketed layout: the samples⋈series fingerprint join and
+    the group-into-series aggregation with ZERO hash exchanges. The events
+    fact table is written once per session via ``bucketBy(8, user_id)``
+    (``storage/bucketed.py`` — the MergeTree-clustering analogue that also
+    co-locates joins, which MergeTree cannot); both the per-user aggregate
+    and the join of that aggregate back to the facts then reuse the on-disk
+    hash layout. Two-pass above-the-user's-average counting — the classic
+    shape that pays two fact shuffles unbucketed and none bucketed
+    (plan-asserted in tests/test_bucketed.py)."""
+    import os
+    import re
+    import tempfile
+
+    from promhouse_spark.storage import bucketed as B
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table = _BUCKETED_CACHE.get(key)
+    if table is None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        suffix = re.sub(r"[^0-9a-z]+", "_", os.path.abspath(sf_dir).lower())
+        table = f"phs_events_bucketed{suffix}"
+        path = tempfile.mkdtemp(prefix="phs-bucketed-") + "/events"
+        B.write_bucketed(
+            ev, table, path, key="user_id", num_buckets=8,
+            sort_cols=("user_id", "ts_us"),
+        )
+        _BUCKETED_CACHE[key] = table
+    evb = spark.table(table)
+    stats = evb.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    above = (
+        evb.select("user_id", "value")
+        .join(stats.select("user_id", "avg_value"), "user_id")
+        .filter(F.col("value") > F.col("avg_value"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_above"))
+    )
+    return (
+        stats.join(above, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.coalesce("n_above", F.lit(0)).cast("long").alias("n_above_avg"),
+            "avg_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+PH_BUCKETED_JOIN_SQL = """
+WITH stats AS (
+  SELECT user_id, round(avg(value), 6) AS avg_value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT s.user_id, s.n_events,
+       CAST(coalesce(a.n_above, 0) AS BIGINT) AS n_above_avg,
+       s.avg_value
+FROM stats s
+LEFT JOIN (
+  SELECT e.user_id, count(*) AS n_above
+  FROM events e JOIN stats st ON e.user_id = st.user_id
+  WHERE e.value > st.avg_value
+  GROUP BY e.user_id
+) a ON s.user_id = a.user_id
+ORDER BY s.user_id
+"""
+
+
 QUERIES = {
+    "ph_bucketed_join": ph_bucketed_join,
     "ph_time_range": ph_time_range,
     "ph_matcher_eq": ph_matcher_eq,
     "ph_matcher_regex": ph_matcher_regex,
@@ -373,6 +454,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ph_bucketed_join": PH_BUCKETED_JOIN_SQL,
     "ph_time_range": PH_TIME_RANGE_SQL,
     "ph_matcher_eq": PH_MATCHER_EQ_SQL,
     "ph_matcher_regex": PH_MATCHER_REGEX_SQL,

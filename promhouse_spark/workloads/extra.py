@@ -886,3 +886,65 @@ LIMIT 20
 
 QUERIES.update({"ph_gap_detect": ph_gap_detect})
 ORACLES.update({"ph_gap_detect": PH_GAP_DETECT_SQL})
+
+
+def ph_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.9, ...)`` end-to-end: cumulative
+    ``le`` buckets are built per event type (6 conditional sums in ONE fact
+    pass, unpivoted via ``stack``), then the interpolated quantile comes
+    from ``operators.promql_lite.histogram_quantile`` — a lag-window over
+    ≤ 6 bucket rows per group. The fact table is scanned once and only
+    (group × bucket) rows ever shuffle."""
+    from promhouse_spark.operators.promql_lite import histogram_quantile
+
+    ev = load_table(spark, sf_dir, "events")
+    les = [10.0, 25.0, 50.0, 100.0, 250.0, 500.0]
+    wide = ev.groupBy("event_type").agg(
+        *[
+            F.sum((F.col("value") <= le).cast("long")).cast("double").alias(f"c{i}")
+            for i, le in enumerate(les)
+        ]
+    )
+    stack_expr = (
+        f"stack({len(les)}, "
+        + ", ".join(f"{le}D, c{i}" for i, le in enumerate(les))
+        + ") as (le, cum_count)"
+    )
+    buckets = wide.select("event_type", F.expr(stack_expr))
+    return (
+        histogram_quantile(buckets, 0.9, group_cols=("event_type",))
+        .select(
+            "event_type",
+            F.col("quantile").alias("p90"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PH_HISTOGRAM_QUANTILE_SQL = """
+WITH les(le) AS (SELECT unnest([10.0, 25.0, 50.0, 100.0, 250.0, 500.0])),
+b AS (
+  SELECT event_type, le,
+         CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS DOUBLE) AS cum
+  FROM events CROSS JOIN les
+  GROUP BY event_type, le
+),
+r AS (
+  SELECT event_type, le, cum,
+         coalesce(lag(le) OVER w, 0.0) AS lo,
+         coalesce(lag(cum) OVER w, 0.0) AS pcnt,
+         0.9 * max(cum) OVER (PARTITION BY event_type) AS rank
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY le)
+)
+SELECT event_type,
+       round(lo + (le - lo) * (rank - pcnt) / (cum - pcnt), 6) AS p90,
+       round(rank, 6) AS rank
+FROM r
+WHERE cum >= rank AND pcnt < rank
+ORDER BY event_type
+"""
+
+QUERIES.update({"ph_histogram_quantile": ph_histogram_quantile})
+ORACLES.update({"ph_histogram_quantile": PH_HISTOGRAM_QUANTILE_SQL})

@@ -1,7 +1,12 @@
 """PromQL-lite range functions: increase handles counter resets, rate
 scales by window seconds, delta is last-minus-first."""
 
-from promhouse_spark.operators.promql_lite import delta_over_time, increase, rate
+from promhouse_spark.operators.promql_lite import (
+    delta_over_time,
+    histogram_quantile,
+    increase,
+    rate,
+)
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 
 W = 300_000
@@ -34,3 +39,25 @@ def test_delta_over_time(spark):
     row = delta_over_time(df, W).collect()[0]
     assert row["delta"] == 5.0 - 12.0  # last(t=250k) - first(t=10k)
     assert row["n_samples"] == 3
+
+
+def test_histogram_quantile_interpolation(spark):
+    # series 1: cumulative 10/30/40 at le 1/2/4. p50 rank=20 lands in the
+    # (1,2] bucket: 1 + (2-1)*(20-10)/(30-10) = 1.5
+    # series 2: all mass in the FIRST bucket — interpolates from 0, not
+    # from the bucket bound: 0 + (1-0)*(5-0)/(10-0) = 0.5
+    rows = [
+        (1, 1.0, 10.0), (1, 2.0, 30.0), (1, 4.0, 40.0),
+        (2, 1.0, 10.0), (2, 2.0, 10.0), (2, 4.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "fingerprint long, le double, cum_count double")
+    got = {r["fingerprint"]: r["quantile"] for r in histogram_quantile(df, 0.5).collect()}
+    assert got == {1: 1.5, 2: 0.5}
+
+
+def test_histogram_quantile_exact_boundary(spark):
+    # rank exactly on a bucket's cumulative count returns the bound itself
+    rows = [(1, 1.0, 5.0), (1, 2.0, 10.0), (1, 4.0, 20.0)]
+    df = spark.createDataFrame(rows, "fingerprint long, le double, cum_count double")
+    row = histogram_quantile(df, 0.5).collect()[0]
+    assert row["quantile"] == 2.0 and row["rank"] == 10.0
