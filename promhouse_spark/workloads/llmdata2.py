@@ -350,3 +350,132 @@ ORDER BY source
 
 QUERIES.update({"doc_repetition_filter": doc_repetition_filter})
 ORACLES.update({"doc_repetition_filter": DOC_REPETITION_SQL})
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4× storage /
+    bandwidth reduction an ANN index carries at 100 TB. Per vector:
+    scale = 127/max|x|, q_i = floor(x_i·scale + 0.5) (explicit half-up — the
+    engines' round() tie rules differ), reconstruction MSE from dequantized
+    values. All higher-order array folds, zero shuffles before the per-label
+    rollup; the quantized array is what a production pipeline would persist
+    next to the centroid assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / maxabs
+    q = F.transform(v, lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)))
+    err2 = F.zip_with(
+        v, F.col("_q"), lambda x, qq: F.pow(x - qq / F.col("_scale"), F.lit(2.0))
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    checksum = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x).cast("long")
+    )
+    return (
+        emb.filter(maxabs > 0)
+        .withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .select("label", mse.alias("_mse"), checksum.alias("_ck"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("_mse"), 10).alias("avg_mse"),
+            F.sum("_ck").cast("long").alias("q_checksum"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT label, embedding,
+         127.0 / list_aggregate(
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'
+         ) AS scale
+  FROM embeddings
+  WHERE list_aggregate(
+          list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') > 0
+),
+per_vec AS (
+  SELECT label,
+         list_aggregate(
+           list_transform(embedding,
+             x -> pow(CAST(x AS DOUBLE)
+                      - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale, 2)),
+           'sum') / len(embedding) AS mse,
+         CAST(list_aggregate(
+           list_transform(embedding,
+             x -> abs(floor(CAST(x AS DOUBLE) * scale + 0.5))),
+           'sum') AS BIGINT) AS ck
+  FROM scaled
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse), 10) AS avg_mse,
+       CAST(sum(ck) AS BIGINT) AS q_checksum
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the eval-hygiene pass every training
+    pipeline runs: flag corpus documents sharing any word 5-gram with a
+    held-out benchmark set (here: doc_id % 97 == 0). Both sides explode to
+    distinct shingles; the benchmark side is tiny by construction, so the
+    semi-join broadcasts under AQE at any corpus scale — the 100 TB fact
+    side is one flat-map pass, never self-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(D.shingles(F.split(F.col("text"), " "), 5))
+    ex = docs.select("doc_id", F.explode(sh).alias("g"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = ex.filter(is_bench).select("g").distinct()
+    contaminated = (
+        ex.filter(~is_bench)
+        .join(bench_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+         ))) AS g
+  FROM documents
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents
+WHERE doc_id % 97 <> 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update(
+    {"emb_quantize_int8": emb_quantize_int8, "doc_contamination": doc_contamination}
+)
+ORACLES.update(
+    {"emb_quantize_int8": EMB_QUANTIZE_SQL, "doc_contamination": DOC_CONTAMINATION_SQL}
+)
