@@ -21,8 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """The driver testdata's events table stores TIMESTAMP(NANOS); reading it
     requires the legacy nanosAsLong conf (promhouse_spark.session.load_table
-    then converts ns → timestamp)."""
+    then converts ns → timestamp). Plain timestamp[us] testdata must scan as
+    session-TZ (UTC) timestamps, not TIMESTAMP_NTZ, to match the UTC-naive
+    DuckDB oracle and keep unix_micros() applicable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

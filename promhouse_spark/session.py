@@ -39,6 +39,10 @@ def get_spark(
         # the vanilla parquet reader rejects; read as long and convert in
         # load_table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps carry isAdjustedToUTC=false; read them as
+        # session-TZ (UTC) instants, not TIMESTAMP_NTZ, so unix_micros() et al
+        # apply and semantics match the UTC-naive DuckDB oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -57,9 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a long which we convert to a proper timestamp column (microsecond
     truncation — same instant the oracle sees).
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces for sessions we didn't build: if the scan still came
+    # back TIMESTAMP_NTZ, cast to session-TZ timestamp (UTC ⇒ same instant).
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp_ntz":
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     return df
 
 

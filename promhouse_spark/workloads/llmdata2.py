@@ -134,8 +134,8 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_TRAIN_SPLIT_SQL = """
 SELECT CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'val' ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
-       sum(doc_id) AS id_checksum,
-       sum(n_chars) AS total_chars
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT doc_id, n_chars,
          ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS b
@@ -249,8 +249,8 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_STRATIFIED_SAMPLE_SQL = """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       sum(doc_id) AS id_checksum,
-       sum(n_chars) AS total_chars
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT lang, doc_id, n_chars,
          ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS b
@@ -341,7 +341,7 @@ WITH per_doc AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(rep_ratio), 4) AS avg_rep,
-       sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS n_flagged
+       CAST(sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
 FROM per_doc
 GROUP BY source
 ORDER BY source

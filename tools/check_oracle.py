@@ -51,17 +51,49 @@ def table_hash(columns: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def duckdb_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_query(name, fn, sql, spark, con, sf_dir) -> list[str]:
+    """Run one query on Spark and its oracle on DuckDB; return problems
+    ([] = match). Mirrors the driver's rows+schema+value-hash gate."""
+    df = fn(spark, sf_dir)
+    srows = [tuple(r) for r in df.collect()]
+    scols = df.columns
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+    if scols != ocols:
+        problems.append(f"column order spark={scols} duck={ocols}")
+    elif table_hash(scols, srows) != table_hash(ocols, orows):
+        problems.append("value-hash mismatch")
+        sset = {tuple(normalize_cell(v) for v in r) for r in srows}
+        oset = {tuple(normalize_cell(v) for v in r) for r in orows}
+        only_s = list(sset - oset)[:3]
+        only_o = list(oset - sset)[:3]
+        if only_s:
+            problems.append(f"spark-only: {only_s}")
+        if only_o:
+            problems.append(f"duck-only: {only_o}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_con(sf_dir)
     spark = get_spark(app_name="oracle-check")
 
     failed = []
@@ -69,47 +101,26 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            srows = [tuple(r) for r in df.collect()]
-            scols = df.columns
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
-            failed.append(name)
-            continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            try:
+                n = len(fn(spark, sf_dir).collect())
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {e}")
+                failed.append(name)
+                continue
+            print(f"rows  {name}: {n} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            problems = compare_query(name, fn, oracles[name], spark, con, sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: error: {e}")
             failed.append(name)
             continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if scols != ocols:
-            # stricter than the documented order-insensitive compare — keeps
-            # us safe if the driver checks ordered schemas
-            problems.append(f"column order spark={scols} duck={ocols}")
-        elif table_hash(scols, srows) != table_hash(ocols, orows):
-            problems.append("value-hash mismatch")
-            sset = {tuple(normalize_cell(v) for v in r) for r in srows}
-            oset = {tuple(normalize_cell(v) for v in r) for r in orows}
-            only_s = list(sset - oset)[:3]
-            only_o = list(oset - sset)[:3]
-            if only_s:
-                problems.append(f"spark-only: {only_s}")
-            if only_o:
-                problems.append(f"duck-only: {only_o}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed.append(name)
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
