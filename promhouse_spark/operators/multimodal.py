@@ -6,11 +6,13 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so the binary
 payloads never round-trip through driver memory and partition sizing stays
 byte-aware (``spark.sql.files.maxPartitionBytes``).
 
-The actual codec work (JPEG decode, resampling, ffmpeg) needs libraries this
-container doesn't ship — those steps are STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake decoder is injected. The
-Spark-side contract — schemas, batch iteration, UDF signatures, partition
-behavior — is real and tested.
+Decode is REAL for the formats the standard library + numpy can handle —
+netpbm P5/P6 images and RIFF/WAVE PCM audio, including a real block-average
+resize (``promhouse_spark.operators.codecs``); payloads are routed by magic
+bytes. Compressed codecs (JPEG/PNG/MP3/H.264) need libraries this container
+doesn't ship and raise ``NotImplementedError`` — adding one later is a new
+entry in the sniffing dispatcher, not a redesign. A deterministic
+``fake_decoder`` remains available for plumbing tests.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from promhouse_spark.operators import codecs
 
 # An asset row: opaque payload + typed metadata. The metadata struct is the
 # queryable part (predicate pushdown works on it; the payload is only ever
@@ -53,12 +57,16 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def default_decoder(payload: bytes) -> list[float]:
+    """Sniff the payload's magic bytes and REALLY decode + featurize netpbm
+    images and WAV audio (codecs.py); compressed codecs raise
+    NotImplementedError until their libraries exist in the container."""
+    return codecs.decode_features(payload)
+
+
 def default_image_decoder(payload: bytes) -> "object":
-    """Real decode needs PIL/libjpeg — not in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; inject decoder= explicitly "
-        "(tests use fake_decoder)"
-    )
+    """Back-compat alias: netpbm decodes for real; JPEG/PNG raise."""
+    return codecs.decode_features(payload)
 
 
 def fake_decoder(payload: bytes) -> list[float]:
@@ -82,7 +90,7 @@ def fake_decoder(payload: bytes) -> list[float]:
 
 def extract_features(
     assets: DataFrame,
-    decoder: Callable[[bytes], list[float]] = default_image_decoder,
+    decoder: Callable[[bytes], list[float]] = default_decoder,
     batch_limit: int = 256,
 ) -> DataFrame:
     """Decode + featurize payloads via mapInPandas (Arrow batches, bounded
@@ -123,6 +131,35 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+PNM_W, PNM_H = 8, 8  # synthesized thumbnail geometry (192-byte RGB raster)
+
+
+def synthesize_pnm_assets(docs: DataFrame) -> DataFrame:
+    """Wrap each document as a REAL 8×8 RGB netpbm (P6) image asset whose
+    raster bytes derive deterministically from the text content: the md5
+    hex digest repeated to 192 ASCII bytes. The payload is a fully valid
+    P6 file — header + raster — built entirely with JVM built-ins (concat
+    of a binary literal and the encoded digest), so synthesis runs at scan
+    speed with no Python in the loop, and the decode stage downstream
+    exercises the real netpbm parser on every row."""
+    raster_len = PNM_W * PNM_H * 3
+    reps = raster_len // 32 + 1
+    raster = F.substring(F.repeat(F.md5(F.col("text")), reps), 1, raster_len)
+    header = F.lit(("P6\n%d %d\n255\n" % (PNM_W, PNM_H)).encode())
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(header, F.encode(raster, "utf-8")).alias("payload"),
+        F.struct(
+            F.lit(PNM_W).cast("int").alias("width"),
+            F.lit(PNM_H).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("pnm").alias("codec"),
+        ).alias("meta"),
     )
 
 

@@ -320,23 +320,28 @@ ORACLES = {
 
 
 def doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only: the deterministic fake
-    decoder is not SQL-expressible): documents wrapped as binary assets →
-    Arrow-batched feature extraction → per-source feature stats."""
+    """Multimodal pipeline end-to-end with REAL image decode (rows-only:
+    the netpbm parse is not SQL-expressible): each document is wrapped as a
+    valid 8×8 P6 netpbm asset (raster = md5-of-text bytes, synthesized
+    JVM-side), then Arrow-batched mapInPandas runs the actual netpbm
+    parser + feature extraction (operators/codecs.py) and the per-source
+    aggregate reads decoded channel statistics. Pinned against an
+    independent plain-Python decode in tests/test_llm_ops.py."""
     from promhouse_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
-    assets = M.assets_from_documents(docs)
-    feats = M.extract_features(assets, decoder=M.fake_decoder)
+    assets = M.synthesize_pnm_assets(docs)
+    feats = M.extract_features(assets, decoder=M.default_decoder)
     joined = feats.join(
         docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
     )
     return (
         joined.groupBy("source")
         .agg(
-            F.count("*").alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 4)), 4).alias("avg_byte_mean"),
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 6)), 4).alias("avg_luma"),
+            F.round(F.avg(F.element_at("feature", 7)), 4).alias("avg_luma_std"),
         )
         .orderBy("source")
     )

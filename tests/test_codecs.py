@@ -1,0 +1,119 @@
+"""Real-codec tests: netpbm P5/P6, RIFF/WAVE PCM, block-average resize,
+magic sniffing, and the Spark-side synthesized-asset → real-decode pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from promhouse_spark.operators import codecs as C
+from promhouse_spark.operators import multimodal as M
+
+
+def test_pnm_roundtrip_p6():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    d = C.decode_pnm(C.encode_pnm(px))
+    assert (d["width"], d["height"], d["channels"]) == (9, 5, 3)
+    assert np.array_equal(d["pixels"], px)
+
+
+def test_pnm_roundtrip_p5_and_comments():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    raw = C.encode_pnm(px)
+    # splice a comment into the header — parsers must skip it
+    commented = raw[:2] + b"\n# made by a tool\n" + raw[2:]
+    d = C.decode_pnm(commented)
+    assert d["channels"] == 1
+    assert np.array_equal(d["pixels"], px)
+
+
+def test_pnm_rejects_malformed():
+    with pytest.raises(ValueError):
+        C.decode_pnm(b"P6\n2 2\n255\nshort")  # truncated raster
+    with pytest.raises(ValueError):
+        C.decode_pnm(b"BM\x00\x00")  # not netpbm
+
+
+def test_image_features_known_values():
+    # solid mid-gray RGB image: means = luma = 0.5, std = 0
+    px = np.full((4, 8, 3), 128, dtype=np.uint8)
+    f = C.image_features(C.decode_pnm(C.encode_pnm(px)))
+    assert f[0] == 8.0 and f[1] == 4.0  # width, height
+    assert f[2] == f[3] == f[4] == pytest.approx(128 / 255)
+    assert f[5] == pytest.approx(128 / 255)
+    assert f[6] == pytest.approx(0.0)
+    assert f[7] == pytest.approx(2.0)  # aspect
+
+
+def test_resize_block_preserves_mean_and_solid_color():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    d = C.decode_pnm(C.encode_pnm(px))
+    small = C.resize_block(d, 4, 4)
+    assert small["pixels"].shape == (4, 4, 3)
+    # block averaging preserves the global mean up to rounding
+    assert float(small["pixels"].mean()) == pytest.approx(
+        float(px.mean()), abs=1.0
+    )
+    solid = C.resize_block(
+        C.decode_pnm(C.encode_pnm(np.full((10, 10, 3), 77, dtype=np.uint8))), 3, 3
+    )
+    assert np.all(solid["pixels"] == 77)
+
+
+def test_wav_roundtrip_and_features():
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)  # 1 s, 440 Hz
+    d = C.decode_wav(C.encode_wav(tone, sr))
+    assert d["sample_rate"] == sr and d["n_channels"] == 1 and d["n_frames"] == sr
+    assert np.allclose(d["samples"][:, 0], tone[:, 0], atol=1e-3)
+    f = C.audio_features(d)
+    assert f[3] == pytest.approx(1.0)  # duration
+    assert f[4] == pytest.approx(1 / np.sqrt(2), abs=1e-3)  # sine RMS
+    assert f[5] == pytest.approx(1.0, abs=1e-3)  # peak
+    # a 440 Hz sine crosses zero ~880 times/s
+    assert f[6] * sr == pytest.approx(880, abs=3)
+
+
+def test_sniff_and_dispatch():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert C.sniff(C.encode_pnm(px)) == "pnm"
+    assert C.sniff(C.encode_wav(np.zeros((4, 1)), 8000)) == "wav"
+    assert C.sniff(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert C.sniff(b"\x89PNG\r\n") == "png"
+    with pytest.raises(NotImplementedError):
+        C.decode_features(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        C.decode_features(b"total garbage")
+    # real formats decode for real through the dispatcher
+    assert len(C.decode_features(C.encode_pnm(px))) == 8
+    assert len(C.decode_features(C.encode_wav(np.zeros((4, 1)), 8000))) == 8
+
+
+def test_synthesized_pnm_assets_decode_for_real(spark, sf_dir):
+    """The Spark-side synthesizer emits VALID P6 files: pull payloads back
+    and run the real parser on each; features from the distributed
+    mapInPandas stage must equal local decode of the same payloads."""
+    from promhouse_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_pnm_assets(docs)
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in assets.select("asset_id", "payload").collect()
+    }
+    for payload in payloads.values():
+        d = C.decode_pnm(payload)  # raises if the synthesis is malformed
+        assert (d["width"], d["height"], d["channels"]) == (M.PNM_W, M.PNM_H, 3)
+
+    got = {
+        r["asset_id"]: list(r["feature"])
+        for r in M.extract_features(assets).collect()
+    }
+    assert set(got) == set(payloads)
+    for aid, payload in payloads.items():
+        want = [float(np.float32(x)) for x in C.decode_features(payload)]
+        assert got[aid] == want, f"asset {aid}"

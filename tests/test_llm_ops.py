@@ -136,10 +136,19 @@ def test_multimodal_pipeline(spark):
     assert by_id[1]["n_bytes"] == 11
     assert len(by_id[1]["feature"]) == 8
     assert by_id[1]["feature"][0] == 11.0  # first feature = byte length
-    # default decoder is an explicit stub
+    # default decoder sniffs magic bytes: raw utf-8 is no known container
     with pytest.raises(Exception) as ei:
         M.extract_features(assets).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+    assert "ValueError" in str(ei.value) or isinstance(ei.value, ValueError)
+    # compressed codecs stay an explicit stub
+    jpegish = spark.createDataFrame(
+        [(3, "image", bytearray(b"\xff\xd8\xff\xe0jpegdata"), None)], M.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.extract_features(jpegish).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
 
 
 def test_frame_sample_plan(spark):
@@ -238,20 +247,40 @@ def test_multimodal_features_match_independent_python(spark, sf_dir):
         assert r["n_bytes"] == n_bytes
         assert list(r["feature"]) == feats, f"asset {r['asset_id']} features differ"
 
-    # 2) the driver query's per-source aggregate
+    # 2) the driver query's per-source aggregate over the REAL netpbm path:
+    # recompute the whole chain — P6 synthesis (md5 raster), header parse,
+    # luma statistics — in plain Python, no promhouse imports in the math.
+    import hashlib
+
     by_source = {}
-    for feats, n_bytes, source in expected.values():
-        agg = by_source.setdefault(source, [0, 0, 0.0])
+    for row in docs:
+        digest = hashlib.md5(row["text"].encode()).hexdigest()
+        raster = (digest * 7)[:192].encode()
+        payload = b"P6\n8 8\n255\n" + raster
+        # independent parse: fixed header, then 64 RGB triples
+        assert payload[:11] == b"P6\n8 8\n255\n" and len(payload) == 203
+        px = [b / 255.0 for b in raster]
+        luma = [
+            0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
+            for i in range(0, 192, 3)
+        ]
+        mean = sum(luma) / 64
+        var = sum((x - mean) ** 2 for x in luma) / 64
+        f6 = float(np.float32(mean))
+        f7 = float(np.float32(var**0.5))
+        agg = by_source.setdefault(row["source"], [0, 0, 0.0, 0.0])
         agg[0] += 1
-        agg[1] += n_bytes
-        agg[2] += feats[3]
+        agg[1] += len(payload)
+        agg[2] += f6
+        agg[3] += f7
     rows = doc_multimodal_features(spark, sf_dir).collect()
     assert sorted(r["source"] for r in rows) == sorted(by_source)
     for r in rows:
-        n, total, fsum = by_source[r["source"]]
+        n, total, lsum, ssum = by_source[r["source"]]
         assert r["n_assets"] == n
         assert r["total_bytes"] == total
-        assert r["avg_byte_mean"] == pytest.approx(round(fsum / n, 4), abs=1e-6)
+        assert r["avg_luma"] == pytest.approx(round(lsum / n, 4), abs=1e-6)
+        assert r["avg_luma_std"] == pytest.approx(round(ssum / n, 4), abs=1e-6)
 
 
 def test_connected_components_chain_and_clique(spark):
