@@ -479,3 +479,61 @@ QUERIES.update(
 ORACLES.update(
     {"emb_quantize_int8": EMB_QUANTIZE_SQL, "doc_contamination": DOC_CONTAMINATION_SQL}
 )
+
+
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end declarative curation — the whole pre-training data prep
+    chain as ONE Catalyst plan: exact dedup (keep min doc_id per distinct
+    text, window formulation: single shuffle, no join-back) → quality gate
+    (100 ≤ n_chars ≤ 10000 and ≥ 10 tokens) → language allowlist → the
+    deterministic LCG train/val/test split → per-(split, lang) audit row.
+
+    Every stage is a built-in relational op, so at 100 TB the engine sees
+    one pipeline: the dedup window and the final aggregate are the only
+    exchanges, filters run at scan time, and nothing materializes between
+    stages. The oracle replays the same chain via QUALIFY + CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = W.partitionBy("text")
+    return (
+        docs.withColumn("keeper", F.min("doc_id").over(keep))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .filter(F.col("n_chars").between(100, 10000))
+        .filter(F.size(F.split("text", " ")) >= 10)
+        .filter(F.col("lang").isin("en", "de", "fr"))
+        .select("doc_id", "lang", "n_chars")
+        .transform(lambda d: SP.hash_split(d, "doc_id"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOC_CURATION_SQL = """
+WITH deduped AS (
+  SELECT doc_id, lang, n_chars, text FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+), gated AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS b
+  FROM deduped
+  WHERE n_chars BETWEEN 100 AND 10000
+    AND len(string_split(text, ' ')) >= 10
+    AND lang IN ('en', 'de', 'fr')
+)
+SELECT CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM gated
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+QUERIES.update({"doc_curation_pipeline": doc_curation_pipeline})
+ORACLES.update({"doc_curation_pipeline": DOC_CURATION_SQL})
