@@ -948,3 +948,33 @@ ORDER BY event_type
 
 QUERIES.update({"ph_histogram_quantile": ph_histogram_quantile})
 ORACLES.update({"ph_histogram_quantile": PH_HISTOGRAM_QUANTILE_SQL})
+
+
+def ph_cardinality_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 cardinality analytics under skew: exact per-event_type distinct
+    user counts through the value-salted two-phase plan
+    (operators/skew.py:salted_count_distinct). event_type is a classic hot
+    key — a handful of types carry almost all events — and at registry
+    scale a single-phase count_distinct serializes each type on one
+    reducer. The salted plan's answer is provably identical (the salt
+    partitions the VALUE space), which the plain COUNT(DISTINCT) oracle
+    checks."""
+    from promhouse_spark.operators import skew as K
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        K.salted_count_distinct(ev, ["event_type"], "user_id", n_salts=16,
+                                out_col="n_users")
+        .orderBy("event_type")
+    )
+
+
+PH_CARDINALITY_SALTED_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES.update({"ph_cardinality_salted": ph_cardinality_salted})
+ORACLES.update({"ph_cardinality_salted": PH_CARDINALITY_SALTED_SQL})
