@@ -490,8 +490,9 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is a built-in relational op, so at 100 TB the engine sees
     one pipeline: the dedup window and the final aggregate are the only
-    exchanges, filters run at scan time, and nothing materializes between
-    stages. The oracle replays the same chain via QUALIFY + CTEs."""
+    data-scale exchanges (the trailing orderBy sorts a handful of audit
+    rows), and nothing materializes between stages. The oracle replays the
+    same chain via QUALIFY + CTEs."""
     docs = load_table(spark, sf_dir, "documents")
     keep = W.partitionBy("text")
     return (
