@@ -31,6 +31,28 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible subset
+# (no lookarounds) so Spark's Java regex and the DuckDB/RE2 oracle split
+# text IDENTICALLY: contraction suffixes, optional-leading-space letter runs,
+# digit runs, symbol runs, residual whitespace. This is the unit a BPE
+# tokenizer merges within — counting these matches approximates real token
+# counts far better than whitespace words (punctuation and numbers split off).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """All BPE pre-token matches (whitespace runs filtered out)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    return F.size(bpe_pretokens(col)).cast("long")
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("long")
 

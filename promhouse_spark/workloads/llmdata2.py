@@ -538,3 +538,57 @@ ORDER BY split, lang
 
 QUERIES.update({"doc_curation_pipeline": doc_curation_pipeline})
 ORACLES.update({"doc_curation_pipeline": DOC_CURATION_SQL})
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish regex pre-tokenizer
+    (operators/text.py:BPE_PRETOKEN_RE) next to plain whitespace words —
+    the sizing stat a training pipeline budgets against. The pattern is
+    RE2-compatible by construction, so the oracle runs the IDENTICAL regex
+    in DuckDB and the split must agree token-for-token; the per-source
+    aggregate compares total/ distinct counts and the bpe:word ratio."""
+    from promhouse_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        X.bpe_pretoken_count("text").alias("n_bpe"),
+        X.token_count("text").alias("n_words"),
+        F.size(F.array_distinct(X.bpe_pretokens("text"))).cast("long").alias("n_bpe_distinct"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_bpe").cast("long").alias("total_bpe"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe_distinct").cast("long").alias("total_bpe_distinct"),
+            F.round(F.sum("n_bpe") / F.sum("n_words"), 4).alias("bpe_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_BPE_TOKENS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+             x -> trim(x) <> '')) AS n_bpe,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(list_filter(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+             x -> trim(x) <> ''))) AS n_bpe_distinct
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe_distinct) AS BIGINT) AS total_bpe_distinct,
+       round(sum(n_bpe) * 1.0 / sum(n_words), 4) AS bpe_per_word
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES.update({"doc_bpe_tokens": doc_bpe_tokens})
+ORACLES.update({"doc_bpe_tokens": DOC_BPE_TOKENS_SQL})
