@@ -118,13 +118,17 @@ def resize_block(decoded: dict, out_w: int, out_h: int) -> dict:
     col_edges = np.linspace(0, w, out_w + 1).round().astype(int)
     out = np.empty((out_h, out_w, c), dtype=np.float64)
     for i in range(out_h):
-        rs, re = row_edges[i], max(row_edges[i + 1], row_edges[i] + 1)
+        # clamp so every block stays a non-empty in-bounds slice even when
+        # upscaling (out > in makes consecutive edges collide)
+        rs = min(row_edges[i], h - 1)
+        re = min(max(row_edges[i + 1], rs + 1), h)
         band = px[rs:re]
         # average rows first, then reduce column blocks via cumsum diff
         col_mean = band.mean(axis=0)
         csum = np.vstack([np.zeros((1, c)), np.cumsum(col_mean, axis=0)])
         for j in range(out_w):
-            cs, ce = col_edges[j], max(col_edges[j + 1], col_edges[j] + 1)
+            cs = min(col_edges[j], w - 1)
+            ce = min(max(col_edges[j + 1], cs + 1), w)
             out[i, j] = (csum[ce] - csum[cs]) / (ce - cs)
     return {"kind": "image", "width": out_w, "height": out_h,
             "channels": c, "maxval": decoded["maxval"],

@@ -117,3 +117,64 @@ def test_synthesized_pnm_assets_decode_for_real(spark, sf_dir):
     for aid, payload in payloads.items():
         want = [float(np.float32(x)) for x in C.decode_features(payload)]
         assert got[aid] == want, f"asset {aid}"
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_pnm_roundtrip_property(w, h, c, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    d = C.decode_pnm(C.encode_pnm(px))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, c)
+    assert np.array_equal(d["pixels"], px)
+    # features are finite and geometry-consistent for every image
+    f = C.image_features(d)
+    assert len(f) == 8 and all(np.isfinite(f))
+    assert f[0] == float(w) and f[1] == float(h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-0.999, 0.999, size=(n, ch))
+    d = C.decode_wav(C.encode_wav(samples, rate))
+    assert d["sample_rate"] == rate and d["n_channels"] == ch and d["n_frames"] == n
+    # 16-bit quantization error bound
+    assert np.max(np.abs(d["samples"] - samples)) <= 1.0 / 32768 + 1e-9
+    f = C.audio_features(d)
+    assert len(f) == 8 and all(np.isfinite(f))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(2, 32),
+    h=st.integers(2, 32),
+    ow=st.integers(1, 8),
+    oh=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_block_property(w, h, ow, oh, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = C.resize_block(C.decode_pnm(C.encode_pnm(px)), ow, oh)
+    assert out["pixels"].shape == (oh, ow, 3)
+    # every output pixel is within the source's value range (it's an average)
+    assert out["pixels"].min() >= px.min() and out["pixels"].max() <= px.max()
