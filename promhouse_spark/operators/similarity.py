@@ -239,6 +239,64 @@ def ivf_build(
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (L2) centroid WITHOUT MLlib — a
+    pure column expression (transform over the centroid literal array +
+    array_min on (distance, cid) structs), so assignment stays inside
+    whole-stage codegen and works in any foreachBatch. Identical to the
+    quantizer's own predictions (k-means assignment IS nearest-centroid;
+    equality asserted in tests)."""
+    v = F.col(vec_col).cast("array<double>")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(s["c"], v, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    return df.withColumn("centroid_id", F.array_min(dists)["cid"])
+
+
+def ivf_add(spark, index_path: str, new_df: DataFrame, vec_col: str = "embedding") -> None:
+    """Incrementally register vectors into a persisted IVF index: nearest-
+    centroid assignment against the FROZEN sidecar (no re-fit — the
+    quantizer stays stable so existing partitions never move), then an
+    append into the matching inverted-list directories. This is the
+    streaming path: drop it in a ``foreachBatch`` and the index grows with
+    the corpus; periodic full rebuilds (``ivf_build``) re-balance if the
+    distribution drifts."""
+    centers_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    centers_map = {r["centroid_id"]: list(r["centroid"]) for r in centers_rows}
+    centers = [centers_map[i] for i in range(len(centers_map))]
+    # conform the vector column to the index's physical element type —
+    # appending array<double> rows into an array<float> index would poison
+    # the partition files for every future read
+    existing = spark.read.parquet(f"{index_path}/vectors").schema
+    target_type = existing[vec_col].dataType
+    new_df = new_df.withColumn(vec_col, F.col(vec_col).cast(target_type))
+    assigned = ivf_assign(new_df, centers, vec_col)
+    assigned.write.partitionBy("centroid_id").mode("append").parquet(
+        f"{index_path}/vectors"
+    )
+
+
 def ivf_probe(
     spark,
     index_path: str,

@@ -182,3 +182,60 @@ def test_ivf_persisted_index_prunes_partitions(spark, emb, query_vec, exact_top1
     # equivalence with the fit-per-call path (same seed -> same quantizer)
     inline = [r["vec_id"] for r in S.ivf_ann_topk(emb, query_vec, k=10, num_centroids=16, nprobe=10).collect()]
     assert got == inline
+
+
+def test_ivf_assign_matches_quantizer(spark, emb, tmp_path):
+    """Expression-based nearest-centroid assignment (ivf_assign) must agree
+    with the quantizer's own k-means predictions for every vector — both
+    are L2-argmin over the same frozen centroids."""
+    idx = str(tmp_path / "ivf-assign")
+    S.ivf_build(emb, idx, num_centroids=16)
+    centers_map = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    centers = [centers_map[i] for i in range(len(centers_map))]
+    built = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    recomputed = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(emb, centers).collect()
+    }
+    assert recomputed == built
+
+
+def test_ivf_add_registers_new_vectors(spark, emb, query_vec, tmp_path):
+    """Incremental maintenance: vectors appended via ivf_add land in the
+    correct inverted-list directory and are immediately visible to probes —
+    a duplicate of the query vector must surface as the top hit."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf-add")
+    S.ivf_build(emb, idx, num_centroids=16)
+    n0 = spark.read.parquet(f"{idx}/vectors").count()
+
+    new = spark.createDataFrame(
+        [(99991, [float(x) for x in query_vec], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    S.ivf_add(spark, idx, new)
+
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.count() == n0 + 1
+    # the new row's partition is the true nearest centroid
+    centers_map = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    q = [float(x) for x in query_vec]
+    want = min(
+        centers_map,
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centers_map[i], q)),
+    )
+    got_cid = vecs.filter(F.col("vec_id") == 99991).collect()[0]["centroid_id"]
+    assert got_cid == want
+    # and the probe now surfaces it first (cosine 1.0 with itself)
+    top = S.ivf_probe(spark, idx, query_vec, k=3, nprobe=4).collect()
+    assert top[0]["vec_id"] == 99991
