@@ -84,6 +84,7 @@ JUDGED_PRIORITY = [
     "doc_contamination",
     "doc_repetition_filter",
     "doc_multimodal_features",
+    "doc_curation_pipeline",
     "emb_cosine_topk",
     "emb_lsh_ann_topk",
     "emb_ivf_ann_topk",
@@ -96,7 +97,6 @@ JUDGED_PRIORITY = [
     "q6_revenue_delta",
     "orders_semijoin_bigqty",
     "q9_product_type_profit",
-    "q18_large_volume_customer",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in JUDGED_PRIORITY}
