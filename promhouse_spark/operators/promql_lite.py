@@ -115,3 +115,33 @@ def delta_over_time(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
             F.count("*").alias("n_samples"),
         )
     )
+
+
+def reset_marker() -> "Column":
+    """PromQL ``resets()``-style marker column: 1 where a counter's value
+    drops below its predecessor within the series, else 0 (first: 0)."""
+    prev = F.lag(VALUE).over(_per_series_window())
+    return (prev.isNotNull() & (F.col(VALUE) < prev)).cast("int")
+
+
+def change_marker() -> "Column":
+    """PromQL ``changes()``-style marker column: 1 where the value differs
+    from its predecessor within the series, else 0 (first: 0)."""
+    prev = F.lag(VALUE).over(_per_series_window())
+    return (prev.isNotNull() & (F.col(VALUE) != prev)).cast("int")
+
+
+def series_stability(samples_df: DataFrame) -> DataFrame:
+    """Per-series ``resets``/``changes`` totals — the flap/restart counters
+    an alerting pipeline reads. One window pass computes both markers, one
+    keyed aggregate folds them (no join between the two stats)."""
+    marked = samples_df.select(
+        FINGERPRINT,
+        reset_marker().alias("is_reset"),
+        change_marker().alias("is_change"),
+    )
+    return marked.groupBy(FINGERPRINT).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("is_reset").cast("long").alias("n_resets"),
+        F.sum("is_change").cast("long").alias("n_changes"),
+    )

@@ -978,3 +978,47 @@ ORDER BY event_type
 
 QUERIES.update({"ph_cardinality_salted": ph_cardinality_salted})
 ORACLES.update({"ph_cardinality_salted": PH_CARDINALITY_SALTED_SQL})
+
+
+def ph_series_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets()/changes() analogues per series (user counter): the
+    flap/restart counters an alerting pipeline reads — one window pass
+    marks both, one keyed aggregate folds them."""
+    from promhouse_spark.operators.promql_lite import series_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+    return (
+        series_stability(samples)
+        .select(F.col("fingerprint").alias("user_id"), "n_samples", "n_resets", "n_changes")
+        .filter(F.col("user_id") < 40)
+        .orderBy("user_id")
+    )
+
+
+PH_SERIES_STABILITY_SQL = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w
+              THEN 1 ELSE 0 END AS is_reset,
+         CASE WHEN lag(value) OVER w IS NOT NULL AND value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       CAST(sum(is_change) AS BIGINT) AS n_changes
+FROM marked
+WHERE user_id < 40
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES.update({"ph_series_stability": ph_series_stability})
+ORACLES.update({"ph_series_stability": PH_SERIES_STABILITY_SQL})
