@@ -359,3 +359,114 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim float vectors -> m sub-codes, ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def pq_build(
+    df: DataFrame,
+    index_path: str,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Build a product-quantization index: split each L2-normalized vector
+    into ``m`` contiguous subspaces, k-means each subspace into ``k``
+    centroids (the codebook), store each vector as ``m`` small codes.
+
+    64-dim float32 → 8 bytes/vector (m=8): a 32× memory cut, which is what
+    makes billion-vector ANN fit a cluster's RAM at 100 TB corpus scale.
+    Fits are per-subspace (``m`` MLlib jobs over a narrow projection; on a
+    real corpus, over a sample); encoding is one distributed pass. The
+    codebook sidecar is O(m·k·d/m) — driver-trivial."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    norm = _l2_normalized(df, vec_col)
+    codebooks: list[list[list[float]]] = []
+    encoded = norm
+    for j in range(m):
+        piece = F.slice(F.col("__nvec"), j * sub + 1, sub).cast("array<double>")
+        data = encoded.withColumn("__feat", array_to_vector(piece))
+        model = KMeans(
+            k=k, seed=seed + j, featuresCol="__feat", predictionCol=f"__c{j}"
+        ).fit(data)
+        encoded = model.transform(data).drop("__feat")
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    codes = encoded.select(
+        id_col, F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes")
+    )
+    codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+    spark.createDataFrame(
+        [(j, c, cb) for j, cb_j in enumerate(codebooks) for c, cb in enumerate(cb_j)],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
+
+
+def _l2_normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.withColumn(
+        "__nvec", F.transform(v, lambda x: x / F.nullif(n, F.lit(0.0)))
+    )
+
+
+def pq_probe(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    query_vec: list[float],
+    topk: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC probe + exact rerank: build the m×k distance lookup table from
+    the query on the driver (tiny), score every code row with a pure
+    column fold (sum of LUT entries — no vector math per row, the whole
+    point of PQ), shortlist the best ``shortlist`` ids, then rescore ONLY
+    those with exact cosine against the original vectors. The shortlist
+    join is an id semi-join (broadcast-sized by construction), so the
+    expensive exact math touches ``shortlist`` rows, not the corpus."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    q = [x / qn for x in q]
+    cb = spark.read.parquet(f"{index_path}/codebook").collect()
+    m = max(r["subspace"] for r in cb) + 1
+    k = max(r["code"] for r in cb) + 1
+    sub = len(cb[0]["centroid"])
+    lut = [[0.0] * k for _ in range(m)]
+    for r in cb:
+        piece = q[r["subspace"] * sub : (r["subspace"] + 1) * sub]
+        lut[r["subspace"]][r["code"]] = sum(
+            (a - b) ** 2 for a, b in zip(piece, r["centroid"])
+        )
+    lut_lit = F.array(
+        *[F.array(*[F.lit(d) for d in row]) for row in lut]
+    )
+    codes = spark.read.parquet(f"{index_path}/codes")
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), lut_lit, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    short = (
+        codes.select(id_col, adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    candidates = df.join(short, id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, topk, id_col, vec_col)

@@ -239,3 +239,42 @@ def test_ivf_add_registers_new_vectors(spark, emb, query_vec, tmp_path):
     # and the probe now surfaces it first (cosine 1.0 with itself)
     top = S.ivf_probe(spark, idx, query_vec, k=3, nprobe=4).collect()
     assert top[0]["vec_id"] == 99991
+
+
+def test_pq_adc_recall_with_rerank(spark, emb, query_vec, exact_top10, tmp_path):
+    """Product quantization: 8-byte codes (m=8, k=16 over 64 dims), ADC
+    shortlist of 100, exact cosine rerank. The reranked top-10 must hit
+    recall@10 >= 0.8 against brute force, and because the rerank is exact,
+    every returned cosine equals the brute-force value for that id."""
+    idx = str(tmp_path / "pq")
+    S.pq_build(emb, idx, m=8, k=16)
+
+    # stored codes really are m small ints (the 32x memory cut is real)
+    codes = spark.read.parquet(f"{idx}/codes")
+    row = codes.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
+    assert codes.count() == emb.count()
+
+    got_rows = S.pq_probe(spark, idx, emb, query_vec, topk=10, shortlist=100).collect()
+    got = [r["vec_id"] for r in got_rows]
+    recall = len(set(exact_top10) & set(got)) / 10
+    assert recall >= 0.8, f"PQ recall@10 {recall}"
+
+    exact_cos = {
+        r["vec_id"]: r["cosine"]
+        for r in S.cosine_topk(emb, query_vec, k=len(emb.collect())).collect()
+    }
+    for r in got_rows:
+        assert r["cosine"] == exact_cos[r["vec_id"]]
+
+
+def test_pq_full_shortlist_is_exact(spark, emb, query_vec, exact_top10, tmp_path):
+    """Shortlist >= corpus size makes PQ degrade to exact brute force."""
+    idx = str(tmp_path / "pq-full")
+    S.pq_build(emb, idx, m=8, k=16)
+    n = emb.count()
+    got = [
+        r["vec_id"]
+        for r in S.pq_probe(spark, idx, emb, query_vec, topk=10, shortlist=n).collect()
+    ]
+    assert got == exact_top10
