@@ -470,3 +470,153 @@ def pq_probe(
     )
     candidates = df.join(short, id_col, "left_semi")
     return cosine_topk(candidates, query_vec, topk, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer prunes partitions, PQ codes on RESIDUALS score them
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    df: DataFrame,
+    index_path: str,
+    num_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """The composed billion-scale shape (FAISS IVFx,PQy): a coarse k-means
+    assigns every L2-normalized vector to an inverted list (partition
+    column → directory pruning at probe time), and PQ encodes the RESIDUAL
+    v − centroid (residuals are tighter than raw vectors, so the same k
+    codes quantize finer). On disk: codes partitioned by centroid, one
+    codebook, one centroid sidecar — probe cost is nprobe directories of
+    8-byte codes plus a shortlist-sized exact rerank."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    norm = _l2_normalized(df, vec_col)
+    data = norm.withColumn("__feat", array_to_vector(F.col("__nvec")))
+    coarse = KMeans(
+        k=num_centroids, seed=seed, featuresCol="__feat", predictionCol="centroid_id"
+    ).fit(data)
+    assigned = coarse.transform(data).drop("__feat")
+    centers = [[float(x) for x in c] for c in coarse.clusterCenters()]
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    resid = F.zip_with(
+        F.col("__nvec"),
+        F.element_at(cent_lit, F.col("centroid_id") + 1),
+        lambda a, b: a - b,
+    )
+    encoded = assigned.withColumn("__resid", resid)
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        piece = F.slice(F.col("__resid"), j * sub + 1, sub)
+        step = encoded.withColumn("__feat", array_to_vector(piece))
+        model = KMeans(
+            k=k, seed=seed + 1 + j, featuresCol="__feat", predictionCol=f"__c{j}"
+        ).fit(step)
+        encoded = model.transform(step).drop("__feat")
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+
+    encoded.select(
+        id_col,
+        "centroid_id",
+        F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes"),
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/codes"
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [(j, c, cb) for j, cb_j in enumerate(codebooks) for c, cb in enumerate(cb_j)],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
+
+
+def ivfpq_probe(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    query_vec: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe: rank centroids on the driver (sidecar is tiny), scan ONLY the
+    ``nprobe`` matching code directories, ADC-score with one LUT per probed
+    centroid (built on the query's residual against THAT centroid — all
+    driver-side, nprobe·m·k floats), shortlist, exact-rerank. The per-row
+    work is a fold over m array lookups; the scan is partition-pruned; the
+    exact math touches ``shortlist`` rows."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    q = [x / qn for x in q]
+
+    centers = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    }
+    probe = sorted(
+        centers, key=lambda i: sum((a - b) ** 2 for a, b in zip(centers[i], q))
+    )[:nprobe]
+
+    cb = spark.read.parquet(f"{index_path}/codebook").collect()
+    m = max(r["subspace"] for r in cb) + 1
+    k = max(r["code"] for r in cb) + 1
+    sub = len(cb[0]["centroid"])
+    # one LUT per probed centroid, keyed into an expression by centroid_id
+    luts: dict[int, list[list[float]]] = {}
+    for cid in probe:
+        resid = [a - b for a, b in zip(q, centers[cid])]
+        lut = [[0.0] * k for _ in range(m)]
+        for r in cb:
+            piece = resid[r["subspace"] * sub : (r["subspace"] + 1) * sub]
+            lut[r["subspace"]][r["code"]] = sum(
+                (a - b) ** 2 for a, b in zip(piece, r["centroid"])
+            )
+        luts[cid] = lut
+    lut_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in probe]),
+        F.array(
+            *[
+                F.array(*[F.array(*[F.lit(d) for d in row]) for row in luts[cid]])
+                for cid in probe
+            ]
+        ),
+    )
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("centroid_id").isin(probe)
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.element_at(lut_map, F.col("centroid_id")),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    short = (
+        codes.select(id_col, adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    candidates = df.join(short, id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, topk, id_col, vec_col)

@@ -278,3 +278,47 @@ def test_pq_full_shortlist_is_exact(spark, emb, query_vec, exact_top10, tmp_path
         for r in S.pq_probe(spark, idx, emb, query_vec, topk=10, shortlist=n).collect()
     ]
     assert got == exact_top10
+
+
+def test_ivfpq_recall_and_pruning(spark, emb, query_vec, exact_top10, tmp_path):
+    """IVF-PQ composition: residual-coded ADC over only the nprobe probed
+    partitions must still reach recall@10 >= 0.8 after exact rerank, and
+    the code scan must touch no directory outside the probe set. (This
+    corpus is near-uniform random, the worst case for a coarse quantizer —
+    12 of 16 lists are needed; clustered real embeddings prune far harder.)"""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivfpq")
+    S.ivfpq_build(emb, idx, num_centroids=16, m=8, k=16)
+
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_probe(
+            spark, idx, emb, query_vec, topk=10, nprobe=12, shortlist=200
+        ).collect()
+    ]
+    recall = len(set(exact_top10) & set(got)) / 10
+    assert recall >= 0.8, f"IVF-PQ recall@10 {recall}"
+
+    # partition pruning: the probed scan reads <= nprobe directories
+    centers = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    q = [x / qn for x in q]
+    probe = sorted(
+        centers, key=lambda i: sum((a - b) ** 2 for a, b in zip(centers[i], q))
+    )[:12]
+    scanned = (
+        spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("centroid_id").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {r["f"].rsplit("/", 2)[1] for r in scanned}
+    assert {int(d.split("=")[1]) for d in dirs} <= set(probe)
