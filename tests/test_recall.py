@@ -241,13 +241,19 @@ def test_ivf_add_registers_new_vectors(spark, emb, query_vec, tmp_path):
     assert top[0]["vec_id"] == 99991
 
 
-def test_pq_adc_recall_with_rerank(spark, emb, query_vec, exact_top10, tmp_path):
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("pqidx") / "pq")
+    S.pq_build(emb, idx, m=8, k=16)
+    return idx
+
+
+def test_pq_adc_recall_with_rerank(spark, emb, query_vec, exact_top10, pq_index):
     """Product quantization: 8-byte codes (m=8, k=16 over 64 dims), ADC
     shortlist of 100, exact cosine rerank. The reranked top-10 must hit
     recall@10 >= 0.8 against brute force, and because the rerank is exact,
     every returned cosine equals the brute-force value for that id."""
-    idx = str(tmp_path / "pq")
-    S.pq_build(emb, idx, m=8, k=16)
+    idx = pq_index
 
     # stored codes really are m small ints (the 32x memory cut is real)
     codes = spark.read.parquet(f"{idx}/codes")
@@ -268,10 +274,9 @@ def test_pq_adc_recall_with_rerank(spark, emb, query_vec, exact_top10, tmp_path)
         assert r["cosine"] == exact_cos[r["vec_id"]]
 
 
-def test_pq_full_shortlist_is_exact(spark, emb, query_vec, exact_top10, tmp_path):
+def test_pq_full_shortlist_is_exact(spark, emb, query_vec, exact_top10, pq_index):
     """Shortlist >= corpus size makes PQ degrade to exact brute force."""
-    idx = str(tmp_path / "pq-full")
-    S.pq_build(emb, idx, m=8, k=16)
+    idx = pq_index
     n = emb.count()
     got = [
         r["vec_id"]
