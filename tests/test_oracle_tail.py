@@ -5,7 +5,7 @@ entries (observed in CORRECTNESS_r03.json); the registry front-loads the
 SURVEY §2 parity set and LLM-pipeline operators there. This test closes the
 gap for everything past slot 50: each tail query runs through the SAME
 rows+schema+value-hash compare (tools/check_oracle.py) against DuckDB at
-sf0.001, so the whole 74-query surface stays oracle-verified every pytest
+sf0.001, so the whole query surface stays oracle-verified every pytest
 run, not just the driver-judged prefix.
 """
 
