@@ -359,3 +359,26 @@ def test_cardinality_approx_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.02 * ex), (k, approx[k], ex)
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """PPJoin prefix filtering must return the IDENTICAL pair set as the
+    plain token join at every threshold — it is a candidate-pruning
+    technique, not an approximation. Checked on real corpus data at three
+    thresholds, grouped and ungrouped."""
+    from promhouse_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for thr, grp in [(0.5, None), (0.8, "source"), (0.3, "source")]:
+        plain = sorted(
+            map(tuple, D.ngram_jaccard_pairs(docs, group_col=grp, threshold=thr).collect())
+        )
+        fast = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    docs, group_col=grp, threshold=thr, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert fast == plain, f"thr={thr} grp={grp}: {len(fast)} vs {len(plain)}"
