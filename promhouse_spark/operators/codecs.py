@@ -203,7 +203,6 @@ _COMPRESSED_MAGIC = {
     b"GIF8": "gif",
     b"ID3": "mp3",
     b"\xff\xfb": "mp3",
-    b"\x00\x00\x00 ftyp": "mp4",
 }
 
 
@@ -214,6 +213,10 @@ def sniff(payload: bytes) -> str:
         return "pnm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    # ISO-BMFF: the first box is <4-byte size>"ftyp" — the size varies, so
+    # match the box type, not a fixed size byte.
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     for magic, name in _COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             return name

@@ -27,6 +27,7 @@ idempotent-by-doc_id store writes)."""
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from promhouse_spark.operators import dedup as D
@@ -76,10 +77,16 @@ class StreamingDocDedup:
         self.seed = seed
 
     def _store(self) -> DataFrame | None:
+        # Only a *missing* store means "first batch"; any other failure
+        # (transient FS error, corrupted parquet) must propagate — silently
+        # skipping the store would admit duplicates.
         try:
             return self.spark.read.parquet(self.store_path)
-        except Exception:  # noqa: BLE001 — first batch: store not created yet
-            return None
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def admit_batch(self, batch_df: DataFrame) -> DataFrame:
         """Dedup one micro-batch against the store AND itself; append the
@@ -102,6 +109,10 @@ class StreamingDocDedup:
             )
             cand = (
                 probe.join(hist, ["band", "bucket"])
+                # A doc re-processed after a foreachBatch retry finds its OWN
+                # stored signature (est_jaccard = 1.0); that self-match must
+                # not reject a previously-admitted row.
+                .filter(F.col(idc) != F.col("__hid"))
                 .select(idc, "__hid")
                 .dropDuplicates([idc, "__hid"])
             )
@@ -137,6 +148,13 @@ class StreamingDocDedup:
         )
         admitted = batch_df.join(rejected, idc, "left_anti")
         admitted_sig = sig.join(rejected, idc, "left_anti")
+        if store is not None:
+            # Retry idempotence: a doc_id already registered (crash after the
+            # store append, before the sink/offset commit) must not append a
+            # second signature row.
+            admitted_sig = admitted_sig.join(
+                store.select(idc).distinct(), idc, "left_anti"
+            )
         admitted_sig.write.mode("append").parquet(self.store_path)
         return admitted
 

@@ -84,6 +84,11 @@ def test_sniff_and_dispatch():
     assert C.sniff(C.encode_wav(np.zeros((4, 1)), 8000)) == "wav"
     assert C.sniff(b"\xff\xd8\xff\xe0rest") == "jpeg"
     assert C.sniff(b"\x89PNG\r\n") == "png"
+    # ISO-BMFF: any first-box size, not just 0x20
+    assert C.sniff(b"\x00\x00\x00\x18ftypmp42rest") == "mp4"
+    assert C.sniff(b"\x00\x00\x00 ftypisomrest") == "mp4"
+    with pytest.raises(NotImplementedError):
+        C.decode_features(b"\x00\x00\x00\x18ftypmp42")
     with pytest.raises(NotImplementedError):
         C.decode_features(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError):

@@ -89,3 +89,29 @@ def test_end_to_end_file_stream(spark, tmp_path, dedup):
         ) == [1, 3, 11]
     finally:
         stream.stop()
+
+
+def test_retry_replay_is_idempotent(spark, dedup):
+    """foreachBatch retry semantics: re-processing a batch whose store append
+    already committed must (a) re-admit the same rows — a doc must not be
+    rejected by its OWN stored signature — and (b) not append duplicate
+    doc_id rows to the store."""
+    batch = mk(spark, [(1, BASE), (3, OTHER)])
+    first = dedup.admit_batch(batch)
+    assert sorted(r["doc_id"] for r in first.collect()) == [1, 3]
+    replay = dedup.admit_batch(batch)  # simulated retry of the same epoch
+    assert sorted(r["doc_id"] for r in replay.collect()) == [1, 3]
+    store = spark.read.parquet(dedup.store_path)
+    assert sorted(r["doc_id"] for r in store.collect()) == [1, 3]  # no dups
+
+
+def test_store_read_errors_propagate(spark, tmp_path):
+    """Only a missing store means 'first batch'; a corrupted store must fail
+    the batch loudly rather than silently admitting duplicates."""
+    store_path = tmp_path / "sigstore"
+    store_path.mkdir()
+    (store_path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    dd = StreamingDocDedup(spark, str(store_path), threshold=0.7)
+    with pytest.raises(Exception) as exc_info:
+        dd.admit_batch(mk(spark, [(1, BASE)])).collect()
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)

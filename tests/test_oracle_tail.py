@@ -39,6 +39,19 @@ def test_tail_is_fully_oracle_paired():
     assert [n for n in TAIL if n not in ORACLES] == []
 
 
+def test_registry_coverage_is_closed():
+    """Every registered oracle belongs to a registered query, and every
+    registered query is either in the driver-judged prefix (first 50) or in
+    the TAIL parametrization above — no query can silently escape both
+    correctness checks."""
+    assert set(ORACLES) <= set(QUERIES)
+    judged_prefix = list(QUERIES)[:50]
+    assert sorted(set(judged_prefix) | set(TAIL)) == sorted(QUERIES)
+    # the gate assumption this file documents: the registry really does
+    # overflow the driver's 50-slot window, so the tail check is live
+    assert len(QUERIES) > 50 and len(TAIL) == len(QUERIES) - 50
+
+
 @pytest.mark.parametrize("name", TAIL)
 def test_tail_query_matches_oracle(name, spark, duck, sf_dir):
     problems = compare_query(name, QUERIES[name], ORACLES[name], spark, duck, sf_dir)
