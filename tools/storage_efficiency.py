@@ -27,7 +27,10 @@ from promhouse_spark.session import get_spark, load_table  # noqa: E402
 from promhouse_spark.storage.parquet import SparkParquetStorage  # noqa: E402
 
 
-def _measure(spark, samples, label: str) -> None:
+def bytes_per_sample(spark, samples) -> float:
+    """Write `samples` (fingerprint, timestamp_ms, value) through the
+    engine's ingest path (sorted, zstd parquet) and return compressed
+    bytes per sample on disk."""
     n = samples.count()
     root = tempfile.mkdtemp(prefix="phs-eff-")
     try:
@@ -38,10 +41,38 @@ def _measure(spark, samples, label: str) -> None:
             for f in files:
                 if f.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(dirpath, f))
-        print(f"{label}: {n} samples, {total} bytes -> {total / n:.2f} B/sample "
-              f"(raw struct: 24; reference compressed: ~5.3)")
+        return total / n
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def realistic_samples(spark, n_series: int = 200, n_scrapes: int = 5000):
+    """The corpus shape the reference's ~5.3 B/sample figure was measured
+    on (README.md:63-65): regular 15 s scrape intervals, slowly-drifting
+    counter values."""
+    return (
+        spark.range(n_series)
+        .select(
+            F.col("id").alias(FINGERPRINT),
+            F.explode(F.sequence(F.lit(0), F.lit(n_scrapes - 1))).alias("i"),
+        )
+        .select(
+            FINGERPRINT,
+            (F.lit(1767225600000) + F.col("i") * 15_000).alias(TIMESTAMP_MS),
+            # counter: monotonic per series with deterministic per-step increments
+            (
+                F.col(FINGERPRINT) * 1000
+                + F.col("i") * 7
+                + F.pmod(F.xxhash64(FINGERPRINT, "i"), F.lit(5))
+            ).cast("double").alias(VALUE),
+        )
+    )
+
+
+def _measure(spark, samples, label: str) -> None:
+    bps = bytes_per_sample(spark, samples)
+    print(f"{label}: {bps:.2f} B/sample "
+          f"(raw struct: 24; reference compressed: ~5.3)")
 
 
 def main() -> None:
@@ -61,24 +92,7 @@ def main() -> None:
     # Corpus 2 (realistic): what the reference's ~5.3 B figure was measured
     # on — regular scrape intervals, slowly-drifting counter values. 200
     # series x 5000 scrapes at 15 s.
-    realistic = (
-        spark.range(200)
-        .select(
-            F.col("id").alias(FINGERPRINT),
-            F.explode(F.sequence(F.lit(0), F.lit(4999))).alias("i"),
-        )
-        .select(
-            FINGERPRINT,
-            (F.lit(1767225600000) + F.col("i") * 15_000).alias(TIMESTAMP_MS),
-            # counter: monotonic per series with deterministic per-step increments
-            (
-                F.col(FINGERPRINT) * 1000
-                + F.col("i") * 7
-                + F.pmod(F.xxhash64(FINGERPRINT, "i"), F.lit(5))
-            ).cast("double").alias(VALUE),
-        )
-    )
-    _measure(spark, realistic, "realistic (15s scrapes, counters)")
+    _measure(spark, realistic_samples(spark), "realistic (15s scrapes, counters)")
     spark.stop()
 
 
