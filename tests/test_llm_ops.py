@@ -44,6 +44,40 @@ def test_minhash_lsh_finds_near_dup(corpus):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_simhash_fold_is_bit_exact(spark):
+    """The packed-counter single-fold sketch must match the per-bit SimHash
+    definition exactly: for every bit i, set iff 2·ones_i > n over the
+    distinct-shingle xxhash64 values. Oracle is plain Python over Spark's
+    own shingle hashes, so only the fold shape is under test."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    words = [f"w{i}" for i in range(80)]
+    rows = [
+        (i, " ".join(random.choices(words, k=random.randint(5, 60))))
+        for i in range(25)
+    ] + [(100, "a b"), (101, "solo")]  # one-shingle and empty-shingle edges
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    toks = F.split(F.col("text"), " ")
+    hs_rows = df.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(D.shingles(toks, 2)), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).collect()
+    for r in hs_rows:
+        hs, n, fp = r["hs"], len(r["hs"]), 0
+        for i in range(64):
+            if 2 * sum((h >> i) & 1 for h in hs) > n:
+                fp |= (1 << i) if i < 63 else -(1 << 63)
+        fp &= (1 << 64) - 1
+        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[r["doc_id"]] == fp
+
+
 def test_simhash_near_duplicates(corpus):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
              D.simhash_near_duplicates(corpus, max_hamming=10).collect()}
