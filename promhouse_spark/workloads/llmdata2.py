@@ -25,7 +25,9 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by recursive-CTE transitive closure — a genuinely different
     algorithm reaching the same fixpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = D.ngram_jaccard_pairs(docs, group_col="source", threshold=0.8)
+    edges = D.ngram_jaccard_pairs(
+        docs, group_col="source", threshold=0.8, prefix_filter=False
+    )
     cc = D.connected_components(edges, "doc_a", "doc_b")
     return (
         cc.groupBy("component")

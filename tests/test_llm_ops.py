@@ -405,7 +405,12 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     for thr, grp in [(0.5, None), (0.8, "source"), (0.3, "source")]:
         plain = sorted(
-            map(tuple, D.ngram_jaccard_pairs(docs, group_col=grp, threshold=thr).collect())
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    docs, group_col=grp, threshold=thr, prefix_filter=False
+                ).collect(),
+            )
         )
         fast = sorted(
             map(
@@ -416,3 +421,60 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
             )
         )
         assert fast == plain, f"thr={thr} grp={grp}: {len(fast)} vs {len(plain)}"
+
+
+def _zipf_corpus(spark, n_docs=120, vocab=400, seed=3):
+    import random
+
+    random.seed(seed)
+    weights = [1.0 / (r + 1) for r in range(vocab)]
+    tokens = [f"t{r}" for r in range(vocab)]
+    rows = [
+        (i, " ".join(random.choices(tokens, weights=weights, k=random.randint(8, 20))))
+        for i in range(n_docs)
+    ]
+    rows.append((1000, rows[0][1]))  # exact dup → guaranteed pair
+    rows.append((1001, rows[1][1] + " zzznovel"))  # near dup
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocabulary_skew_sniff(spark, sf_dir):
+    """The df sniff must flag a Zipf corpus and NOT the driver's flat
+    31-token synthetic vocabulary (where the prefix cannot prune)."""
+    from promhouse_spark.session import load_table
+
+    assert D._is_zipfian(D.vocabulary_skew(_zipf_corpus(spark)))
+    docs = load_table(spark, sf_dir, "documents")
+    assert not D._is_zipfian(D.vocabulary_skew(docs))
+
+
+def test_jaccard_auto_prefix_on_zipf_corpus(spark):
+    """On a Zipfian vocabulary, auto mode takes the prefix branch, generates
+    strictly fewer candidate pairs than the plain token join, and returns
+    the identical exact pair set."""
+    df = _zipf_corpus(spark)
+    plain = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=False).collect(),
+        )
+    )
+    auto = sorted(map(tuple, D.ngram_jaccard_pairs(df, threshold=0.5).collect()))
+    assert auto == plain
+    assert len(plain) >= 2  # the planted dup + near-dup made it through
+
+    arrs = D._token_arrays(df, "doc_id", "text", None)
+    n_prefix = D._prefix_candidates(arrs, "doc_id", None, 0.5).count()
+    toks = arrs.select("doc_id", F.explode("toks").alias("token"))
+    a, b = toks.alias("a"), toks.alias("b")
+    n_plain = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .count()
+    )
+    assert n_prefix < n_plain, (n_prefix, n_plain)
