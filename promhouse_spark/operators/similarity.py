@@ -297,6 +297,74 @@ def ivf_add(spark, index_path: str, new_df: DataFrame, vec_col: str = "embedding
     )
 
 
+def ivf_list_stats(spark, index_path: str) -> dict:
+    """Inverted-list health of a persisted IVF index: per-list sizes from
+    one partition-column aggregate (the scan reads NO vector data — only the
+    ``centroid_id`` directory column), plus the imbalance factor
+    ``max_list / mean_list``.
+
+    ``ivf_add`` assigns under a frozen quantizer forever, so a drifting
+    corpus concentrates new vectors into few lists: probes over-scan the hot
+    lists and, worse, a region that straddles two stale centroids gets its
+    neighbors SPLIT across lists, so a small-nprobe probe misses half of
+    them. The imbalance factor is the cheap observable for both."""
+    sizes = {
+        r["centroid_id"]: r["n"]
+        for r in spark.read.parquet(f"{index_path}/vectors")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    num_centroids = spark.read.parquet(f"{index_path}/centroids").count()
+    n_vectors = sum(sizes.values())
+    mean = n_vectors / num_centroids if num_centroids else 0.0
+    max_list = max(sizes.values(), default=0)
+    return {
+        "n_vectors": n_vectors,
+        "num_centroids": num_centroids,
+        "list_sizes": sizes,
+        "max_list": max_list,
+        "mean_list": mean,
+        "empty_lists": num_centroids - len(sizes),
+        "imbalance": (max_list / mean) if mean else 0.0,
+    }
+
+
+def ivf_needs_rebuild(stats: dict, max_imbalance: float = 3.0) -> bool:
+    """Documented rebuild trigger: refit the quantizer when the largest
+    inverted list exceeds ``max_imbalance``× the mean list size. Below it,
+    keep appending under the frozen quantizer (stable partitions, no data
+    movement); above it, probes degrade — see :func:`ivf_list_stats`."""
+    return stats["imbalance"] > max_imbalance
+
+
+def ivf_rebuild(
+    spark,
+    index_path: str,
+    num_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    target_path: str | None = None,
+) -> None:
+    """Refit the coarse quantizer over the CURRENT contents of a persisted
+    index and rewrite the inverted lists — the answer to frozen-quantizer
+    drift flagged by :func:`ivf_needs_rebuild`.
+
+    In-place rebuild (no ``target_path``) snapshots the vectors via an eager
+    ``localCheckpoint`` before overwriting, because Spark reads lazily — at
+    100 TB pass ``target_path`` instead and swap the published path at the
+    catalog/symlink level, keeping the old index probeable during the
+    rebuild (the same build-once/probe-many contract as ``ivf_build``)."""
+    vectors = spark.read.parquet(f"{index_path}/vectors").drop("centroid_id")
+    if num_centroids is None:
+        num_centroids = spark.read.parquet(f"{index_path}/centroids").count()
+    if target_path is None:
+        vectors = vectors.localCheckpoint(eager=True)
+        target_path = index_path
+    ivf_build(vectors, target_path, num_centroids, id_col, vec_col, seed)
+
+
 def ivf_probe(
     spark,
     index_path: str,

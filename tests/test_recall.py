@@ -241,6 +241,100 @@ def test_ivf_add_registers_new_vectors(spark, emb, query_vec, tmp_path):
     assert top[0]["vec_id"] == 99991
 
 
+def test_ivf_drift_trigger_and_rebuild(spark, tmp_path):
+    """Frozen-quantizer drift lifecycle. A skewed append (a dense new region
+    centred on the bisector of the two closest STALE centroids) pushes the
+    list imbalance over the rebuild threshold; ivf_rebuild restores balance
+    and probe efficiency.
+
+    The degradation to pin is PRUNING POWER, not recall-at-fixed-nprobe:
+    assignment and probe share the same nearest-centroid metric, so a drift
+    query's own list still holds its local neighbors — but that list has
+    swallowed most of the drifted corpus, so the probe scans nearly
+    everything (partition pruning in name only). After the refit the region
+    owns proportionate centroids again: same recall, a fraction of the
+    scanned rows."""
+    import math
+    import random
+
+    random.seed(5)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # unit-sphere corpus: the probe prunes by L2-to-centroid but scores by
+    # cosine; on the sphere the two rankings agree
+    base = [(i, unit([random.gauss(0, 1) for _ in range(3)])) for i in range(160)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf-drift")
+    S.ivf_build(df, idx, num_centroids=8)
+    stats0 = S.ivf_list_stats(spark, idx)
+    assert not S.ivf_needs_rebuild(stats0), stats0["imbalance"]
+
+    centers = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    ids = list(centers)
+    ca, cb = min(
+        ((a, b) for a in ids for b in ids if a < b),
+        key=lambda p: sum((x - y) ** 2 for x, y in zip(centers[p[0]], centers[p[1]])),
+    )
+    mid = unit([(x + y) / 2 for x, y in zip(centers[ca], centers[cb])])
+    drift = [
+        (1000 + i, unit([m + random.uniform(-0.6, 0.6) for m in mid]))
+        for i in range(600)
+    ]
+    S.ivf_add(
+        spark,
+        idx,
+        spark.createDataFrame(drift, "vec_id long, embedding array<double>"),
+    )
+    stats1 = S.ivf_list_stats(spark, idx)
+    assert S.ivf_needs_rebuild(stats1), stats1["imbalance"]
+    assert stats1["n_vectors"] == 760
+
+    # 8 deterministic queries from the drift region (the exact cap centre is
+    # adversarial for ANY partitioning — it sits on every split boundary)
+    queries = [drift[j][1] for j in range(0, 600, 75)]
+
+    def avg_cost_recall(nprobe=2):
+        """Mean over the drift queries of (rows the probe must scan,
+        recall@10)."""
+        cs = {
+            r["centroid_id"]: list(r["centroid"])
+            for r in spark.read.parquet(f"{idx}/centroids").collect()
+        }
+        sizes = S.ivf_list_stats(spark, idx)["list_sizes"]
+        all_vecs = spark.read.parquet(f"{idx}/vectors").cache()
+        costs, recalls = [], []
+        for q in queries:
+            probed = sorted(
+                cs, key=lambda i: sum((a - b) ** 2 for a, b in zip(cs[i], q))
+            )[:nprobe]
+            costs.append(sum(sizes.get(c, 0) for c in probed))
+            exact = {r["vec_id"] for r in S.cosine_topk(all_vecs, q, k=10).collect()}
+            got = {
+                r["vec_id"]
+                for r in S.ivf_probe(spark, idx, q, k=10, nprobe=nprobe).collect()
+            }
+            recalls.append(len(exact & got) / 10)
+        all_vecs.unpersist()
+        return sum(costs) / len(costs), sum(recalls) / len(recalls)
+
+    cost_before, recall_before = avg_cost_recall()
+    S.ivf_rebuild(spark, idx)
+    stats2 = S.ivf_list_stats(spark, idx)
+    cost_after, recall_after = avg_cost_recall()
+
+    assert stats2["imbalance"] < stats1["imbalance"]
+    assert not S.ivf_needs_rebuild(stats2), stats2["imbalance"]
+    # probe efficiency restored: recall held on a fraction of the rows
+    assert recall_after >= 0.9 and recall_after >= recall_before - 0.1
+    assert cost_after <= cost_before / 1.5, (cost_before, cost_after)
+
+
 @pytest.fixture(scope="module")
 def pq_index(spark, emb, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("pqidx") / "pq")
