@@ -73,8 +73,21 @@ def _hoist_groupby_aliases(sql: str) -> str:
     matches = list(_CH_GROUPBY.finditer(sql))
     for gb in reversed(matches):
         start = gb.end()
+        # the item list ends at the next clause keyword OR at the paren that
+        # closes the enclosing subquery — without the paren stop, a subquery
+        # whose GROUP BY is its last clause would swallow the outer query's
+        # text into its item list and the hoist would silently no-op
         tail = _CH_CLAUSE_END.search(sql, start)
         end = tail.start() if tail else len(sql)
+        depth = 0
+        for i in range(start, end):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth < 0:
+                    end = i
+                    break
         items = _split_top_level(sql[start:end])
         new_items: list[str] = []
         hoists: list[tuple[str, str]] = []

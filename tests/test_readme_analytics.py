@@ -4,10 +4,19 @@ the Phase-3 'named tests' of SURVEY §7, plus a Spark-vs-Python differential
 for the canonical label JSON."""
 
 import json
+import os
+import zlib
 
 import pytest
 
+
+def _stable_hash(job: str, i: int, m: str) -> int:
+    # NOT builtin hash(): that is randomized per interpreter (PYTHONHASHSEED),
+    # which made the absolute-count assertions flake across runs
+    return zlib.crc32(f"{job}/{i}/{m}".encode())
+
 from promhouse_spark.functions.labels import labels_map_to_json, marshal_labels
+from promhouse_spark.plans.rawsql import translate_clickhouse_sql
 from promhouse_spark.models import Label, Query, Sample, TimeSeries, make_matchers
 from promhouse_spark.storage.parquet import SparkParquetStorage
 from tests.fixtures import T0
@@ -34,7 +43,7 @@ def store(spark, tmp_path_factory):
                         # sample count varies per series so top-k is meaningful
                         samples=[
                             Sample(1.0, T0 + k * 1000)
-                            for k in range(1 + (hash((job, i, m)) % 5))
+                            for k in range(1 + (_stable_hash(job, i, m) % 5))
                         ],
                     )
                 )
@@ -191,7 +200,7 @@ ANY INNER JOIN
     # (rebuilt with the same in-process hash the fixture used)
     fixture_counts = sorted(
         (
-            float(1 + (hash((job, i, m)) % 5))
+            float(1 + (_stable_hash(job, i, m) % 5))
             for job, n, metrics in [
                 ("node", 3, ("up", "cpu", "mem")),
                 ("api", 2, ("up", "requests")),
@@ -208,3 +217,114 @@ ANY INNER JOIN
     for ts in res:
         parsed = json.loads(ts.labels_map()["labels"])
         assert set(parsed) == {"__name__", "instance", "job"}
+
+
+# ---- golden translated-SQL fixture (VERDICT r4 #8): the dialect shim's
+# input->output pairs live in tests/golden/clickhouse_dialect.txt so any
+# behavior change in translate_clickhouse_sql shows up as a reviewable
+# fixture diff, not just as downstream test churn.
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "clickhouse_dialect.txt")
+
+GOLDEN_CASES = {
+    "readme_top_jobs": """SELECT
+    job,
+    instance,
+    COUNT(*) AS value
+FROM time_series
+GROUP BY
+    visitParamExtractString(labels, 'job') AS job,
+    visitParamExtractString(labels, 'instance') AS instance
+ORDER BY value DESC LIMIT 10""",
+    "readme_metric_cardinality": """SELECT
+    name,
+    COUNT(*) AS value
+FROM time_series
+GROUP BY
+    visitParamExtractString(labels, '__name__') AS name
+ORDER BY value DESC LIMIT 10""",
+    "readme_top_series_by_samples": """SELECT
+    labels,
+    value
+FROM time_series
+ANY INNER JOIN
+(
+    SELECT
+        fingerprint,
+        COUNT(*) AS value
+    FROM samples
+    GROUP BY fingerprint
+    ORDER BY value DESC
+    LIMIT 10
+) USING (fingerprint)""",
+    "any_left_join_lowercase": "SELECT a.x FROM a any left join b USING (k)",
+    "bare_any_join": "SELECT * FROM a ANY JOIN b USING (k)",
+    "visitparam_spacing": "SELECT visitParamExtractString( labels ,  'job' ) AS j FROM t",
+    "visitparam_empty_key": "SELECT visitParamExtractString(labels, '') AS j FROM t",
+    "groupby_alias_select_star": (
+        "SELECT * FROM t GROUP BY visitParamExtractString(labels, 'job') AS job"
+    ),
+    "groupby_alias_subquery_scoped": """SELECT k, s FROM (
+  SELECT k, SUM(v) AS s FROM inner_t GROUP BY lower(name) AS k
+) GROUP BY k, s ORDER BY s""",
+    "groupby_alias_subquery_is_last_clause": (
+        "SELECT t.k FROM (SELECT k FROM x GROUP BY upper(n) AS k) t"
+    ),
+    "groupby_mixed_plain_and_aliased": (
+        "SELECT region, j, COUNT(*) AS c FROM t "
+        "GROUP BY region, element_at(labels, 'job') AS j LIMIT 5"
+    ),
+    "plain_spark_sql_untouched": """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "known_caveat_keyword_inside_string_literal": (
+        "SELECT 'ANY INNER JOIN' AS s, x FROM t"
+    ),
+}
+
+
+def _render_golden() -> str:
+    lines = [
+        "# Golden ClickHouse->Spark dialect translations.",
+        "# Regenerate with: PHS_REGEN_GOLDEN=1 python -m pytest "
+        "tests/test_readme_analytics.py -k golden",
+        "# Any diff here is a dialect-shim behavior change; review it as such.",
+        "",
+    ]
+    for name, sql in GOLDEN_CASES.items():
+        lines += [
+            f"==== {name} ====",
+            "---- input ----",
+            sql,
+            "---- translated ----",
+            translate_clickhouse_sql(sql),
+            "",
+        ]
+    return "\n".join(lines)
+
+
+def test_clickhouse_dialect_golden():
+    rendered = _render_golden()
+    if os.environ.get("PHS_REGEN_GOLDEN"):
+        with open(GOLDEN, "w") as f:
+            f.write(rendered)
+    with open(GOLDEN) as f:
+        assert f.read() == rendered, (
+            "dialect shim output drifted from tests/golden/clickhouse_dialect.txt; "
+            "if intentional, regenerate with PHS_REGEN_GOLDEN=1 and review the diff"
+        )
+
+
+def test_subquery_final_groupby_hoist_executes(spark):
+    """The golden case that exposed the clause-end paren bug must not just
+    translate — Spark must accept and evaluate the translated SQL."""
+    spark.createDataFrame(
+        [("Ab", 1), ("aB", 2), ("c", 3)], "n string, v long"
+    ).createOrReplaceTempView("x")
+    out = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT t.k, t.sv FROM (SELECT k, SUM(v) AS sv FROM x "
+            "GROUP BY upper(n) AS k) t ORDER BY k"
+        )
+    ).collect()
+    assert [(r["k"], r["sv"]) for r in out] == [("AB", 3), ("C", 3)]
