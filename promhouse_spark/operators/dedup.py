@@ -686,3 +686,125 @@ def connected_components(
         if done:
             break
     return lab.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (repeated n-gram span) deduplication — beyond-reference.
+#
+# The Spark-friendly rendering of "Deduplicating Training Data Makes Language
+# Models Better" (Lee et al., 2022, arXiv:2107.06499): the paper builds a
+# corpus-wide suffix array to find byte spans repeated across documents; a
+# suffix array is a single global sorted structure that fights Spark's
+# partitioned execution model, so here the repeated-span detector is the
+# standard distributed approximation — fixed-length word n-grams, one
+# explode + one keyed aggregation. A span of length ≥ n repeated across
+# documents necessarily repeats every one of its length-n sub-grams, so
+# n-gram detection is complete for spans ≥ n (it cannot miss one); removal
+# then masks every token covered by a repeated gram.
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word n-grams that occur in ≥ ``min_docs`` distinct documents:
+    (gram, n_docs, n_occ).
+
+    Shape at scale: explode is a per-row flat map that pipelines with the
+    scan (no exchange); the single shuffle is the groupBy on the gram, with
+    map-side partial aggregation. ``count(distinct doc_id)`` plans as
+    Spark's two-phase partial-distinct expand — still one data-scale
+    exchange. For 100 TB the gram key should be ``xxhash64(gram)`` with a
+    ``min(gram)`` exemplar to shrink shuffle rows ~5×; at test scale the
+    plain gram keeps the result oracle-comparable.
+    """
+    df = ensure_parallelism(df, id_col)
+    toks = F.split(F.col(text_col), " ")
+    g = df.select(
+        F.col(id_col), F.explode(shingles(toks, n)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Every (doc, position) whose word n-gram is repeated across ≥
+    ``min_docs`` documents: (id, pos, gram), pos 1-based.
+
+    The dup-gram set rejoins the positional gram stream on the gram key —
+    both sides hash-partition on the same key, so the join reuses the
+    aggregation's partitioning (no extra exchange of the big side beyond
+    the one the aggregation already paid)."""
+    dups = repeated_ngrams(df, id_col, text_col, n, min_docs).select("gram")
+    toks = F.split(F.col(text_col), " ")
+    pos_grams = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(toks, n)).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    return pos_grams.join(dups, "gram").select(id_col, "pos", "gram")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lee et al.-style span removal: for every cross-document repeated
+    n-gram, keep the globally-first occurrence (min (id, pos)) and delete
+    the tokens of every other occurrence. Returns the input columns plus
+    ``clean_text`` and ``n_removed_tokens``.
+
+    Distributed shape: span detection is the one keyed aggregation above;
+    the keeper choice is a second keyed aggregation on the gram (min-pair);
+    per-doc span lists come back via one join on the doc id; the final mask
+    is a pure per-row two-arg ``filter`` lambda over the token array — no
+    window functions, nothing driver-side.
+    """
+    spans = repeated_ngram_spans(df, id_col, text_col, n, min_docs)
+    # globally-first occurrence per gram: min by (id, pos) packed into a
+    # sortable struct (avoids a window over the full span stream)
+    keeper = (
+        spans.groupBy("gram")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))
+        .select("gram", F.col(f"k.{id_col}").alias("_kid"), F.col("k.pos").alias("_kpos"))
+    )
+    removed = (
+        spans.join(keeper, "gram")
+        .filter(~((F.col(id_col) == F.col("_kid")) & (F.col("pos") == F.col("_kpos"))))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    out = df.join(removed, id_col, "left")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # token at 0-based index i is covered iff some span start s (1-based)
+    # satisfies s-1 <= i < s-1+n
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i >= s - 1) & (i < s - 1 + F.lit(n))
+        ),
+    )
+    return out.select(
+        *df.columns,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

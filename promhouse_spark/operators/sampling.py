@@ -62,3 +62,53 @@ def hash_split(
         )
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def domain_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-rebalancing keep-rates per domain: target share ∝
+    count^alpha (the multinomial temperature mix of GPT-3/The Pile/XLM-R;
+    alpha < 1 flattens the domain distribution toward uniform). The
+    per-domain Bernoulli keep rate is
+
+        rate_g = (n_g ^ alpha / n_g) / max_h(n_h ^ alpha / n_h)
+
+    — normalized so the most-upweighted (smallest) domain keeps everything
+    and no rate exceeds 1; larger domains are downsampled toward the
+    tempered share. Rates are rounded to 6 dp so engine libm pow()
+    differences can never flip a keep decision at a bucket boundary.
+
+    One tiny aggregation (|domains| rows) + one scalar max — broadcastable
+    by construction."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    raw = F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("n")
+    rated = counts.select(group_col, F.col("n").cast("long").alias("n"), raw.alias("raw"))
+    mx = rated.agg(F.max("raw").alias("mx"))
+    return rated.crossJoin(mx).select(
+        group_col, "n", F.round(F.col("raw") / F.col("mx"), 6).alias("rate")
+    )
+
+
+def domain_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    method: str = "lcg",
+) -> DataFrame:
+    """Deterministic domain-temperature resampling: keep a row iff its
+    reproducible id bucket falls under its domain's tempered keep rate.
+
+    The rate frame is |domains| rows — Catalyst broadcast-joins it, so the
+    scan side never shuffles; the keep decision itself is the same pure
+    per-row bucket map as ``hash_split`` (order/partition independent,
+    reproducible across engines on the ``lcg`` path)."""
+    rates = domain_rates(df, group_col, alpha)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .filter(split_bucket(id_col, method) < F.col("rate"))
+        .drop("rate")
+    )

@@ -106,3 +106,39 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         distinct_token_count(text_col).alias("n_distinct"),
         type_token_ratio(text_col).alias("ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (beyond-reference): redaction of the mechanically-matchable
+# identifier classes a pre-training corpus pass removes (emails, IPv4s, long
+# account-style digit runs). Patterns are written in the common subset of
+# Java regex (Spark) and RE2 (DuckDB/Go): no backrefs, no lookaround, ASCII
+# word boundaries only — so the same pattern string drives both the engine
+# and the oracle.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("longnum", r"\b[0-9]{9,18}\b", "<NUM>"),
+)
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One match-count column per PII class (``n_<class>``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace every PII match with its class token. Order matters: emails
+    are scrubbed before long digit runs so an address like
+    ``12345678901@host.com`` redacts as one ``<EMAIL>``, not a ``<NUM>``
+    inside an email."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -22,6 +22,7 @@ from promhouse_spark.workloads import events as _events
 from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import llmdata2 as _llmdata2
+from promhouse_spark.workloads import llmdata3 as _llmdata3
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 from promhouse_spark.workloads import tpch3 as _tpch3
@@ -33,6 +34,7 @@ _ALL_QUERIES = {
     **_events.QUERIES,
     **_llmdata.QUERIES,
     **_llmdata2.QUERIES,
+    **_llmdata3.QUERIES,
     **_extra.QUERIES,
 }
 
@@ -80,7 +82,6 @@ JUDGED_PRIORITY = [
     "doc_simhash_dups",
     "doc_dup_clusters",
     "doc_train_split",
-    "doc_stratified_sample",
     "doc_contamination",
     "doc_repetition_filter",
     "doc_multimodal_features",
@@ -90,13 +91,14 @@ JUDGED_PRIORITY = [
     "emb_ivf_ann_topk",
     "emb_knn_within_label",
     "emb_quantize_int8",
+    "emb_pq_ann_topk",
+    "doc_substring_dups",
+    "doc_domain_resample",
+    "doc_pii_scrub",
     # --- representative TPC-H shapes (one per family; rest in the tail) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "orders_semijoin_bigqty",
-    "q9_product_type_profit",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in JUDGED_PRIORITY}
@@ -110,6 +112,7 @@ ORACLES = {
     **_events.ORACLES,
     **_llmdata.ORACLES,
     **_llmdata2.ORACLES,
+    **_llmdata3.ORACLES,
     **_extra.ORACLES,
 }
 

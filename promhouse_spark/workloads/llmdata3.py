@@ -1,0 +1,220 @@
+"""LLM training-data pipeline workloads, round 3 (beyond-reference):
+exact substring deduplication (cross-document repeated n-gram spans, the
+Spark-native rendering of Lee et al. 2022), domain-temperature resampling,
+PII scrubbing, and the product-quantization ANN serving path.
+
+Every SQL-expressible query is paired with a DuckDB oracle below; the PQ
+probe is sketch-based (codebook from distributed k-means) and registered
+rows-only — its recall and exact-rerank properties are gated in
+tests/test_recall.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.operators import dedup as D
+from promhouse_spark.operators import sampling as SP
+from promhouse_spark.operators import similarity as S
+from promhouse_spark.operators import text as X
+from promhouse_spark.session import load_table
+
+
+def doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated word 8-grams — the candidate set exact
+    substring dedup removes. One explode + one keyed aggregation
+    (operators/dedup.py:repeated_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repeated_ngrams(docs, n=8, min_docs=2).orderBy("gram")
+
+
+DOC_SUBSTRING_DUPS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) u
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY gram
+"""
+
+
+def doc_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.-style span removal: delete every non-first occurrence of a
+    cross-document repeated 8-gram, keep the globally-first one. Surfaced as
+    (doc_id, clean_hash, n_removed) so the full cleaned corpus is
+    value-hash-comparable without shipping the texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.remove_repeated_spans(docs, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_hash"),
+        F.col("n_removed_tokens").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+# NB: DuckDB list lambdas index from 1; Spark's ``filter`` lambda indexes
+# from 0 — the two span-coverage predicates below are the same interval.
+DOC_SUBSTRING_REMOVAL_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) u
+),
+dups AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+spans AS (SELECT g.* FROM grams g JOIN dups USING (gram)),
+keeper AS (SELECT gram, min({'d': doc_id, 'p': pos}) AS k FROM spans GROUP BY gram),
+removed AS (
+  SELECT s.doc_id, list(DISTINCT s.pos) AS starts
+  FROM spans s JOIN keeper k USING (gram)
+  WHERE NOT (s.doc_id = k.k.d AND s.pos = k.k.p)
+  GROUP BY s.doc_id
+),
+cleaned AS (
+  SELECT t.doc_id,
+         list_filter(t.t, (x, i) -> len(list_filter(coalesce(r.starts, []),
+                                     s -> i >= s AND i < s + 8)) = 0) AS kept,
+         len(t.t) AS n_toks
+  FROM toks t LEFT JOIN removed r USING (doc_id)
+)
+-- array_to_string([]) is NULL in DuckDB but '' in Spark's concat_ws
+SELECT doc_id, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_hash,
+       CAST(n_toks - len(kept) AS BIGINT) AS n_removed
+FROM cleaned ORDER BY doc_id
+"""
+
+
+def doc_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-temperature rebalancing (share ∝ count^0.7): per-source
+    rollup of input size, tempered keep rate, and surviving rows. The keep
+    decision is the deterministic LCG bucket vs a broadcast |domains|-row
+    rate frame (operators/sampling.py:domain_resample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.domain_resample(docs, "source", "doc_id", alpha=0.7)
+    n_in = SP.domain_rates(docs, "source", alpha=0.7).select("source", "n", "rate")
+    agg = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    return (
+        n_in.join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_in"),
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_DOMAIN_RESAMPLE_SQL = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n,
+         round((pow(n, 0.7) / n) / (SELECT max(pow(n, 0.7) / n) FROM counts), 6) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN rates r USING (source)
+  WHERE ((d.doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 < r.rate
+)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_in, r.rate,
+       CAST(coalesce(count(k.doc_id), 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS id_checksum
+FROM rates r LEFT JOIN kept k USING (source)
+GROUP BY r.source, r.n, r.rate
+ORDER BY r.source
+"""
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically PII-enriched corpus (the
+    driver corpus is synthetic words, so each doc gets an email / IPv4 /
+    account number derived from its own keys appended — exercising every
+    pattern class). Output: per-doc match counts + md5 of the scrubbed
+    text (operators/text.py:scrub_pii)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "), F.col("source"), F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            (F.floor(F.col("doc_id") / 256) % 256).cast("string"),
+            F.lit(" acct "),
+            F.lpad(((F.col("doc_id") * 7919) % 1000000000).cast("string"), 10, "0"),
+        ).alias("text"),
+    )
+    return enriched.select(
+        "doc_id",
+        *X.pii_counts("text"),
+        F.md5(X.scrub_pii("text")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+_PII_ENRICH = """
+text || ' contact ' || source || '@example.com ip 10.0.' ||
+CAST(doc_id % 256 AS VARCHAR) || '.' ||
+CAST((doc_id // 256) % 256 AS VARCHAR) || ' acct ' ||
+lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 10, '0')
+"""
+
+DOC_PII_SCRUB_SQL = f"""
+WITH enriched AS (SELECT doc_id, {_PII_ENRICH} AS text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\\b[0-9]{{9,18}}\\b')) AS BIGINT) AS n_longnum,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+      '\\b[0-9]{{9,18}}\\b', '<NUM>', 'g')) AS clean_hash
+FROM enriched ORDER BY doc_id
+"""
+
+
+# ---- PQ ANN serving path: sketch-based, rows-only driver check ------------
+
+_PQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC scan over 8-byte codes + exact rerank
+    of the shortlist (operators/similarity.py:pq_probe). Index built once
+    per (app, corpus) and served from the persisted codes — the
+    billion-vector memory-bound serving shape. Recall and rerank-exactness
+    are gated in tests/test_recall.py."""
+    import os
+    import tempfile
+
+    from promhouse_spark.workloads.llmdata import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _PQ_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="phs-pq-")
+        S.pq_build(emb, path, m=8, k=16)
+        _PQ_INDEX_CACHE[key] = path
+    return S.pq_probe(spark, path, emb, _query_vec(spark, sf_dir), topk=10)
+
+
+QUERIES = {
+    "doc_substring_dups": doc_substring_dups,
+    "doc_substring_removal": doc_substring_removal,
+    "doc_domain_resample": doc_domain_resample,
+    "doc_pii_scrub": doc_pii_scrub,
+    "emb_pq_ann_topk": emb_pq_ann_topk,
+}
+
+ORACLES = {
+    "doc_substring_dups": DOC_SUBSTRING_DUPS_SQL,
+    "doc_substring_removal": DOC_SUBSTRING_REMOVAL_SQL,
+    "doc_domain_resample": DOC_DOMAIN_RESAMPLE_SQL,
+    "doc_pii_scrub": DOC_PII_SCRUB_SQL,
+}

@@ -17,6 +17,7 @@ def test_queries_and_oracles_consistent():
         "emb_lsh_ann_topk",
         "doc_multimodal_features",
         "emb_ivf_ann_topk",
+        "emb_pq_ann_topk",
         "ph_cardinality_approx",  # HLL sketch differs per engine; 2%-error test
     }
 
