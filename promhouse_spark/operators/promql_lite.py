@@ -145,3 +145,49 @@ def series_stability(samples_df: DataFrame) -> DataFrame:
         F.sum("is_reset").cast("long").alias("n_resets"),
         F.sum("is_change").cast("long").alias("n_changes"),
     )
+
+
+def deriv(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """PromQL ``deriv()``: per-(series, window) least-squares slope of the
+    gauge in value-per-SECOND (prometheus/promql/functions.go linearRegression
+    — same simple-regression fit, windowed instead of range-vector).
+
+    One keyed aggregation: ``regr_slope`` is algebraic (sums of x, y, xy,
+    x²), so Spark computes it with map-side partial aggregation — no window
+    pass, no per-series sort. x is seconds from the window start, keeping
+    the sums small and both engines' float paths in agreement."""
+    ws = window_start_ms(step_ms)
+    x = (F.col(TIMESTAMP_MS) - F.col("window_start_ms")) / F.lit(1000.0)
+    return (
+        samples_df.select(FINGERPRINT, ws, F.col(VALUE), F.col(TIMESTAMP_MS))
+        .select(FINGERPRINT, "window_start_ms", x.alias("x"), F.col(VALUE).alias("y"))
+        .groupBy(FINGERPRINT, "window_start_ms")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_sec"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+    )
+
+
+def predict_linear(
+    samples_df: DataFrame, step_ms: int = 300_000, horizon_s: int = 3600
+) -> DataFrame:
+    """PromQL ``predict_linear()``: the windowed regression above
+    extrapolated ``horizon_s`` seconds past the window END — the
+    disk-will-fill-in-an-hour alerting primitive."""
+    ws = window_start_ms(step_ms)
+    x = (F.col(TIMESTAMP_MS) - F.col("window_start_ms")) / F.lit(1000.0)
+    horizon_x = F.lit(step_ms / 1000.0 + horizon_s)
+    return (
+        samples_df.select(FINGERPRINT, ws, F.col(VALUE), F.col(TIMESTAMP_MS))
+        .select(FINGERPRINT, "window_start_ms", x.alias("x"), F.col(VALUE).alias("y"))
+        .groupBy(FINGERPRINT, "window_start_ms")
+        .agg(
+            F.round(
+                F.regr_intercept("y", "x") + F.regr_slope("y", "x") * horizon_x, 4
+            ).alias("predicted"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+    )

@@ -23,6 +23,7 @@ from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import llmdata3 as _llmdata3
+from promhouse_spark.workloads import promql2 as _promql2
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 from promhouse_spark.workloads import tpch3 as _tpch3
@@ -35,6 +36,7 @@ _ALL_QUERIES = {
     **_llmdata.QUERIES,
     **_llmdata2.QUERIES,
     **_llmdata3.QUERIES,
+    **_promql2.QUERIES,
     **_extra.QUERIES,
 }
 
@@ -65,7 +67,7 @@ JUDGED_PRIORITY = [
     "ph_rate_counter",
     "ph_stream_increase",
     "ph_stream_dedup",
-    "ph_sliding_avg",
+    "ph_instant_vector",
     "ph_stream_late_drop",
     "ph_gap_detect",
     "ph_histogram_quantile",
@@ -113,6 +115,7 @@ ORACLES = {
     **_llmdata.ORACLES,
     **_llmdata2.ORACLES,
     **_llmdata3.ORACLES,
+    **_promql2.ORACLES,
     **_extra.ORACLES,
 }
 

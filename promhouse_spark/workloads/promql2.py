@@ -1,0 +1,147 @@
+"""PromQL-semantics workloads, second wave: instant-vector evaluation via
+the as-of join (operators/asof.py) and the linear-regression range functions
+``deriv`` / ``predict_linear`` (operators/promql_lite.py).
+
+The instant-vector oracle runs DuckDB's NATIVE ``ASOF JOIN`` — a genuinely
+independent mechanism from the union-merge window rendering on the Spark
+side, so a hash match here validates the as-of semantics, not just the
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.operators.asof import instant_vector
+from promhouse_spark.operators.promql_lite import deriv, predict_linear
+from promhouse_spark.session import load_table
+
+# the events table spans 2025-01-01 +7d; evaluate a 1-day grid at 1 h steps
+_START_MS = 1735689600000  # 2025-01-01T00:00:00Z
+_END_MS = _START_MS + 24 * 3600 * 1000
+_STEP_MS = 3600 * 1000
+_LOOKBACK_MS = 2 * 3600 * 1000
+
+
+def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("fingerprint"),
+        F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+        F.col("value"),
+    )
+
+
+def ph_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-vector evaluation: per (series, grid hour) the most recent
+    sample within a 2 h staleness lookback — PromQL's point-in-time read,
+    rendered as the one-shuffle union-merge as-of join."""
+    out = instant_vector(
+        _samples(spark, sf_dir), _START_MS, _END_MS, _STEP_MS, _LOOKBACK_MS
+    )
+    return out.select(
+        F.col("fingerprint").alias("user_id"),
+        "eval_ms",
+        F.round("value", 6).alias("value"),
+        "sample_ts_ms",
+    ).orderBy("user_id", "eval_ms")
+
+
+PH_INSTANT_VECTOR_SQL = f"""
+WITH samples AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+grid AS (
+  SELECT u.user_id, g.eval_ms
+  FROM (SELECT DISTINCT user_id FROM samples) u
+  CROSS JOIN (
+    SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS eval_ms
+  ) g
+),
+joined AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB 1.0 would otherwise push the staleness WHERE into
+  -- the join and reject it as a second ASOF inequality
+  SELECT g.user_id, g.eval_ms, round(s.value, 6) AS value, s.ts_ms AS sample_ts_ms
+  FROM grid g ASOF JOIN samples s
+    ON g.user_id = s.user_id AND g.eval_ms >= s.ts_ms
+)
+SELECT * FROM joined
+WHERE sample_ts_ms >= eval_ms - {_LOOKBACK_MS}
+ORDER BY user_id, eval_ms
+"""
+
+
+def ph_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv(): per-(series, 6 h window) least-squares slope of the
+    gauge, value/second — one algebraic aggregation, no window sort."""
+    step = 6 * 3600 * 1000
+    return (
+        deriv(_samples(spark, sf_dir), step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "slope_per_sec",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_DERIV_SQL = """
+SELECT user_id,
+       (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+       round(regr_slope(value, (epoch_ms(ts) - (epoch_ms(ts) // 21600000) * 21600000) / 1000.0), 6)
+         AS slope_per_sec,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM events
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY user_id, window_start_ms
+"""
+
+
+def ph_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear(): the 6 h-window fit extrapolated 1 h past the
+    window end — the capacity-alerting primitive."""
+    step = 6 * 3600 * 1000
+    return (
+        predict_linear(_samples(spark, sf_dir), step_ms=step, horizon_s=3600)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "predicted",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_PREDICT_LINEAR_SQL = """
+WITH xy AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+         (epoch_ms(ts) - (epoch_ms(ts) // 21600000) * 21600000) / 1000.0 AS x,
+         value AS y
+  FROM events
+)
+SELECT user_id, window_start_ms,
+       round(regr_intercept(y, x) + regr_slope(y, x) * (21600.0 + 3600.0), 4) AS predicted,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM xy
+GROUP BY user_id, window_start_ms
+HAVING count(*) >= 2
+ORDER BY user_id, window_start_ms
+"""
+
+
+QUERIES = {
+    "ph_instant_vector": ph_instant_vector,
+    "ph_deriv": ph_deriv,
+    "ph_predict_linear": ph_predict_linear,
+}
+
+ORACLES = {
+    "ph_instant_vector": PH_INSTANT_VECTOR_SQL,
+    "ph_deriv": PH_DERIV_SQL,
+    "ph_predict_linear": PH_PREDICT_LINEAR_SQL,
+}

@@ -1,0 +1,119 @@
+"""As-of join (operators/asof.py): semantics pinned against hand-computed
+expectations (exact-tie match, tolerance cutoff, unmatched rows, multiple
+keys), partition independence, and the plan-shape guarantee the module
+docstring makes — the union-merge rendering must not contain a nested-loop
+or cartesian join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from promhouse_spark.operators.asof import asof_join, instant_vector
+
+RIGHT = [
+    # (key, ts, value)
+    ("a", 100, 1.0),
+    ("a", 200, 2.0),
+    ("a", 300, 3.0),
+    ("b", 150, 9.0),
+]
+LEFT = [
+    ("a", 50),   # before any sample → unmatched
+    ("a", 100),  # exact tie → matches ts=100
+    ("a", 250),  # between → matches ts=200
+    ("a", 990),  # far after → matches ts=300 (no tolerance) / NULL (tol=100)
+    ("b", 160),  # matches ts=150
+    ("c", 500),  # key with no right rows → unmatched
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(LEFT, "k string, t long").repartition(3)
+    right = spark.createDataFrame(RIGHT, "k string, ts long, v double").repartition(2)
+    return left, right
+
+
+def _as_map(rows):
+    return {(r["k"], r["t"]): (r["v"], r["matched_ts"]) for r in rows}
+
+
+def test_asof_backward_semantics(spark, frames):
+    left, right = frames
+    got = _as_map(asof_join(left, right, on="k", left_ts="t", right_ts="ts").collect())
+    assert got == {
+        ("a", 50): (None, None),
+        ("a", 100): (1.0, 100),
+        ("a", 250): (2.0, 200),
+        ("a", 990): (3.0, 300),
+        ("b", 160): (9.0, 150),
+        ("c", 500): (None, None),
+    }
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    got = _as_map(
+        asof_join(
+            left, right, on="k", left_ts="t", right_ts="ts", tolerance_ms=100
+        ).collect()
+    )
+    # only matches within 100ms survive; ties count as distance 0
+    assert got[("a", 100)] == (1.0, 100)
+    assert got[("a", 250)] == (2.0, 200)
+    assert got[("a", 990)] == (None, None)
+    assert got[("b", 160)] == (9.0, 150)
+
+
+def test_asof_partition_independent(spark, frames):
+    left, right = frames
+    a = _as_map(asof_join(left, right, "k", "t", "ts").collect())
+    b = _as_map(
+        asof_join(left.repartition(7), right.repartition(5), "k", "t", "ts").collect()
+    )
+    assert a == b
+
+
+def test_asof_duplicate_left_ts(spark):
+    """Two left rows at the same (key, ts) both get the same match."""
+    left = spark.createDataFrame(
+        [("a", 250, "x"), ("a", 250, "y")], "k string, t long, tag string"
+    )
+    right = spark.createDataFrame([("a", 200, 5.0)], "k string, ts long, v double")
+    rows = asof_join(left, right, "k", "t", "ts").collect()
+    assert sorted((r["tag"], r["v"]) for r in rows) == [("x", 5.0), ("y", 5.0)]
+
+
+def test_asof_plan_has_no_nested_loop(spark, frames):
+    left, right = frames
+    plan = (
+        asof_join(left, right, "k", "t", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_instant_vector_staleness(spark):
+    samples = spark.createDataFrame(
+        [(1, 1000, 10.0), (1, 5000, 20.0), (2, 2000, 7.0)],
+        "fingerprint long, timestamp_ms long, value double",
+    )
+    out = {
+        (r["fingerprint"], r["eval_ms"]): (r["value"], r["sample_ts_ms"])
+        for r in instant_vector(
+            samples, start_ms=0, end_ms=8000, step_ms=2000, lookback_ms=3000
+        ).collect()
+    }
+    assert out == {
+        (1, 2000): (10.0, 1000),
+        (1, 4000): (10.0, 1000),   # still within 3000ms lookback
+        (1, 6000): (20.0, 5000),
+        (1, 8000): (20.0, 5000),
+        (2, 2000): (7.0, 2000),
+        (2, 4000): (7.0, 2000),
+        # (2, 6000+): sample at 2000 is stale (> 3000ms behind)
+    }
