@@ -126,3 +126,84 @@ def instant_vector(
         "value",
         F.col("matched_ts").alias("sample_ts_ms"),
     )
+
+
+def gap_fill(
+    samples_df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    method: str = "linear",
+    max_gap_ms: int | None = None,
+) -> DataFrame:
+    """Grid gap-filling over the sample stream — the TimescaleDB
+    ``time_bucket_gapfill``/``interpolate``/``locf`` shape, rendered with
+    the same one-shuffle union-merge as ``asof_join`` but carrying BOTH
+    neighbors in a single window pass: ``last(ignorenulls)`` over the
+    preceding frame (previous sample) and ``first(ignorenulls)`` over the
+    following frame (next sample).
+
+    - ``method="locf"``: last observation carried forward; a grid point
+      more than ``max_gap_ms`` past the previous sample stays NULL.
+    - ``method="linear"``: linear interpolation between the straddling
+      samples; grid points before the first or after the last sample of a
+      series stay NULL (no extrapolation). A sample exactly on the grid
+      timestamp is returned verbatim (the interpolation weight degenerates
+      to 0).
+
+    Output: (fingerprint, eval_ms, value) — value NULL where unfillable.
+
+    Tie subtlety: right rows sort before left rows at the same timestamp,
+    so an on-grid sample lands in the PRECEDING frame; the following frame
+    then sees the strictly-next sample, which the t == t_prev degenerate
+    weight makes irrelevant."""
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gap_fill method: {method}")
+    pay_t = "struct<__ts:bigint,v:double>"
+    grid = (
+        samples_df.select("fingerprint")
+        .distinct()
+        .select(
+            "fingerprint",
+            F.explode(
+                F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(step_ms))
+            ).alias("__t"),
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(pay_t).alias("__pay"),
+        )
+    )
+    right = samples_df.select(
+        "fingerprint",
+        F.col("timestamp_ms").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col("timestamp_ms").alias("__ts"),
+            F.col("value").cast("double").alias("v"),
+        ).alias("__pay"),
+    )
+    base = W.partitionBy("fingerprint").orderBy("__t", "__side")
+    prev = F.last("__pay", ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nxt = F.first("__pay", ignorenulls=True).over(
+        base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = (
+        grid.unionByName(right)
+        .select("fingerprint", "__t", "__side", prev.alias("__prev"), nxt.alias("__next"))
+        .filter(F.col("__side") == 1)
+    )
+    p_ts, p_v = F.col("__prev.__ts"), F.col("__prev.v")
+    n_ts, n_v = F.col("__next.__ts"), F.col("__next.v")
+    if method == "locf":
+        value = p_v
+        if max_gap_ms is not None:
+            value = F.when(p_ts >= F.col("__t") - F.lit(max_gap_ms), p_v)
+    else:
+        w = (F.col("__t") - p_ts) / F.nullif(n_ts - p_ts, F.lit(0))
+        value = F.when(F.col("__t") == p_ts, p_v).otherwise(
+            p_v + (n_v - p_v) * w
+        )
+    return carried.select(
+        "fingerprint", F.col("__t").alias("eval_ms"), value.alias("value")
+    )

@@ -191,3 +191,22 @@ def predict_linear(
         )
         .filter(F.col("n_samples") >= 2)
     )
+
+
+def quantile_over_time(
+    samples_df: DataFrame, q: float, step_ms: int = 300_000
+) -> DataFrame:
+    """PromQL ``quantile_over_time(q, …)``: the exact linear-interpolated
+    q-quantile of the values per (series, window) — ``percentile`` is
+    Spark's exact interpolating aggregate (same definition DuckDB calls
+    ``quantile_cont``), so the result is engine-checkable, unlike
+    ``approx_percentile``. Exact percentile buffers each group's values —
+    fine for bounded windows; unbounded-cardinality rollups should use the
+    sketch-based ``approx_percentile`` variant instead."""
+    return (
+        samples_df.groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(
+            F.round(F.percentile(VALUE, F.lit(q)), 6).alias("quantile"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+    )

@@ -145,3 +145,86 @@ ORACLES = {
     "ph_deriv": PH_DERIV_SQL,
     "ph_predict_linear": PH_PREDICT_LINEAR_SQL,
 }
+
+
+def ph_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile_over_time(0.9, …): exact interpolated p90 per
+    (series, 6 h window)."""
+    from promhouse_spark.operators.promql_lite import quantile_over_time
+
+    step = 6 * 3600 * 1000
+    return (
+        quantile_over_time(_samples(spark, sf_dir), q=0.9, step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "quantile",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_QUANTILE_SQL = """
+SELECT user_id,
+       (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+       round(quantile_cont(value, 0.9), 6) AS quantile,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM events
+GROUP BY 1, 2
+ORDER BY user_id, window_start_ms
+"""
+
+QUERIES["ph_quantile_over_time"] = ph_quantile_over_time
+ORACLES["ph_quantile_over_time"] = PH_QUANTILE_SQL
+
+
+def ph_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid gap-filling with linear interpolation between the straddling
+    samples (operators/asof.py:gap_fill) — the TimescaleDB
+    time_bucket_gapfill + interpolate() shape. NULL outside a series'
+    sample range (no extrapolation)."""
+    from promhouse_spark.operators.asof import gap_fill
+
+    out = gap_fill(
+        _samples(spark, sf_dir), _START_MS, _END_MS, _STEP_MS, method="linear"
+    )
+    return out.select(
+        F.col("fingerprint").alias("user_id"),
+        "eval_ms",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id", "eval_ms")
+
+
+PH_GAP_FILL_SQL = f"""
+WITH samples AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+grid AS (
+  SELECT u.user_id, g.eval_ms
+  FROM (SELECT DISTINCT user_id FROM samples) u
+  CROSS JOIN (
+    SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS eval_ms
+  ) g
+),
+prev AS MATERIALIZED (
+  SELECT g.user_id, g.eval_ms, s.ts_ms AS p_ts, s.value AS p_v
+  FROM grid g ASOF LEFT JOIN samples s
+    ON g.user_id = s.user_id AND g.eval_ms >= s.ts_ms
+),
+nxt AS MATERIALIZED (
+  SELECT g.user_id, g.eval_ms, s.ts_ms AS n_ts, s.value AS n_v
+  FROM grid g ASOF LEFT JOIN samples s
+    ON g.user_id = s.user_id AND g.eval_ms <= s.ts_ms
+)
+SELECT p.user_id, p.eval_ms,
+       round(CASE WHEN p.eval_ms = p.p_ts THEN p.p_v
+                  ELSE p.p_v + (n.n_v - p.p_v)
+                        * (p.eval_ms - p.p_ts) / nullif(n.n_ts - p.p_ts, 0)
+             END, 6) AS value
+FROM prev p JOIN nxt n USING (user_id, eval_ms)
+ORDER BY user_id, eval_ms
+"""
+
+QUERIES["ph_gap_fill_linear"] = ph_gap_fill_linear
+ORACLES["ph_gap_fill_linear"] = PH_GAP_FILL_SQL

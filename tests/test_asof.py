@@ -117,3 +117,83 @@ def test_instant_vector_staleness(spark):
         (2, 4000): (7.0, 2000),
         # (2, 6000+): sample at 2000 is stale (> 3000ms behind)
     }
+
+
+def test_gap_fill_linear_semantics(spark):
+    from promhouse_spark.operators.asof import gap_fill
+
+    samples = spark.createDataFrame(
+        [(1, 1000, 10.0), (1, 3000, 30.0), (2, 2000, 5.0)],
+        "fingerprint long, timestamp_ms long, value double",
+    )
+    out = {
+        (r["fingerprint"], r["eval_ms"]): r["value"]
+        for r in gap_fill(samples, 0, 4000, 1000, method="linear").collect()
+    }
+    assert out == {
+        (1, 0): None,          # before first sample: no extrapolation
+        (1, 1000): 10.0,       # exactly on a sample
+        (1, 2000): 20.0,       # midpoint of 10 @1000 and 30 @3000
+        (1, 3000): 30.0,
+        (1, 4000): None,       # after last sample
+        (2, 0): None,
+        (2, 1000): None,
+        (2, 2000): 5.0,
+        (2, 3000): None,
+        (2, 4000): None,
+    }
+
+
+def test_gap_fill_locf_max_gap(spark):
+    from promhouse_spark.operators.asof import gap_fill
+
+    samples = spark.createDataFrame(
+        [(1, 1000, 10.0)], "fingerprint long, timestamp_ms long, value double"
+    )
+    out = {
+        r["eval_ms"]: r["value"]
+        for r in gap_fill(
+            samples, 0, 5000, 1000, method="locf", max_gap_ms=2000
+        ).collect()
+    }
+    assert out == {0: None, 1000: 10.0, 2000: 10.0, 3000: 10.0,
+                   4000: None, 5000: None}
+
+
+def test_asof_property_vs_python_model(spark):
+    """Hypothesis sweep: random (key, ts) sets on both sides — the Spark
+    as-of join must equal the brute-force Python model everywhere,
+    including duplicate timestamps and empty keys."""
+    from hypothesis import given, settings, strategies as st
+
+    ts = st.integers(min_value=0, max_value=50)
+    key = st.sampled_from(["a", "b"])
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(key, ts), min_size=1, max_size=8),
+        rights=st.lists(st.tuples(key, ts, st.integers(0, 99)), max_size=8),
+    )
+    def check(lefts, rights):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            "k string, t long, row_id long",
+        )
+        right = spark.createDataFrame(rights, "k string, ts long, v long") \
+            if rights else spark.createDataFrame([], "k string, ts long, v long")
+        got = {
+            r["row_id"]: (r["v"], r["matched_ts"])
+            for r in asof_join(left, right, "k", "t", "ts").collect()
+        }
+        for i, (k, t) in enumerate(lefts):
+            cands = [(ts_, v) for (rk, ts_, v) in rights if rk == k and ts_ <= t]
+            # duplicates at the max ts: any of them is a valid match value —
+            # the operator picks the last in (ts, side) order; accept any
+            if cands:
+                best_ts = max(c[0] for c in cands)
+                vals = {v for (ts_, v) in cands if ts_ == best_ts}
+                assert got[i][1] == best_ts and got[i][0] in vals, (i, k, t)
+            else:
+                assert got[i] == (None, None), (i, k, t)
+
+    check()
