@@ -210,3 +210,57 @@ def quantile_over_time(
             F.count("*").cast("long").alias("n_samples"),
         )
     )
+
+
+def holt_winters(
+    samples_df: DataFrame,
+    sf: float = 0.3,
+    tf: float = 0.1,
+    step_ms: int = 300_000,
+) -> DataFrame:
+    """PromQL ``holt_winters(v, sf, tf)`` (double exponential smoothing,
+    prometheus/promql/functions.go funcHoltWinters), windowed: per
+    (series, window) the smoothed value after folding the time-ordered
+    samples through  s' = sf·x + (1−sf)(s+b),  b' = tf·(s'−s) + (1−tf)·b,
+    seeded s=x₂, b=x₂−x₁ as Prometheus does. Windows with < 2 samples drop.
+
+    A sequential recurrence has no algebraic (mergeable) form, so this is
+    the collect-fold shape: one keyed aggregation gathers each window's
+    samples into a sorted array (bounded by the window — NOT a whole-series
+    collect), then a single JVM-side ``aggregate`` lambda runs the
+    recurrence. Ties on the timestamp order deterministically by value, so
+    the fold is engine-reproducible."""
+    omf, omtf = 1.0 - sf, 1.0 - tf
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(TIMESTAMP_MS).alias("t"),
+                F.col(VALUE).cast("double").alias("v"),
+            )
+        )
+    )
+    g = (
+        samples_df.groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(arr.alias("a"), F.count("*").cast("long").alias("n_samples"))
+        .filter(F.col("n_samples") >= 2)
+    )
+    a = F.col("a")
+    init = F.struct(
+        a[1]["v"].alias("s"), (a[1]["v"] - a[0]["v"]).alias("b")
+    )
+    rest = F.slice(a, 3, F.greatest(F.size(a) - 2, F.lit(0)))
+
+    def smooth(acc, x):
+        s_new = F.lit(sf) * x["v"] + F.lit(omf) * (acc["s"] + acc["b"])
+        return F.struct(
+            s_new.alias("s"),
+            (F.lit(tf) * (s_new - acc["s"]) + F.lit(omtf) * acc["b"]).alias("b"),
+        )
+
+    res = F.aggregate(rest, init, smooth)
+    return g.select(
+        FINGERPRINT,
+        "window_start_ms",
+        F.round(res["s"], 6).alias("smoothed"),
+        "n_samples",
+    )

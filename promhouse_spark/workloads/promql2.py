@@ -16,11 +16,14 @@ from promhouse_spark.operators.asof import instant_vector
 from promhouse_spark.operators.promql_lite import deriv, predict_linear
 from promhouse_spark.session import load_table
 
-# the events table spans 2025-01-01 +7d; evaluate a 1-day grid at 1 h steps
-_START_MS = 1735689600000  # 2025-01-01T00:00:00Z
-_END_MS = _START_MS + 24 * 3600 * 1000
+# the events table spans 2024-01-01..2024-01-30 (~3 samples/user/day at
+# sf0.01); evaluate a 2-day grid at 1 h steps starting Jan 2 so every grid
+# point has history behind it, with a 6 h staleness lookback to match the
+# sparse cadence
+_START_MS = 1704153600000  # 2024-01-02T00:00:00Z
+_END_MS = _START_MS + 48 * 3600 * 1000
 _STEP_MS = 3600 * 1000
-_LOOKBACK_MS = 2 * 3600 * 1000
+_LOOKBACK_MS = 6 * 3600 * 1000
 
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,3 +231,53 @@ ORDER BY user_id, eval_ms
 
 QUERIES["ph_gap_fill_linear"] = ph_gap_fill_linear
 ORACLES["ph_gap_fill_linear"] = PH_GAP_FILL_SQL
+
+
+def ph_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters(0.3, 0.1) per (series, 6 h window): the
+    sequential smoothing recurrence as a JVM array fold; the oracle replays
+    the identical recurrence through a DuckDB RECURSIVE CTE — an
+    independent sequential mechanism."""
+    from promhouse_spark.operators.promql_lite import holt_winters
+
+    step = 6 * 3600 * 1000
+    return (
+        holt_winters(_samples(spark, sf_dir), sf=0.3, tf=0.1, step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "smoothed",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_HOLT_WINTERS_SQL = """
+WITH RECURSIVE vals AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 21600000) * 21600000 AS w,
+         row_number() OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                            ORDER BY epoch_ms(ts), value) AS i,
+         value
+  FROM events
+),
+counts AS (SELECT user_id AS cu, w AS cw, max(i) AS n FROM vals GROUP BY 1, 2),
+hw AS (
+  SELECT v2.user_id, v2.w, 2 AS i, v2.value AS s, v2.value - v1.value AS b
+  FROM vals v1 JOIN vals v2 ON v1.user_id = v2.user_id AND v1.w = v2.w
+  WHERE v1.i = 1 AND v2.i = 2
+  UNION ALL
+  SELECT hw.user_id, hw.w, hw.i + 1,
+         0.3 * v.value + 0.7 * (hw.s + hw.b),
+         0.1 * ((0.3 * v.value + 0.7 * (hw.s + hw.b)) - hw.s) + 0.9 * hw.b
+  FROM hw JOIN vals v ON v.user_id = hw.user_id AND v.w = hw.w AND v.i = hw.i + 1
+)
+SELECT hw.user_id, hw.w AS window_start_ms, round(hw.s, 6) AS smoothed,
+       CAST(c.n AS BIGINT) AS n_samples
+FROM hw JOIN counts c ON hw.user_id = c.cu AND hw.w = c.cw AND hw.i = c.n
+ORDER BY user_id, window_start_ms
+"""
+
+QUERIES["ph_holt_winters"] = ph_holt_winters
+ORACLES["ph_holt_winters"] = PH_HOLT_WINTERS_SQL

@@ -197,3 +197,14 @@ def test_asof_property_vs_python_model(spark):
                 assert got[i] == (None, None), (i, k, t)
 
     check()
+
+
+def test_promql2_queries_nonempty_at_sf0001(spark):
+    """Guard against a silently-empty evaluation grid (a grid outside the
+    data's time range makes every oracle compare trivially pass on 0=0
+    rows — this caught a 2025 grid over 2024 data once)."""
+    from promhouse_spark.workloads import promql2
+
+    for name, fn in promql2.QUERIES.items():
+        n = fn(spark, "/root/testdata/sf0.001").count()
+        assert n > 0, f"{name} returned 0 rows — grid/data mismatch?"
