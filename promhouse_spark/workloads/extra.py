@@ -1022,3 +1022,68 @@ ORDER BY user_id
 
 QUERIES.update({"ph_series_stability": ph_series_stability})
 ORACLES.update({"ph_series_stability": PH_SERIES_STABILITY_SQL})
+
+
+def ph_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization computed CONTINUOUSLY with native session windows
+    (streaming/sessions.py): the events are streamed in two time-split
+    micro-batches through a watermarked ``session_window`` aggregation, a
+    far-future sentinel batch advances the watermark so every real session
+    finalizes, and the per-user rollup of the emitted sessions must equal
+    the batch lag+cumsum sessionizer — the oracle IS the batch SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from promhouse_spark.streaming.sessions import EVENTS_SCHEMA, session_counts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    tmp = tempfile.mkdtemp(prefix="ph_stream_sess_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    name = f"ph_stream_sess_{uuid.uuid4().hex[:8]}"
+    ev.filter(F.col("ts") < F.lit(mid)).write.parquet(src)
+    q = (
+        session_counts(spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") >= F.lit(mid)).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # sentinel far past the data: pushes the global watermark beyond
+        # every real session's close so append mode flushes them all
+        spark.createDataFrame(
+            [(-1,)], "user_id bigint"
+        ).select(
+            "user_id", (F.lit(hi) + F.expr("INTERVAL 10 DAYS")).alias("ts")
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).filter(F.col("user_id") >= 0)
+    agg_rows = (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        agg_rows, "user_id bigint, n_sessions bigint, max_session_events bigint"
+    ).orderBy("user_id")
+
+
+QUERIES.update({"ph_stream_sessionize": ph_stream_sessionize})
+# differential contract: the continuously-computed sessions must equal the
+# batch sessionizer, so the oracle is ph_sessionize's own SQL
+ORACLES.update({"ph_stream_sessionize": PH_SESSIONIZE_SQL})

@@ -114,3 +114,63 @@ def test_stream_late_data_accepted(spark, tmp_path):
         q.stop()
     res = storage.read([Query(0, T0 + 1, make_matchers(("__name__", "=", "old")))])
     assert [s.timestamp_ms for s in res[0][0].samples] == [1000, T0]
+
+
+def test_session_window_stream_semantics(spark, tmp_path):
+    """Native session-window streaming (streaming/sessions.py): crafted
+    events with a cross-micro-batch session — the session spanning the
+    batch boundary must merge in the state store, and append mode emits
+    each session exactly once after the watermark passes it."""
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.streaming.sessions import EVENTS_SCHEMA, session_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = "2024-01-01 00:{m:02d}:00"
+
+    def rows(*mins_by_user):
+        return [(u, base.format(m=m)) for u, m in mins_by_user]
+
+    def write(batch, mode="append"):
+        spark.createDataFrame(batch, "user_id bigint, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode(mode).parquet(src)
+
+    # batch 1: user 1 events at :00 and :10 (one session so far);
+    #          user 2 event at :05
+    write(rows((1, 0), (1, 10), (2, 5)), mode="overwrite")
+    q = (
+        session_counts(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(src),
+            gap="30 minutes",
+            watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 at :35 — within 30 min of :10, EXTENDS the open
+        # session across the micro-batch boundary; user 2 silent (session
+        # will close at :35)
+        write(rows((1, 35)))
+        q.processAllAvailable()
+        # sentinel far in the future closes everything
+        spark.createDataFrame([(9, "2024-01-02 00:00:00")], "user_id bigint, ts_s string") \
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts")) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table("sess_test").filter(F.col("user_id") < 9).collect()
+    }
+    spark.catalog.dropTempView("sess_test")
+    # user 1: ONE merged session of 3 events (00,10,35); user 2: one of 1
+    assert got == {(1, 3), (2, 1)}
