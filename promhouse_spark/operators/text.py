@@ -142,3 +142,67 @@ def scrub_pii(col: Column | str) -> Column:
     for _, pat, token in PII_PATTERNS:
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language-model scoring (beyond-reference): the
+# CCNet/KenLM-shaped quality signal — score each document by the mean log
+# probability of its character n-grams under a corpus-level model, and
+# filter the tail. (CCNet: Wenzek et al. 2020, arXiv:1911.00359 — there a
+# 5-gram KenLM; here the distributed-friendly char-trigram variant.)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All overlapping character n-grams of a string (shorter strings yield
+    the string itself)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def char_ngram_model(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Corpus-level character-n-gram unigram model: (gram, logp) with
+    logp = ln(count / total). One explode + one keyed aggregation; the
+    total is a 1-row aggregate joined back by cross join (broadcast by
+    construction)."""
+    grams = df.select(F.explode(char_ngrams(text_col, n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "gram", (F.log(F.col("cnt") / F.col("tot"))).alias("logp")
+    )
+
+
+def charlm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    unseen_logp: float = -20.0,
+) -> DataFrame:
+    """Per-document mean negative log probability (lower = more fluent
+    under the corpus model — the CCNet head/middle/tail split key):
+    (id, n_grams, avg_nll).
+
+    The doc-side gram stream joins the model on the gram key — at corpus
+    scale the model is |alphabet|^n-bounded (tiny for chars) and
+    broadcastable; unseen grams take the floor ``unseen_logp``."""
+    grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+    )
+    scored = grams.join(F.broadcast(model), "gram", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(
+                -F.avg(F.coalesce(F.col("logp"), F.lit(unseen_logp))), 4
+            ).alias("avg_nll"),
+        )
+    )

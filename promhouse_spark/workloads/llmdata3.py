@@ -218,3 +218,38 @@ ORACLES = {
     "doc_domain_resample": DOC_DOMAIN_RESAMPLE_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
 }
+
+
+def doc_charlm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring: per-doc mean negative log probability
+    of its character trigrams under the corpus-level trigram model
+    (operators/text.py:char_ngram_model/charlm_score). The model side is
+    |alphabet|³-bounded and broadcast; the doc side is one explode + one
+    keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = X.char_ngram_model(docs, "text", n=3)
+    return (
+        X.charlm_score(docs, model, n=3)
+        .orderBy("doc_id")
+    )
+
+
+DOC_CHARLM_NLL_SQL = """
+WITH grams AS (
+  SELECT d.doc_id, substring(d.text, i, 3) AS gram
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS i) u
+),
+model AS (
+  SELECT gram, ln(count(*) * 1.0 / (SELECT count(*) FROM grams)) AS logp
+  FROM grams GROUP BY gram
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(-avg(coalesce(m.logp, -20.0)), 4) AS avg_nll
+FROM grams g LEFT JOIN model m USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+QUERIES["doc_charlm_nll"] = doc_charlm_nll
+ORACLES["doc_charlm_nll"] = DOC_CHARLM_NLL_SQL

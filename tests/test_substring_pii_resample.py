@@ -231,3 +231,35 @@ def test_domain_resample_deterministic_and_partition_independent(spark, skewed):
 def test_domain_resample_plan_broadcasts_rates(spark, skewed):
     plan = SP.domain_resample(skewed)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_charlm_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab")], "doc_id long, text string"
+    )
+    model = X.char_ngram_model(docs, "text", n=3)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["avg_nll"])
+        for r in X.charlm_score(docs, model, n=3).collect()
+    }
+    # grams: doc1 → aaa, aaa; doc2 → aaa, aab; counts aaa=3, aab=1, tot=4
+    nll1 = -math.log(3 / 4)
+    nll2 = -(math.log(3 / 4) + math.log(1 / 4)) / 2
+    assert got == {1: (2, round(nll1, 4)), 2: (2, round(nll2, 4))}
+    # the doc with the rarer gram is less fluent under the model
+    assert got[2][1] > got[1][1]
+
+
+def test_charlm_unseen_floor(spark):
+    train = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    test = spark.createDataFrame([(9, "zzzz")], "doc_id long, text string")
+    model = X.char_ngram_model(train, "text", n=3)
+    r = X.charlm_score(test, model, n=3, unseen_logp=-20.0).first()
+    assert (r["doc_id"], r["n_grams"], r["avg_nll"]) == (9, 2, 20.0)
