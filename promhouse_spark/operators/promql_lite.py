@@ -264,3 +264,41 @@ def holt_winters(
         F.round(res["s"], 6).alias("smoothed"),
         "n_samples",
     )
+
+
+def alert_intervals(
+    samples_df: DataFrame, threshold: float, for_ms: int = 0
+) -> DataFrame:
+    """Prometheus alerting-rule evaluation over stored samples: the maximal
+    intervals where a series holds ``value > threshold`` continuously, kept
+    only if they last at least ``for_ms`` — the batch replay of
+    ``expr > threshold FOR <duration>`` (prometheus/rules/alerting.go
+    semantics: pending until the condition has held for the duration).
+
+    Gaps-and-islands: one per-series window pass numbers each violation run
+    by the cumulative count of non-violating samples before it, then one
+    keyed aggregation collapses runs to (start, end, n). Same
+    one-shuffle-per-series-window shape as every promql_lite range op.
+
+    Output: (fingerprint, start_ms, end_ms, n_samples), only firing runs.
+    """
+    # tie-break equal timestamps by value so the run numbering is total and
+    # engine-reproducible
+    w = W.partitionBy(FINGERPRINT).orderBy(TIMESTAMP_MS, VALUE)
+    ok = F.col(VALUE) > F.lit(threshold)
+    grp = F.sum((~ok).cast("long")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = samples_df.select(
+        FINGERPRINT, TIMESTAMP_MS, ok.alias("__ok"), grp.alias("__grp")
+    ).filter("__ok")
+    return (
+        runs.groupBy(FINGERPRINT, "__grp")
+        .agg(
+            F.min(TIMESTAMP_MS).alias("start_ms"),
+            F.max(TIMESTAMP_MS).alias("end_ms"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .filter(F.col("end_ms") - F.col("start_ms") >= F.lit(for_ms))
+        .drop("__grp")
+    )

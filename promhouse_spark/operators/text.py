@@ -206,3 +206,69 @@ def charlm_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def adjacent_pair_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting step of a
+    BPE merge round (Sennrich et al. 2016), at corpus scale: one per-row
+    pair expansion (no shuffle) + one keyed aggregation. (left, right,
+    cnt)."""
+    toks = tokens(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("left"),
+            F.element_at(toks, i + 1).alias("right"),
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.left", "p.right")
+        .groupBy("left", "right")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf (idf = ln(N/df), raw tf) —
+    the classic retrieval/keyword signal. Shape: one keyed aggregation for
+    per-(doc, term) tf, one for document frequency (both map-side
+    combinable), a broadcast of the 1-row corpus size, then a per-doc
+    window top-k ordered (score desc, term) for a total order."""
+    from pyspark.sql import Window as W
+
+    term_rows = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    # df counts: each (doc, term) once via the distinct explode above
+    dfreq = term_rows.groupBy("term").agg(F.count("*").alias("df"))
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )

@@ -253,3 +253,64 @@ ORDER BY g.doc_id
 
 QUERIES["doc_charlm_nll"] = doc_charlm_nll
 ORACLES["doc_charlm_nll"] = DOC_CHARLM_NLL_SQL
+
+
+def doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token-pair frequencies — the counting step of a BPE
+    merge round at corpus scale (operators/text.py:adjacent_pair_counts):
+    per-row pair expansion, one keyed aggregation, TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.adjacent_pair_counts(docs)
+        .orderBy(F.desc("cnt"), "left", "right")
+        .limit(50)
+    )
+
+
+DOC_BPE_PAIRS_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS "left", t[i+1] AS "right"
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) u
+)
+SELECT "left", "right", CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, "left", "right"
+LIMIT 50
+"""
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf·idf keywords
+    (operators/text.py:tfidf_top_terms), rank ties broken by term for a
+    total order. Ranking happens on the ROUNDED score in both engines so
+    float noise can't flip a rank at a tie."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+DOC_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n * 1.0 / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+QUERIES["doc_bpe_pairs"] = doc_bpe_pairs
+QUERIES["doc_tfidf_top_terms"] = doc_tfidf_top_terms
+ORACLES["doc_bpe_pairs"] = DOC_BPE_PAIRS_SQL
+ORACLES["doc_tfidf_top_terms"] = DOC_TFIDF_SQL

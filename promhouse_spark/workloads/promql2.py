@@ -281,3 +281,41 @@ ORDER BY user_id, window_start_ms
 
 QUERIES["ph_holt_winters"] = ph_holt_winters
 ORACLES["ph_holt_winters"] = PH_HOLT_WINTERS_SQL
+
+
+def ph_alert_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting-rule replay: maximal value > 90 runs per series that held
+    for at least 12 h (operators/promql_lite.py:alert_intervals) — the
+    batch form of `expr > 90 FOR 12h`."""
+    from promhouse_spark.operators.promql_lite import alert_intervals
+
+    return (
+        alert_intervals(_samples(spark, sf_dir), threshold=90.0, for_ms=12 * 3600 * 1000)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "start_ms",
+            "end_ms",
+            "n_samples",
+        )
+        .orderBy("user_id", "start_ms")
+    )
+
+
+PH_ALERT_INTERVALS_SQL = """
+WITH flagged AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value > 90 AS ok,
+         sum(CASE WHEN value > 90 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), value
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM events
+)
+SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM flagged WHERE ok
+GROUP BY user_id, grp
+HAVING max(ts_ms) - min(ts_ms) >= 43200000
+ORDER BY user_id, start_ms
+"""
+
+QUERIES["ph_alert_intervals"] = ph_alert_intervals
+ORACLES["ph_alert_intervals"] = PH_ALERT_INTERVALS_SQL
