@@ -808,3 +808,111 @@ def remove_repeated_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS local
+# document fingerprinting algorithm): rolling-hash every character k-gram,
+# then keep the minimum hash of every window of w consecutive k-gram hashes.
+# The guarantee: any shared substring of length ≥ w+k-1 contributes at least
+# one IDENTICAL selected fingerprint to both documents, so overlap detection
+# needs only an equi-join on the fingerprint value — position-robust where
+# the word-n-gram path (repeated_ngrams) is tokenization-bound.
+#
+# The gram hash is a polynomial fold ((acc·257 + char) mod 2³¹−1) instead of
+# xxhash64 because the DuckDB oracle must compute bit-identical values —
+# both engines fold the same ASCII codes with the same arithmetic.
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = 2147483647
+
+
+def _gram_hash(gram: Column) -> Column:
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(gram)),
+        lambda j: F.ascii(gram.substr(j, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _WINNOW_BASE + c) % _WINNOW_MOD,
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set: (id, fp) — fp the selected
+    (window-minimum) k-gram hashes, distinct per doc.
+
+    Shape: posexplode the k-gram positions (a generator, pipelines with the
+    scan), hash each gram with ONE bounded fold per row, then a per-doc
+    rolling ``min`` window over ``w`` consecutive positions + distinct.
+    One shuffle on the doc id (the window), one on (id, fp) (the
+    distinct) — both bounded by document length.
+
+    An earlier all-array formulation (transform-of-slice-of-transform)
+    looked shuffle-free but was O(len²·k) per document: Catalyst inlines
+    the hash-array expression into the window-min lambda, so every window
+    recomputed EVERY gram hash — the same inlining trap
+    ``minhash_signatures`` documents. Flat rows + a window function keep
+    each hash computed once and inside codegen."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__i", "__gram")
+    ).select(F.col(id_col), "__i", _gram_hash(F.col("__gram")).alias("__h"))
+    from pyspark.sql import Window as W
+
+    doc_w = W.partitionBy(id_col).orderBy("__i")
+    roll = doc_w.rowsBetween(0, w - 1)
+    mins = pos.select(
+        F.col(id_col),
+        "__i",
+        F.min("__h").over(roll).alias("fp"),
+        F.max("__i").over(
+            W.partitionBy(id_col).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("__maxi"),
+    )
+    # windows exist only at positions 0..max(len-w, 0) (0-based posexplode);
+    # shorter docs keep their single truncated window
+    return (
+        mins.filter(F.col("__i") <= F.greatest(F.col("__maxi") - (w - 1), F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints:
+    (doc_a, doc_b, n_shared). The pair generator is an equi-join on the
+    fingerprint value — bucketed by construction (each fp joins only its
+    own bucket), never all-pairs; hot fingerprints (boilerplate) can be
+    capped upstream exactly like ``max_df`` in the Jaccard path."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -314,3 +314,55 @@ QUERIES["doc_bpe_pairs"] = doc_bpe_pairs
 QUERIES["doc_tfidf_top_terms"] = doc_tfidf_top_terms
 ORACLES["doc_bpe_pairs"] = DOC_BPE_PAIRS_SQL
 ORACLES["doc_tfidf_top_terms"] = DOC_TFIDF_SQL
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap detection: pairs sharing ≥ 5 selected
+    rolling-hash fingerprints (operators/dedup.py:winnowing_overlap_pairs,
+    k=16 chars ≈ 3 words, window 8). Position-robust where word-n-gram
+    dedup is tokenization-bound; any shared substring ≥ w+k-1 chars
+    guarantees a shared fingerprint. k is sized to the driver corpus's
+    31-word vocabulary — short grams collide corpus-wide there (measured:
+    k=5 matches ~99% of all pairs, k=16 isolates the planted near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_overlap_pairs(docs, k=16, w=8, min_shared=5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DOC_WINNOW_PAIRS_SQL = """
+WITH grams AS (
+  SELECT doc_id, i, substring(text, i, 16) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-15, 1))) AS i) u
+),
+hashed AS (
+  SELECT doc_id, i,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(gram)+1),
+                            j -> CAST(ascii(substring(gram, j, 1)) AS BIGINT))),
+             (a, b) -> (a * 257 + b) % 2147483647) AS h
+  FROM grams
+),
+arrs AS (
+  SELECT doc_id, list(h ORDER BY i) AS hs FROM hashed GROUP BY doc_id
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(hs)-7, 1)+1),
+                                 i -> list_aggregate(hs[i : i+7], 'min'))) AS fp
+    FROM arrs
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["doc_winnow_pairs"] = doc_winnow_pairs
+ORACLES["doc_winnow_pairs"] = DOC_WINNOW_PAIRS_SQL

@@ -263,3 +263,52 @@ def test_charlm_unseen_floor(spark):
     model = X.char_ngram_model(train, "text", n=3)
     r = X.charlm_score(test, model, n=3, unseen_logp=-20.0).first()
     assert (r["doc_id"], r["n_grams"], r["avg_nll"]) == (9, 2, 20.0)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[int]:
+    n = len(text)
+    grams = (
+        [text[i : i + k] for i in range(max(n - k + 1, 1))]
+        if n >= k
+        else [text]
+    )
+    hs = []
+    for g in grams:
+        h = 0
+        for ch in g:
+            h = (h * 257 + ord(ch)) % 2147483647
+        hs.append(h)
+    m = len(hs)
+    return {min(hs[i : i + w]) for i in range(max(m - w + 1, 1))}
+
+
+def test_winnowing_matches_python_model(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "hi"),  # shorter than k: single truncated gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got: dict[int, set[int]] = {}
+    for r in D.winnowing_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {i: _py_winnow(t, 5, 4) for i, t in rows}
+    assert got == want
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. guarantee: a shared substring of length ≥ w+k-1
+    forces at least one identical selected fingerprint in both docs."""
+    k, w = 5, 4
+    shared = "zqxjkvbwpfmgydl_shared_block"  # length 28 ≥ w+k-1 = 8
+    df = spark.createDataFrame(
+        [(1, f"aaa {shared} bbb"), (2, f"ccccc {shared} d")],
+        "doc_id long, text string",
+    )
+    pairs = D.winnowing_overlap_pairs(df, k=k, w=w, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
