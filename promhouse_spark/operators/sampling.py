@@ -112,3 +112,47 @@ def domain_resample(
         .filter(split_bucket(id_col, method) < F.col("rate"))
         .drop("rate")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    seq_len: int = 2048,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Greedy contiguous sequence packing — the documents → fixed-length
+    training-sample step of a pretraining pipeline. Documents are packed in
+    deterministic ``id`` order WITHIN hash shards: a global order would need
+    a global sort (one reducer at 100 TB), so production packing shards
+    first and packs within shards — each shard's window sorts independently
+    in its own partition. A document lands in the bin where its span starts
+    (bin = floor(preceding-tokens / seq_len)); bins therefore straddle
+    document boundaries exactly like causal-LM sample packing does.
+
+    Output: (shard, bin, n_docs, n_tokens, fill_ratio) — fill_ratio > 1 on
+    bins whose last document overflows into the next bin.
+    """
+    from pyspark.sql import Window as W
+
+    shard = F.pmod(F.col(id_col), F.lit(num_shards))
+    w = W.partitionBy("shard").orderBy(id_col)
+    cum = F.sum(token_count_col).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = df.select(
+        shard.alias("shard"), F.col(id_col), F.col(token_count_col)
+    ).select(
+        "shard",
+        id_col,
+        token_count_col,
+        F.floor((cum - F.col(token_count_col)) / F.lit(seq_len)).alias("bin"),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_count_col).cast("long").alias("n_tokens"),
+            F.round(F.sum(token_count_col) / F.lit(seq_len), 4).alias("fill_ratio"),
+        )
+    )

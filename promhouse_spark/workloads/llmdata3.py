@@ -366,3 +366,40 @@ ORDER BY doc_a, doc_b
 
 QUERIES["doc_winnow_pairs"] = doc_winnow_pairs
 ORACLES["doc_winnow_pairs"] = DOC_WINNOW_PAIRS_SQL
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 256-token bins across 8 hash
+    shards (operators/sampling.py:pack_sequences) — the documents →
+    fixed-length-training-sample step, sharded so no global sort exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return (
+        SP.pack_sequences(with_counts, seq_len=256, num_shards=8)
+        .orderBy("shard", "bin")
+    )
+
+
+DOC_PACK_SEQUENCES_SQL = """
+WITH counted AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 256.0) AS BIGINT) AS bin
+  FROM counted
+)
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / 256.0, 4) AS fill_ratio
+FROM binned
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+QUERIES["doc_pack_sequences"] = doc_pack_sequences
+ORACLES["doc_pack_sequences"] = DOC_PACK_SEQUENCES_SQL
