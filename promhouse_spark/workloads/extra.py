@@ -1087,3 +1087,97 @@ QUERIES.update({"ph_stream_sessionize": ph_stream_sessionize})
 # differential contract: the continuously-computed sessions must equal the
 # batch sessionizer, so the oracle is ph_sessionize's own SQL
 ORACLES.update({"ph_stream_sessionize": PH_SESSIONIZE_SQL})
+
+
+def ph_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join computed over a REAL two-stream run
+    (streaming/enrich.py): even events are the measurement stream, odd
+    events the annotation stream; each measurement joins the annotations of
+    its series from the preceding hour. The measurement half streams in two
+    time-split micro-batches and the annotation half arrives one batch
+    LATE, so cross-batch matches must come out of the join buffers. The
+    per-user rollup must equal the plain batch/SQL interval join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from promhouse_spark.streaming.enrich import (
+        MARK_SCHEMA,
+        MEASURE_SCHEMA,
+        interval_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    measures = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("fingerprint"),
+        F.col("ts").alias("m_ts"),
+        F.col("value"),
+    )
+    marks = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("fingerprint"),
+        F.col("ts").alias("a_ts"),
+        F.col("value").alias("mark"),
+    )
+    lo, hi = measures.agg(F.min("m_ts"), F.max("m_ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    tmp = tempfile.mkdtemp(prefix="ph_stream_enrich_")
+    msrc, asrc, ckpt = f"{tmp}/m", f"{tmp}/a", f"{tmp}/ckpt"
+    name = f"ph_stream_enrich_{uuid.uuid4().hex[:8]}"
+    # batch 1: early measurements only — their annotations arrive LATE
+    measures.filter(F.col("m_ts") < F.lit(mid)).write.parquet(msrc)
+    marks.limit(0).write.parquet(asrc)
+    q = (
+        interval_enrich(
+            spark.readStream.schema(MEASURE_SCHEMA).parquet(msrc),
+            spark.readStream.schema(MARK_SCHEMA).parquet(asrc),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the rest of the measurements + ALL annotations (late)
+        measures.filter(F.col("m_ts") >= F.lit(mid)).write.mode("append").parquet(msrc)
+        marks.write.mode("append").parquet(asrc)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    agg_rows = (
+        out.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum(F.col("value") * F.col("mark")), 4).alias("pair_checksum"),
+        )
+        .orderBy("fingerprint")
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        agg_rows, "fingerprint bigint, n_pairs bigint, pair_checksum double"
+    ).select(
+        F.col("fingerprint").alias("user_id"), "n_pairs", "pair_checksum"
+    ).orderBy("user_id")
+
+
+PH_STREAM_ENRICH_SQL = """
+WITH m AS (
+  SELECT user_id, ts AS m_ts, value FROM events WHERE event_id % 2 = 0
+),
+a AS (
+  SELECT user_id, ts AS a_ts, value AS mark FROM events WHERE event_id % 2 = 1
+)
+SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(m.value * a.mark), 4) AS pair_checksum
+FROM m JOIN a ON m.user_id = a.user_id
+  AND a.a_ts <= m.m_ts AND a.a_ts >= m.m_ts - INTERVAL 1 HOUR
+GROUP BY m.user_id
+ORDER BY m.user_id
+"""
+
+QUERIES.update({"ph_stream_enrich_join": ph_stream_enrich_join})
+ORACLES.update({"ph_stream_enrich_join": PH_STREAM_ENRICH_SQL})
