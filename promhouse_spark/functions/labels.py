@@ -84,3 +84,47 @@ def labels_map_to_json(col: Column | str) -> Column:
 def labels_json_to_map(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.from_json(c, "map<string,string>")
+
+
+def label_replace(
+    labels: Column | str,
+    dst: str,
+    replacement: str,
+    src: str,
+    regex: str,
+) -> Column:
+    """PromQL ``label_replace(v, dst, replacement, src, regex)`` over a
+    MapType labels column (prometheus/promql/functions.go
+    funcLabelReplace): if ``regex`` matches the ENTIRE value of label
+    ``src`` (absent label ≡ ""), set ``dst`` to the replacement with $N
+    capture expansions; an empty result drops ``dst``; no match leaves the
+    series untouched. Pure map expressions — no shuffle, no UDF.
+
+    ``replacement`` uses Java's ``$1`` capture syntax (same as PromQL);
+    a DuckDB oracle writes the same capture as ``\\1`` — RE2 dialect."""
+    c = F.col(labels) if isinstance(labels, str) else labels
+    srcv = F.coalesce(F.element_at(c, F.lit(src)), F.lit(""))
+    anchored = f"^(?:{regex})$"
+    matched = srcv.rlike(anchored)
+    newv = F.regexp_replace(srcv, anchored, replacement)
+    base = F.map_filter(c, lambda k, _: k != F.lit(dst))
+    replaced = F.when(newv == "", base).otherwise(
+        F.map_concat(base, F.create_map(F.lit(dst), newv))
+    )
+    return F.when(matched, replaced).otherwise(c)
+
+
+def label_join(
+    labels: Column | str, dst: str, sep: str, *srcs: str
+) -> Column:
+    """PromQL ``label_join(v, dst, sep, srcs...)``: set ``dst`` to the
+    values of ``srcs`` joined by ``sep`` (absent labels join as "");
+    always applies. Map expressions only."""
+    c = F.col(labels) if isinstance(labels, str) else labels
+    joined = F.concat_ws(
+        sep, *[F.coalesce(F.element_at(c, F.lit(s)), F.lit("")) for s in srcs]
+    )
+    base = F.map_filter(c, lambda k, _: k != F.lit(dst))
+    return F.when(joined == "", base).otherwise(
+        F.map_concat(base, F.create_map(F.lit(dst), joined))
+    )

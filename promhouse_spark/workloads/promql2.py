@@ -319,3 +319,53 @@ ORDER BY user_id, start_ms
 
 QUERIES["ph_alert_intervals"] = ph_alert_intervals
 ORACLES["ph_alert_intervals"] = PH_ALERT_INTERVALS_SQL
+
+
+def ph_label_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL label_replace + label_join over a real MapType labels frame:
+    series labels built from the events stream, shard extracted from the
+    user id's first digit (full-match capture), uid_type joined from two
+    labels — rolled up per shard (functions/labels.py:label_replace/
+    label_join)."""
+    from promhouse_spark.functions.labels import label_join, label_replace
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("events"),
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("type"), F.col("event_type"),
+        ).alias("labels")
+    )
+    relabeled = series.select(
+        label_join(
+            label_replace("labels", "shard", "$1", "user", "([0-9])[0-9]*"),
+            "uid_type", "-", "user", "type",
+        ).alias("labels")
+    )
+    return (
+        relabeled.select(
+            F.element_at("labels", "shard").alias("shard"),
+            F.element_at("labels", "uid_type").alias("uid_type"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_series"),
+            F.countDistinct("uid_type").cast("long").alias("n_uid_types"),
+        )
+        .orderBy("shard")
+    )
+
+
+PH_LABEL_OPS_SQL = """
+SELECT substring(CAST(user_id AS VARCHAR), 1, 1) AS shard,
+       CAST(count(*) AS BIGINT) AS n_series,
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR) || '-' || event_type) AS BIGINT)
+         AS n_uid_types
+FROM events
+GROUP BY 1
+ORDER BY shard
+"""
+
+QUERIES["ph_label_ops"] = ph_label_ops
+ORACLES["ph_label_ops"] = PH_LABEL_OPS_SQL

@@ -45,3 +45,53 @@ def test_label_list_input():
 def test_roundtrip_property(labels):
     assert unmarshal_labels(marshal_labels(labels)) == labels
     assert json.loads(marshal_labels(labels)) == labels
+
+
+def test_label_replace_semantics(spark):
+    """funcLabelReplace edges: full-match-only, $N expansion, empty result
+    drops dst, no match leaves the map untouched, absent src reads ''."""
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.functions.labels import label_replace
+
+    rows = [
+        (1, {"job": "api-7", "x": "keep"}),
+        (2, {"job": "worker"}),       # regex won't match → untouched
+        (3, {"x": "only"}),           # src absent → '' → no match
+        (4, {"job": "api-9", "shard": "old"}),  # dst overwritten
+    ]
+    df = spark.createDataFrame(rows, "i long, labels map<string,string>")
+    out = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            label_replace("labels", "shard", "$1", "job", "api-([0-9]+)").alias("m"),
+        ).collect()
+    }
+    assert out[1] == {"job": "api-7", "x": "keep", "shard": "7"}
+    assert out[2] == {"job": "worker"}
+    assert out[3] == {"x": "only"}
+    assert out[4] == {"job": "api-9", "shard": "9"}
+    # empty replacement drops the dst label entirely
+    dropped = df.filter("i = 4").select(
+        label_replace("labels", "shard", "", "job", "api-[0-9]+").alias("m")
+    ).first()["m"]
+    assert dropped == {"job": "api-9"}
+
+
+def test_label_join_semantics(spark):
+    from promhouse_spark.functions.labels import label_join
+
+    df = spark.createDataFrame(
+        [(1, {"a": "x", "b": "y"}), (2, {"a": "x"})],
+        "i long, labels map<string,string>",
+    )
+    out = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", label_join("labels", "ab", "-", "a", "b").alias("m")
+        ).collect()
+    }
+    assert out[1] == {"a": "x", "b": "y", "ab": "x-y"}
+    # absent src joins as '' — PromQL's strings.Join keeps the separator
+    assert out[2] == {"a": "x", "ab": "x-"}
