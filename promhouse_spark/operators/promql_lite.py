@@ -302,3 +302,69 @@ def alert_intervals(
         .filter(F.col("end_ms") - F.col("start_ms") >= F.lit(for_ms))
         .drop("__grp")
     )
+
+
+def rate_extrapolated(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Prometheus's ACTUAL ``rate()``/``increase()`` semantics
+    (promql/functions.go ``extrapolatedRate``), windowed: unlike the
+    exact-sum ``increase`` above, Prometheus extrapolates the observed
+    counter growth to the full range — unless the first/last samples sit
+    further from the range edge than 1.1× the average sample spacing, in
+    which case it extends by only half an average interval; and a counter
+    that would extrapolate below zero is clamped to start at zero.
+
+    Per (series, window), with samples strictly inside the window:
+      delta   = reset-aware growth from first to last in-window sample
+      factor  = (sampledInterval + headExt + tailExt) / sampledInterval
+      rate    = delta · factor / range-seconds
+    Windows with < 2 samples produce nothing (as in Prometheus).
+
+    One in-window lag pass + one keyed aggregation — same shape as
+    ``increase``; the extrapolation is pure post-aggregation arithmetic.
+    """
+    ws = window_start_ms(step_ms)
+    base = samples_df.select(
+        FINGERPRINT, ws, F.col(TIMESTAMP_MS), F.col(VALUE).cast("double").alias("v")
+    )
+    w_in = W.partitionBy(FINGERPRINT, "window_start_ms").orderBy(TIMESTAMP_MS, "v")
+    prev = F.lag("v").over(w_in)
+    inc = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("v") >= prev, F.col("v") - prev)
+        .otherwise(F.col("v"))
+    )
+    agg = (
+        base.withColumn("inc", inc)
+        .groupBy(FINGERPRINT, "window_start_ms")
+        .agg(
+            F.sum("inc").alias("delta"),
+            F.min(TIMESTAMP_MS).alias("first_ts"),
+            F.max(TIMESTAMP_MS).alias("last_ts"),
+            F.min_by("v", F.struct(TIMESTAMP_MS, "v")).alias("first_v"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .filter((F.col("n_samples") >= 2) & (F.col("last_ts") > F.col("first_ts")))
+    )
+    sampled = (F.col("last_ts") - F.col("first_ts")).cast("double")
+    avg_iv = sampled / (F.col("n_samples") - 1)
+    to_start = (F.col("first_ts") - F.col("window_start_ms")).cast("double")
+    to_end = (F.col("window_start_ms") + F.lit(step_ms) - F.col("last_ts")).cast("double")
+    head = F.when(to_start >= avg_iv * 1.1, avg_iv / 2).otherwise(to_start)
+    # counter can't have been below zero: cap the head extrapolation at the
+    # time it would take the observed rate to climb from 0 to first_v
+    to_zero = sampled * (F.col("first_v") / F.nullif(F.col("delta"), F.lit(0.0)))
+    head = F.when(
+        (F.col("delta") > 0) & (F.col("first_v") >= 0) & (to_zero < head), to_zero
+    ).otherwise(head)
+    tail = F.when(to_end >= avg_iv * 1.1, avg_iv / 2).otherwise(to_end)
+    factor = (sampled + head + tail) / sampled
+    # the rate divides the ROUNDED increase: dividing the raw product lets
+    # last-ulp differences between engines flip an 8-dp rounding tie
+    inc = F.round(F.col("delta") * factor, 6)
+    return agg.select(
+        FINGERPRINT,
+        "window_start_ms",
+        inc.alias("increase_extrapolated"),
+        F.round(inc / F.lit(step_ms / 1000.0), 8).alias("rate_extrapolated"),
+        "n_samples",
+    )

@@ -369,3 +369,80 @@ ORDER BY shard
 
 QUERIES["ph_label_ops"] = ph_label_ops
 ORACLES["ph_label_ops"] = PH_LABEL_OPS_SQL
+
+
+def ph_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus's real rate()/increase() — boundary extrapolation with
+    the 1.1×-average-interval guard and the zero-crossing clamp
+    (operators/promql_lite.py:rate_extrapolated), per 6 h window."""
+    from promhouse_spark.operators.promql_lite import rate_extrapolated
+
+    step = 6 * 3600 * 1000
+    return (
+        rate_extrapolated(_samples(spark, sf_dir), step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "increase_extrapolated",
+            "rate_extrapolated",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_RATE_EXTRAPOLATED_SQL = """
+WITH base AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 21600000) * 21600000 AS w,
+         epoch_ms(ts) AS ts_ms, value,
+         lag(value) OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                          ORDER BY epoch_ms(ts), value) AS prev
+  FROM events
+),
+agg AS (
+  SELECT user_id, w,
+         sum(CASE WHEN prev IS NULL THEN 0.0
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END) AS delta,
+         min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+         (min({'t': ts_ms, 'v': value})).v AS first_v,
+         count(*) AS n
+  FROM base
+  GROUP BY user_id, w
+  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)
+),
+ext AS (
+  SELECT user_id, w, delta, n,
+         CAST(last_ts - first_ts AS DOUBLE) AS sampled,
+         CAST(last_ts - first_ts AS DOUBLE) / (n - 1) AS avg_iv,
+         CAST(first_ts - w AS DOUBLE) AS to_start,
+         CAST(w + 21600000 - last_ts AS DOUBLE) AS to_end,
+         first_v
+  FROM agg
+),
+capped AS (
+  SELECT user_id, w, delta, n, sampled,
+         CASE WHEN delta > 0 AND first_v >= 0
+               AND sampled * (first_v / nullif(delta, 0.0))
+                   < (CASE WHEN to_start >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_start END)
+              THEN sampled * (first_v / nullif(delta, 0.0))
+              ELSE (CASE WHEN to_start >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_start END)
+         END AS head,
+         CASE WHEN to_end >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_end END AS tail
+  FROM ext
+)
+SELECT user_id, window_start_ms, increase_extrapolated,
+       round(increase_extrapolated / 21600.0, 8) AS rate_extrapolated,
+       n_samples
+FROM (
+  SELECT user_id, w AS window_start_ms,
+         round(delta * (sampled + head + tail) / sampled, 6) AS increase_extrapolated,
+         CAST(n AS BIGINT) AS n_samples
+  FROM capped
+)
+ORDER BY user_id, window_start_ms
+"""
+
+QUERIES["ph_rate_extrapolated"] = ph_rate_extrapolated
+ORACLES["ph_rate_extrapolated"] = PH_RATE_EXTRAPOLATED_SQL

@@ -61,3 +61,31 @@ def test_histogram_quantile_exact_boundary(spark):
     df = spark.createDataFrame(rows, "fingerprint long, le double, cum_count double")
     row = histogram_quantile(df, 0.5).collect()[0]
     assert row["quantile"] == 2.0 and row["rank"] == 10.0
+
+
+def test_rate_extrapolated_hand_computed(spark):
+    """extrapolatedRate pins: boundary extrapolation, the zero-crossing
+    head clamp, and reset handling — hand-computed per functions.go."""
+    from promhouse_spark.operators.promql_lite import rate_extrapolated
+
+    rows = [
+        # series 1: head clamp fires (to_zero 1750 < to_start 2000)
+        (1, 2000, 1.0), (1, 4000, 3.0), (1, 9000, 5.0),
+        # series 2: counter reset; factor extrapolates to exactly 2×
+        (2, 1000, 10.0), (2, 6000, 2.0),
+        # series 3: single sample → no output
+        (3, 5000, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ms long, value double"
+    )
+    out = {
+        r["fingerprint"]: (r["increase_extrapolated"], r["rate_extrapolated"])
+        for r in rate_extrapolated(df, step_ms=10_000).collect()
+    }
+    # series 1: delta 4, sampled 7000, head min(2000, 7000*1/4)=1750,
+    # tail 1000 → 4 * 9750/7000 = 5.571429
+    assert out[1] == (5.571429, 0.5571429)
+    # series 2: delta 2 (reset), head 1000, tail 4000 → 2 * 10000/5000 = 4
+    assert out[2] == (4.0, 0.4)
+    assert 3 not in out
