@@ -368,3 +368,32 @@ def rate_extrapolated(samples_df: DataFrame, step_ms: int = 300_000) -> DataFram
         F.round(inc / F.lit(step_ms / 1000.0), 8).alias("rate_extrapolated"),
         "n_samples",
     )
+
+
+def time_weighted_avg(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """Time-weighted average per (series, window) over IRREGULARLY spaced
+    samples — the TimescaleDB ``time_weight('LOCF')`` shape: each sample's
+    value holds until the next sample (last one holds to the window end),
+    and the average is the integral of that step function divided by the
+    covered duration (first sample → window end). The arithmetic mean
+    over-weights burst periods; billing/SLO math wants this one.
+
+    One in-window ``lead`` pass + one keyed aggregation."""
+    ws = window_start_ms(step_ms)
+    base = samples_df.select(
+        FINGERPRINT, ws, F.col(TIMESTAMP_MS), F.col(VALUE).cast("double").alias("v")
+    )
+    w_in = W.partitionBy(FINGERPRINT, "window_start_ms").orderBy(TIMESTAMP_MS, "v")
+    wend = F.col("window_start_ms") + F.lit(step_ms)
+    nxt = F.coalesce(F.lead(TIMESTAMP_MS).over(w_in), wend)
+    seg = (nxt - F.col(TIMESTAMP_MS)).cast("double")
+    return (
+        base.withColumn("wsum", F.col("v") * seg)
+        .withColumn("dur", seg)
+        .groupBy(FINGERPRINT, "window_start_ms")
+        .agg(
+            F.round(F.sum("wsum") / F.sum("dur"), 6).alias("twa"),
+            F.round(F.avg("v"), 6).alias("plain_avg"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+    )

@@ -446,3 +446,50 @@ ORDER BY user_id, window_start_ms
 
 QUERIES["ph_rate_extrapolated"] = ph_rate_extrapolated
 ORACLES["ph_rate_extrapolated"] = PH_RATE_EXTRAPOLATED_SQL
+
+
+def ph_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average vs the plain mean per (series, 6 h
+    window) (operators/promql_lite.py:time_weighted_avg) — the
+    irregular-sampling average billing/SLO rollups need."""
+    from promhouse_spark.operators.promql_lite import time_weighted_avg
+
+    step = 6 * 3600 * 1000
+    return (
+        time_weighted_avg(_samples(spark, sf_dir), step_ms=step)
+        .select(
+            F.col("fingerprint").alias("user_id"),
+            "window_start_ms",
+            "twa",
+            "plain_avg",
+            "n_samples",
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_TWA_SQL = """
+WITH base AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 21600000) * 21600000 AS w,
+         epoch_ms(ts) AS ts_ms, value,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                                  ORDER BY epoch_ms(ts), value) AS next_ts
+  FROM events
+),
+seg AS (
+  SELECT user_id, w, value,
+         CAST(coalesce(next_ts, w + 21600000) - ts_ms AS DOUBLE) AS dur
+  FROM base
+)
+SELECT user_id, w AS window_start_ms,
+       round(sum(value * dur) / sum(dur), 6) AS twa,
+       round(avg(value), 6) AS plain_avg,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM seg
+GROUP BY user_id, w
+ORDER BY user_id, window_start_ms
+"""
+
+QUERIES["ph_time_weighted_avg"] = ph_time_weighted_avg
+ORACLES["ph_time_weighted_avg"] = PH_TWA_SQL
