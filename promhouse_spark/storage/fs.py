@@ -47,3 +47,11 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     """Delete a file or tree; returns False if it did not exist."""
     fs, jpath = _fs_path(spark, path)
     return bool(fs.delete(jpath, recursive))
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of the direct children of ``path`` (empty if it is absent)."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]

@@ -262,6 +262,44 @@ class SparkParquetStorage(Storage):
         fs.delete(self.spark, old)
         self._drop_recent_cache()
 
+    def retention_sweep(
+        self, keep_days: int, now_ms: int | None = None
+    ) -> list[str]:
+        """Drop whole ``date=`` partitions of the fact table older than
+        ``now - keep_days`` — the ClickHouse ``ALTER TABLE … DROP
+        PARTITION`` / table-TTL analog for the date-partitioned layout
+        (`clickhouse.go:70` partitions samples by date for exactly this).
+
+        O(#partitions) filesystem metadata ops through the Hadoop FS API —
+        no data scan, no rewrite; works unchanged on HDFS/object stores.
+        The registry is deliberately untouched: series identity outlives
+        its samples (matching the reference, which never deletes from
+        ``time_series``), and a later write to an old series needs no
+        re-registration. Returns the dropped partition names.
+        """
+        import datetime as _dt
+        import time as _time
+
+        if now_ms is None:
+            now_ms = int(_time.time() * 1000)
+        cutoff = _dt.datetime.fromtimestamp(
+            (now_ms - keep_days * 86_400_000) / 1000.0, tz=_dt.timezone.utc
+        ).date()
+        dropped: list[str] = []
+        for name in fs.list_names(self.spark, self.samples_path):
+            if not name.startswith(f"{DATE}="):
+                continue  # _SUCCESS markers etc.
+            try:
+                part_date = _dt.date.fromisoformat(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if part_date < cutoff:
+                fs.delete(self.spark, os.path.join(self.samples_path, name))
+                dropped.append(name)
+        if dropped:
+            self._drop_recent_cache()
+        return dropped
+
     # ----------------------------------------------------------------- read
 
     def _resolve_fingerprints(self, q: Query) -> list[int]:

@@ -50,3 +50,44 @@ def test_hadoop_fs_ops_route_by_scheme(spark, tmp_path):
     assert fs.delete(spark, dst)
     assert not fs.exists(spark, dst)
     assert fs.delete(spark, dst) is False  # idempotent on missing paths
+
+
+def test_retention_sweep_drops_old_partitions(spark, tmp_path):
+    """retention_sweep removes whole date partitions past the cutoff via FS
+    metadata ops only; newer samples and the registry survive, and reads
+    reflect the drop immediately."""
+    from promhouse_spark.models import Label, Query, Sample, TimeSeries, make_matchers
+    from promhouse_spark.storage import fs
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+    from tests.fixtures import T0
+
+    DAY = 86_400_000
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "up"), Label("job", "a")],
+            samples=[
+                Sample(1.0, T0),                # day 0 — swept
+                Sample(2.0, T0 + 10 * DAY),     # day 10 — swept
+                Sample(3.0, T0 + 40 * DAY),     # day 40 — kept
+            ],
+        )
+    ])
+    before = set(fs.list_names(spark, store.samples_path))
+    assert sum(1 for n in before if n.startswith("date=")) == 3
+
+    dropped = store.retention_sweep(keep_days=7, now_ms=T0 + 41 * DAY)
+    assert sorted(dropped) == sorted(
+        n for n in before if n in ("date=2026-01-01", "date=2026-01-11")
+    ) and len(dropped) == 2
+
+    after = [n for n in fs.list_names(spark, store.samples_path) if n.startswith("date=")]
+    assert after == ["date=2026-02-10"]
+    # registry untouched; reads only see the surviving sample
+    assert store.registry_df().count() == 1
+    [series] = store.read(
+        [Query(0, T0 + 100 * DAY, make_matchers(("__name__", "=", "up")))]
+    )
+    assert [s.value for ts in series for s in ts.samples] == [3.0]
+    # idempotent: nothing else in range
+    assert store.retention_sweep(keep_days=7, now_ms=T0 + 41 * DAY) == []
