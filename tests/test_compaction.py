@@ -91,3 +91,40 @@ def test_retention_sweep_drops_old_partitions(spark, tmp_path):
     assert [s.value for ts in series for s in ts.samples] == [3.0]
     # idempotent: nothing else in range
     assert store.retention_sweep(keep_days=7, now_ms=T0 + 41 * DAY) == []
+
+
+def test_retention_tiering_rollup_outlives_raw(spark, tmp_path):
+    """The classic TSDB tier: keep N days raw + much longer downsampled.
+    Build the 1h rollup, sweep the old raw partitions, and the old range is
+    STILL answerable through the hint-aware read from the rollup while the
+    raw path correctly sees only recent data."""
+    from promhouse_spark.models import Label, Query, Sample, TimeSeries, make_matchers
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+    from promhouse_spark.streaming.rollup import downsample_partial
+    from tests.fixtures import T0
+
+    DAY = 86_400_000
+    STEP = 3_600_000
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "cpu")],
+            samples=[Sample(float(d), T0 + d * DAY) for d in (0, 1, 40)],
+        )
+    ])
+    rollup = str(tmp_path / "rollup")
+    downsample_partial(
+        store.samples_df().select(*SAMPLES_SCHEMA.names), STEP
+    ).write.mode("append").parquet(rollup)
+    store.attach_rollup(rollup, STEP)
+
+    assert len(store.retention_sweep(keep_days=7, now_ms=T0 + 41 * DAY)) == 2
+
+    full_range = Query(0, T0 + 100 * DAY, make_matchers(("__name__", "=", "cpu")))
+    # raw path: the swept days are gone
+    [raw] = store.read([full_range])
+    assert [s.value for ts in raw for s in ts.samples] == [40.0]
+    # coarse hinted read: served from the rollup, which outlived the sweep
+    [tiered] = store.read_with_hints([full_range], [{"step_ms": STEP}])
+    assert sorted(s.value for ts in tiered for s in ts.samples) == [0.0, 1.0, 40.0]
