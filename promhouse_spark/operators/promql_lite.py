@@ -397,3 +397,44 @@ def time_weighted_avg(samples_df: DataFrame, step_ms: int = 300_000) -> DataFram
             F.count("*").cast("long").alias("n_samples"),
         )
     )
+
+
+def count_values(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """PromQL ``count_values("value", v)``, windowed: how many samples took
+    each distinct value per window, across all series — the discrete value
+    histogram (build-info/version counting in Prometheus practice). One
+    keyed aggregation."""
+    return (
+        samples_df.groupBy(window_start_ms(step_ms), F.col(VALUE).alias("value"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def absent_over_time(
+    samples_df: DataFrame, start_ms: int, end_ms: int, step_ms: int
+) -> DataFrame:
+    """PromQL ``absent_over_time``: for every known series and every window
+    on the grid, 1 when the series has NO sample in the window — the
+    scrape-loss indicator. Grid = distinct series × window sequence (both
+    tiny next to the fact table); presence is one keyed aggregation,
+    absence the left anti side of the grid join."""
+    grid = (
+        samples_df.select(FINGERPRINT)
+        .distinct()
+        .select(
+            FINGERPRINT,
+            F.explode(
+                F.sequence(F.lit(start_ms), F.lit(end_ms - 1), F.lit(step_ms))
+            ).alias("window_start_ms"),
+        )
+    )
+    present = (
+        samples_df.filter(
+            (F.col(TIMESTAMP_MS) >= start_ms) & (F.col(TIMESTAMP_MS) < end_ms)
+        )
+        .groupBy(FINGERPRINT, window_start_ms(step_ms))
+        .agg(F.count("*").alias("_n"))
+    )
+    return grid.join(
+        present, [FINGERPRINT, "window_start_ms"], "left_anti"
+    ).withColumn("absent", F.lit(1).cast("long"))

@@ -493,3 +493,69 @@ ORDER BY user_id, window_start_ms
 
 QUERIES["ph_time_weighted_avg"] = ph_time_weighted_avg
 ORACLES["ph_time_weighted_avg"] = PH_TWA_SQL
+
+
+def ph_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL count_values(), windowed per 6 h: the discrete value
+    histogram, over integer-bucketed values (raw doubles are near-unique,
+    so the wrapper rounds to whole units first — the build-info/version
+    counting shape)."""
+    from promhouse_spark.operators.promql_lite import count_values
+
+    step = 6 * 3600 * 1000
+    s = _samples(spark, sf_dir).withColumn("value", F.round("value", 0))
+    return (
+        count_values(s, step_ms=step)
+        .select("window_start_ms", "value", "n")
+        .orderBy("window_start_ms", "value")
+    )
+
+
+PH_COUNT_VALUES_SQL = """
+SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+       round(value, 0) AS value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_ms, value
+"""
+
+
+def ph_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent_over_time over a 2-day hourly grid: (series, hour)
+    pairs with NO sample — the scrape-loss report, as a grid anti-join."""
+    from promhouse_spark.operators.promql_lite import absent_over_time
+
+    return (
+        absent_over_time(
+            _samples(spark, sf_dir), _START_MS, _END_MS, _STEP_MS
+        )
+        .select(
+            F.col("fingerprint").alias("user_id"), "window_start_ms", "absent"
+        )
+        .orderBy("user_id", "window_start_ms")
+    )
+
+
+PH_ABSENT_SQL = f"""
+WITH grid AS (
+  SELECT u.user_id, g.w
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT unnest(generate_series({_START_MS}, {_END_MS} - 1, {_STEP_MS})) AS w
+  ) g
+),
+present AS (
+  SELECT DISTINCT user_id, (epoch_ms(ts) // {_STEP_MS}) * {_STEP_MS} AS w
+  FROM events
+  WHERE epoch_ms(ts) >= {_START_MS} AND epoch_ms(ts) < {_END_MS}
+)
+SELECT g.user_id, g.w AS window_start_ms, CAST(1 AS BIGINT) AS absent
+FROM grid g ANTI JOIN present p ON g.user_id = p.user_id AND g.w = p.w
+ORDER BY g.user_id, window_start_ms
+"""
+
+QUERIES["ph_count_values"] = ph_count_values
+QUERIES["ph_absent_over_time"] = ph_absent_over_time
+ORACLES["ph_count_values"] = PH_COUNT_VALUES_SQL
+ORACLES["ph_absent_over_time"] = PH_ABSENT_SQL
