@@ -208,3 +208,60 @@ def test_promql2_queries_nonempty_at_sf0001(spark):
     for name, fn in promql2.QUERIES.items():
         n = fn(spark, "/root/testdata/sf0.001").count()
         assert n > 0, f"{name} returned 0 rows — grid/data mismatch?"
+
+
+def test_gap_fill_property_vs_python_model(spark):
+    """Hypothesis sweep: gap_fill(linear) must equal a brute-force Python
+    interpolator on random sample sets — duplicates, on-grid samples,
+    empty-series windows and all."""
+    from hypothesis import given, settings, strategies as st
+
+    from promhouse_spark.operators.asof import gap_fill
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        samples=st.lists(
+            st.tuples(
+                st.integers(1, 2),                  # fingerprint
+                st.integers(0, 40),                 # ts
+                st.integers(-5, 5),                 # value (ints: exact fp)
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda s: (s[0], s[1]),       # one sample per (fp, ts)
+        )
+    )
+    def check(samples):
+        df = spark.createDataFrame(
+            [(f, t, float(v)) for f, t, v in samples],
+            "fingerprint long, timestamp_ms long, value double",
+        )
+        got = {
+            (r["fingerprint"], r["eval_ms"]): r["value"]
+            for r in gap_fill(df, 0, 40, 10, method="linear").collect()
+        }
+        by_fp: dict[int, list[tuple[int, float]]] = {}
+        for f, t, v in samples:
+            by_fp.setdefault(f, []).append((t, float(v)))
+        want = {}
+        for f, pts in by_fp.items():
+            pts.sort()
+            for g in range(0, 41, 10):
+                prev = max(((t, v) for t, v in pts if t <= g), default=None)
+                nxt = min(((t, v) for t, v in pts if t >= g), default=None)
+                if prev and prev[0] == g:
+                    want[(f, g)] = prev[1]
+                elif prev and nxt:
+                    t0, v0 = prev
+                    t1, v1 = nxt
+                    want[(f, g)] = v0 + (v1 - v0) * (g - t0) / (t1 - t0)
+                else:
+                    want[(f, g)] = None
+        assert set(got) == set(want)
+        for k in want:
+            if want[k] is None:
+                assert got[k] is None, k
+            else:
+                assert got[k] == pytest.approx(want[k]), k
+
+    check()
