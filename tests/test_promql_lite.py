@@ -89,3 +89,51 @@ def test_rate_extrapolated_hand_computed(spark):
     # series 2: delta 2 (reset), head 1000, tail 4000 → 2 * 10000/5000 = 4
     assert out[2] == (4.0, 0.4)
     assert 3 not in out
+
+
+def test_alert_intervals_property_vs_python_model(spark):
+    """Hypothesis gaps-and-islands sweep: alert_intervals must equal a
+    brute-force run detector on random per-series value sequences."""
+    from hypothesis import given, settings, strategies as st
+
+    from promhouse_spark.operators.promql_lite import alert_intervals
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 2),      # fingerprint
+                st.integers(0, 30),     # ts
+                st.integers(0, 10),     # value; threshold sits at 5
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+        for_ms=st.sampled_from([0, 3, 10]),
+    )
+    def check(rows, for_ms):
+        df = spark.createDataFrame(
+            [(f, t, float(v)) for f, t, v in rows],
+            "fingerprint long, timestamp_ms long, value double",
+        )
+        got = {
+            (r["fingerprint"], r["start_ms"], r["end_ms"], r["n_samples"])
+            for r in alert_intervals(df, threshold=5.0, for_ms=for_ms).collect()
+        }
+        want = set()
+        by_fp: dict[int, list[tuple[int, float]]] = {}
+        for f, t, v in rows:
+            by_fp.setdefault(f, []).append((t, float(v)))
+        for f, pts in by_fp.items():
+            run: list[int] = []
+            for t, v in sorted(pts) + [(None, -1.0)]:
+                if v > 5.0:
+                    run.append(t)
+                else:
+                    if run and run[-1] - run[0] >= for_ms:
+                        want.add((f, run[0], run[-1], len(run)))
+                    run = []
+        assert got == want
+
+    check()

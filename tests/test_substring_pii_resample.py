@@ -312,3 +312,26 @@ def test_winnowing_shared_substring_guarantee(spark):
     )
     pairs = D.winnowing_overlap_pairs(df, k=k, w=w, min_shared=1).collect()
     assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
+
+
+def test_pack_sequences_partition_independent(spark):
+    from promhouse_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = {tuple(r) for r in pack_sequences(df, seq_len=64).collect()}
+    b = {tuple(r) for r in pack_sequences(df.repartition(11), seq_len=64).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_charlm_partition_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} text sample number {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    m1 = X.char_ngram_model(docs, "text")
+    m2 = X.char_ngram_model(docs.repartition(9), "text")
+    a = {tuple(r) for r in X.charlm_score(docs, m1).collect()}
+    b = {tuple(r) for r in X.charlm_score(docs.repartition(5), m2).collect()}
+    assert a == b and len(a) == 60
