@@ -1,7 +1,10 @@
 """LLM training-data pipeline workloads, round 3 (beyond-reference):
 exact substring deduplication (cross-document repeated n-gram spans, the
-Spark-native rendering of Lee et al. 2022), domain-temperature resampling,
-PII scrubbing, and the product-quantization ANN serving path.
+Spark-native rendering of Lee et al. 2022) and its span-removal variant,
+winnowing rolling-hash fingerprint overlap (MOSS), domain-temperature
+resampling, PII scrubbing, char-trigram LM fluency scoring (CCNet-shaped),
+BPE merge-step pair counts, tf·idf keyword extraction, deterministic
+sequence packing, and the product-quantization ANN serving path.
 
 Every SQL-expressible query is paired with a DuckDB oracle below; the PQ
 probe is sketch-based (codebook from distributed k-means) and registered

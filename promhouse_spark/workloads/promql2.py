@@ -1,11 +1,15 @@
 """PromQL-semantics workloads, second wave: instant-vector evaluation via
-the as-of join (operators/asof.py) and the linear-regression range functions
-``deriv`` / ``predict_linear`` (operators/promql_lite.py).
+the as-of join (operators/asof.py), grid gap-filling, the regression
+functions ``deriv`` / ``predict_linear``, ``quantile_over_time``,
+``holt_winters`` (recursive-CTE oracle), Prometheus's real extrapolated
+rate/increase, label_replace/label_join, alerting-rule interval replay,
+``count_values``, ``absent_over_time``, and the LOCF time-weighted average
+(operators/promql_lite.py, functions/labels.py).
 
-The instant-vector oracle runs DuckDB's NATIVE ``ASOF JOIN`` — a genuinely
-independent mechanism from the union-merge window rendering on the Spark
-side, so a hash match here validates the as-of semantics, not just the
-arithmetic.
+The instant-vector and gap-fill oracles run DuckDB's NATIVE ``ASOF JOIN``
+— a genuinely independent mechanism from the union-merge window rendering
+on the Spark side, so a hash match there validates the as-of semantics,
+not just the arithmetic.
 """
 
 from __future__ import annotations
