@@ -916,3 +916,73 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def embedding_lsh_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_tables: int = 6,
+    planes_per_table: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Label-free embedding near-dup pairs at scale: block by random
+    hyperplane LSH buckets instead of a metadata column, generate pairs
+    only WITHIN buckets, then keep pairs whose exact cosine ≥ threshold.
+
+    ``num_tables`` independent hash tables (different plane seeds) give the
+    standard OR-amplified recall: two vectors at angle θ collide in one
+    table with prob (1 − θ/π)^planes, missed by all tables with prob
+    (1 − p)^tables. Candidate volume stays bucket-bounded — never the
+    all-pairs join ``embedding_cosine_duplicates`` needs blocking to
+    avoid — and pairs found by several tables dedupe before the exact
+    cosine, so the expensive math runs once per candidate.
+
+    Same output shape as ``embedding_cosine_duplicates``:
+    (id_a, id_b, cosine)."""
+    from promhouse_spark.operators.similarity import _planes, lsh_bucket
+
+    df = ensure_parallelism(df, id_col)
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("n"),
+        *[
+            lsh_bucket(v, _planes(planes_per_table, dim, seed + 1000 * t)).alias(
+                f"__b{t}"
+            )
+            for t in range(num_tables)
+        ],
+    ).persist()
+    cand = None
+    for t in range(num_tables):
+        a = base.select(F.col(id_col).alias("doc_a"), F.col(f"__b{t}").alias("__b"))
+        b = base.select(F.col(id_col).alias("doc_b"), F.col(f"__b{t}").alias("__b"))
+        pairs = a.join(b, "__b").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    left = base.select(
+        F.col(id_col).alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    right = base.select(
+        F.col(id_col).alias("doc_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

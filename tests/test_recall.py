@@ -421,3 +421,28 @@ def test_ivfpq_recall_and_pruning(spark, emb, query_vec, exact_top10, tmp_path):
     )
     dirs = {r["f"].rsplit("/", 2)[1] for r in scanned}
     assert {int(d.split("=")[1]) for d in dirs} <= set(probe)
+
+
+def test_embedding_lsh_duplicates_recall(spark, sf_dir):
+    """Label-free LSH-bucketed embedding dedup: every emitted pair must be
+    exact (precision 1 by construction — pairs are cosine-verified), and
+    OR-amplified bucketing must recover ≥80% of the true ≥0.9-cosine pairs
+    the brute-force label-blocked operator finds across ALL labels."""
+    from promhouse_spark.operators import dedup as D
+    from promhouse_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_duplicates(
+            emb, group_col=None, threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_lsh_duplicates(emb, threshold=0.9).collect()
+    }
+    assert got <= truth  # no false positives — exact cosine gate
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
