@@ -5,7 +5,7 @@ SF_SMALL ?= /root/testdata/sf0.001
 SF_GATE  ?= /root/testdata/sf0.01
 SF_BENCH ?= /root/testdata/sf0.1
 
-.PHONY: test oracle oracle-all bench efficiency write-bench all
+.PHONY: test oracle oracle-all bench efficiency write-bench serve all
 
 test:
 	python -m pytest tests/ -q
@@ -26,5 +26,8 @@ efficiency:
 
 write-bench:
 	python3 tools/write_bench.py 10000 100
+
+serve:
+	python3 -m promhouse_spark.server --storage-path /tmp/promhouse-spark
 
 all: test oracle bench
