@@ -406,3 +406,113 @@ ORDER BY shard, bin
 
 QUERIES["doc_pack_sequences"] = doc_pack_sequences
 ORACLES["doc_pack_sequences"] = DOC_PACK_SEQUENCES_SQL
+
+
+def doc_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation capstone — the newer operators composed into ONE
+    declarative chain: cross-document exact-substring span removal →
+    PII scrubbing on the cleaned text → char-trigram fluency gate (keep
+    docs below the corpus p90 NLL, model built on the scrubbed survivors) →
+    domain-temperature resample (α=0.7) → sequence packing audit.
+
+    Output: per (shard, bin) packing rollup of what survives the whole
+    chain — so the value hash pins every stage at once. The oracle replays
+    the identical chain as a CTE pipeline over the pieces that were each
+    hash-validated stand-alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = D.remove_repeated_spans(docs, n=8, min_docs=2).select(
+        "doc_id", "source", X.scrub_pii("clean_text").alias("text")
+    )
+    model = X.char_ngram_model(cleaned, "text", n=3)
+    scored = X.charlm_score(cleaned, model, n=3).join(
+        cleaned.select("doc_id", "source", "text"), "doc_id"
+    )
+    thresh = scored.agg(
+        F.percentile("avg_nll", F.lit(0.9)).alias("t")
+    )
+    fluent = scored.crossJoin(F.broadcast(thresh)).filter(
+        F.col("avg_nll") < F.col("t")
+    )
+    resampled = SP.domain_resample(fluent, "source", "doc_id", alpha=0.7)
+    counted = resampled.select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    return (
+        SP.pack_sequences(counted, seq_len=256, num_shards=4)
+        .orderBy("shard", "bin")
+    )
+
+
+DOC_CURATION2_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) u
+),
+dups AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+spans AS (SELECT g.* FROM grams g JOIN dups USING (gram)),
+keeper AS (SELECT gram, min({'d': doc_id, 'p': pos}) AS k FROM spans GROUP BY gram),
+removed AS (
+  SELECT s.doc_id, list(DISTINCT s.pos) AS starts
+  FROM spans s JOIN keeper k USING (gram)
+  WHERE NOT (s.doc_id = k.k.d AND s.pos = k.k.p)
+  GROUP BY s.doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, d.source,
+         regexp_replace(regexp_replace(regexp_replace(
+             coalesce(array_to_string(list_filter(t.t, (x, i) ->
+                 len(list_filter(coalesce(r.starts, []), s -> i >= s AND i < s + 8)) = 0
+             ), ' '), ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\b[0-9]{9,18}\\b', '<NUM>', 'g') AS text
+  FROM toks t JOIN documents d USING (doc_id) LEFT JOIN removed r USING (doc_id)
+),
+cgrams AS (
+  SELECT c.doc_id, substring(c.text, i, 3) AS gram
+  FROM cleaned c,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(c.text) - 2, 1))) AS i) u
+),
+model AS (
+  SELECT gram, ln(count(*) * 1.0 / (SELECT count(*) FROM cgrams)) AS logp
+  FROM cgrams GROUP BY gram
+),
+scored AS (
+  SELECT g.doc_id, round(-avg(coalesce(m.logp, -20.0)), 4) AS avg_nll
+  FROM cgrams g LEFT JOIN model m USING (gram)
+  GROUP BY g.doc_id
+),
+fluent AS (
+  SELECT c.doc_id, c.source, c.text
+  FROM scored s JOIN cleaned c USING (doc_id)
+  WHERE s.avg_nll < (SELECT quantile_cont(avg_nll, 0.9) FROM scored)
+),
+counts AS (SELECT source, count(*) AS n FROM fluent GROUP BY source),
+rates AS (
+  SELECT source,
+         round((pow(n, 0.7) / n) / (SELECT max(pow(n, 0.7) / n) FROM counts), 6) AS rate
+  FROM counts
+),
+resampled AS (
+  SELECT f.doc_id, length(string_split(f.text, ' ')) AS n_tokens
+  FROM fluent f JOIN rates r USING (source)
+  WHERE ((f.doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 < r.rate
+),
+binned AS (
+  SELECT doc_id % 4 AS shard, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 256.0) AS BIGINT) AS bin
+  FROM resampled
+)
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / 256.0, 4) AS fill_ratio
+FROM binned
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+QUERIES["doc_curation_pipeline2"] = doc_curation_pipeline2
+ORACLES["doc_curation_pipeline2"] = DOC_CURATION2_SQL
