@@ -27,9 +27,11 @@ ALLOWED_NESTED_LOOP = {
     # (corpus avg / total count) — constant-size broadcast, not data-scale
     "q11_important_stock",
     "q22_global_sales_opportunity",
-    # 1-row corpus-size / model-total broadcast joined onto the fact side
+    # 1-row corpus-size / model-total / p90-threshold broadcast joined onto
+    # the fact side
     "doc_charlm_nll",
     "doc_tfidf_top_terms",
+    "doc_curation_pipeline2",
     # 1-row max-rate aggregate joined onto the |domains|-row rate frame
     "doc_domain_resample",
 }
