@@ -378,17 +378,25 @@ ORACLES["ph_label_ops"] = PH_LABEL_OPS_SQL
 def ph_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus's real rate()/increase() — boundary extrapolation with
     the 1.1×-average-interval guard and the zero-crossing clamp
-    (operators/promql_lite.py:rate_extrapolated), per 6 h window."""
+    (operators/promql_lite.py:rate_extrapolated), per 6 h window.
+
+    The rate is surfaced in exact fixed-point (1e-12/s units, BIGINT):
+    rounding a float quotient proved engine-unstable at sf0.1 — the two
+    engines' round(x, 6) emit nearest-doubles one ulp apart, and dividing
+    those straddles an 8-dp rounding midpoint. Integer DIV on the micro
+    increase is deterministic on both sides."""
     from promhouse_spark.operators.promql_lite import rate_extrapolated
 
     step = 6 * 3600 * 1000
+    inc6 = F.round(F.col("increase_extrapolated") * 1_000_000).cast("long")
     return (
         rate_extrapolated(_samples(spark, sf_dir), step_ms=step)
+        .withColumn("inc6", inc6)
         .select(
             F.col("fingerprint").alias("user_id"),
             "window_start_ms",
             "increase_extrapolated",
-            "rate_extrapolated",
+            F.expr("CAST((inc6 * 1000000) DIV 21600 AS BIGINT)").alias("rate_e12"),
             "n_samples",
         )
         .orderBy("user_id", "window_start_ms")
@@ -437,7 +445,8 @@ capped AS (
   FROM ext
 )
 SELECT user_id, window_start_ms, increase_extrapolated,
-       round(increase_extrapolated / 21600.0, 8) AS rate_extrapolated,
+       (CAST(round(increase_extrapolated * 1000000) AS BIGINT) * 1000000) // 21600
+         AS rate_e12,
        n_samples
 FROM (
   SELECT user_id, w AS window_start_ms,
