@@ -64,10 +64,13 @@ def asof_join(
         "__lrow", F.lit(None).cast(l.schema["__lrow"].dataType)
     ).select("__lrow", *keys, "__t", "__side", "__pay")
     merged = l.select("__lrow", *keys, "__t", "__side", "__pay").unionByName(r)
-    # right rows sort before a left row at the same timestamp (__side 0 < 1)
+    # right rows sort before a left row at the same timestamp (__side 0 < 1);
+    # the payload struct is the final tie-break so right rows sharing
+    # (key, right_ts) resolve identically on every run/partitioning —
+    # payload columns must therefore be orderable types
     w = (
         W.partitionBy(*keys)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__pay")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn(
@@ -181,7 +184,9 @@ def gap_fill(
             F.col("value").cast("double").alias("v"),
         ).alias("__pay"),
     )
-    base = W.partitionBy("fingerprint").orderBy("__t", "__side")
+    # __pay tie-break: right rows sharing a timestamp resolve
+    # deterministically (see asof_join)
+    base = W.partitionBy("fingerprint").orderBy("__t", "__side", "__pay")
     prev = F.last("__pay", ignorenulls=True).over(
         base.rowsBetween(W.unboundedPreceding, W.currentRow)
     )

@@ -349,13 +349,16 @@ def rate_extrapolated(samples_df: DataFrame, step_ms: int = 300_000) -> DataFram
     avg_iv = sampled / (F.col("n_samples") - 1)
     to_start = (F.col("first_ts") - F.col("window_start_ms")).cast("double")
     to_end = (F.col("window_start_ms") + F.lit(step_ms) - F.col("last_ts")).cast("double")
-    head = F.when(to_start >= avg_iv * 1.1, avg_iv / 2).otherwise(to_start)
-    # counter can't have been below zero: cap the head extrapolation at the
-    # time it would take the observed rate to climb from 0 to first_v
+    # counter can't have been below zero: cap durationToStart at the time it
+    # would take the observed rate to climb from 0 to first_v — BEFORE the
+    # 1.1×-average-interval threshold check, exactly as Prometheus's
+    # extrapolatedRate clamps durationToStart with durationToZero first
     to_zero = sampled * (F.col("first_v") / F.nullif(F.col("delta"), F.lit(0.0)))
-    head = F.when(
-        (F.col("delta") > 0) & (F.col("first_v") >= 0) & (to_zero < head), to_zero
-    ).otherwise(head)
+    to_start_c = F.when(
+        (F.col("delta") > 0) & (F.col("first_v") >= 0) & (to_zero < to_start),
+        to_zero,
+    ).otherwise(to_start)
+    head = F.when(to_start_c >= avg_iv * 1.1, avg_iv / 2).otherwise(to_start_c)
     tail = F.when(to_end >= avg_iv * 1.1, avg_iv / 2).otherwise(to_end)
     factor = (sampled + head + tail) / sampled
     # the rate divides the ROUNDED increase: dividing the raw product lets

@@ -8,8 +8,10 @@ here are single-expression column maps over the id:
 
 - ``lcg`` (default for oracle-paired tests): bucket =
   (id * 1103515245 + 12345) mod 2^31 — plain integer arithmetic any SQL
-  engine reproduces bit-for-bit. Overflow-safe for ids < ~8.3e9
-  (2^63 / 1103515245); assert-guarded, not truncated.
+  engine reproduces bit-for-bit. Overflow-safe for |id| < ~8.3e9
+  (2^63 / 1103515245); guarded with ``raise_error`` beyond that bound, not
+  truncated, so Spark's silent non-ANSI wraparound can never diverge from
+  engines (DuckDB) that error on BIGINT overflow.
 - ``xxhash64``: Spark's JVM hash for production scale (no arithmetic
   bound, better avalanche) — not reproducible outside Spark, so tests pin
   the LCG path and the production path is plan-shape-tested only.
@@ -22,6 +24,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 _LCG_A = 1103515245
 _LCG_C = 12345
 _LCG_M = 1 << 31
+# ids at or beyond this magnitude would overflow id * _LCG_A in 64-bit
+# arithmetic; the lcg path raises instead of silently wrapping
+_LCG_ID_BOUND = (1 << 63) // _LCG_A
 
 
 def split_bucket(id_col: Column | str, method: str = "lcg") -> Column:
@@ -29,8 +34,19 @@ def split_bucket(id_col: Column | str, method: str = "lcg") -> Column:
     independent."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     if method == "lcg":
+        safe = F.when(F.abs(c) < F.lit(_LCG_ID_BOUND), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "lcg split id would overflow 64-bit multiply "
+                        f"(|id| >= {_LCG_ID_BOUND}): "
+                    ),
+                    c.cast("string"),
+                )
+            )
+        )
         return (
-            F.pmod(c * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+            F.pmod(safe * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
             / F.lit(float(_LCG_M))
         )
     if method == "xxhash64":

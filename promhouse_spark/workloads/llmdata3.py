@@ -192,7 +192,9 @@ def emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (app, corpus) and served from the persisted codes — the
     billion-vector memory-bound serving shape. Recall and rerank-exactness
     are gated in tests/test_recall.py."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from promhouse_spark.workloads.llmdata import _query_vec
@@ -202,6 +204,9 @@ def emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _PQ_INDEX_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="phs-pq-")
+        # long-lived processes cycle SparkSessions: reap the index dir at
+        # interpreter exit so per-application builds can't accumulate
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         S.pq_build(emb, path, m=8, k=16)
         _PQ_INDEX_CACHE[key] = path
     return S.pq_probe(spark, path, emb, _query_vec(spark, sf_dir), topk=10)

@@ -41,7 +41,7 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ph_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instant-vector evaluation: per (series, grid hour) the most recent
-    sample within a 2 h staleness lookback — PromQL's point-in-time read,
+    sample within a 6 h staleness lookback — PromQL's point-in-time read,
     rendered as the one-shuffle union-merge as-of join."""
     out = instant_vector(
         _samples(spark, sf_dir), _START_MS, _END_MS, _STEP_MS, _LOOKBACK_MS
@@ -433,16 +433,23 @@ ext AS (
          first_v
   FROM agg
 ),
+zeroed AS (
+  -- Prometheus clamps durationToStart with durationToZero BEFORE the
+  -- 1.1x-average-interval threshold check (promql/functions.go
+  -- extrapolatedRate); mirror that ordering exactly
+  SELECT user_id, w, delta, n, sampled, avg_iv, to_end,
+         CASE WHEN delta > 0 AND first_v >= 0
+               AND sampled * (first_v / nullif(delta, 0.0)) < to_start
+              THEN sampled * (first_v / nullif(delta, 0.0))
+              ELSE to_start
+         END AS to_start_c
+  FROM ext
+),
 capped AS (
   SELECT user_id, w, delta, n, sampled,
-         CASE WHEN delta > 0 AND first_v >= 0
-               AND sampled * (first_v / nullif(delta, 0.0))
-                   < (CASE WHEN to_start >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_start END)
-              THEN sampled * (first_v / nullif(delta, 0.0))
-              ELSE (CASE WHEN to_start >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_start END)
-         END AS head,
+         CASE WHEN to_start_c >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_start_c END AS head,
          CASE WHEN to_end >= avg_iv * 1.1 THEN avg_iv / 2 ELSE to_end END AS tail
-  FROM ext
+  FROM zeroed
 )
 SELECT user_id, window_start_ms, increase_extrapolated,
        (CAST(round(increase_extrapolated * 1000000) AS BIGINT) * 1000000) // 21600
