@@ -1,0 +1,299 @@
+"""PromQL vector-matching binary operations and label-dimension aggregation
+(beyond-reference).
+
+The reference receives PromQL read hints but drops them with a warning
+(``handlers/prom.go:184-186``) — binary operations between instant vectors
+and label aggregations always run in Prometheus, which means every sample
+ships over the wire first. These operators evaluate them server-side over
+the instant-vector frame (operators/asof.py:instant_vector) so an
+"error-rate = errors / total by job" query reduces on the cluster.
+
+Semantics follow prometheus/promql (parser.VectorMatching + engine.go
+VectorBinop/resultMetric):
+
+- **Match key**: the label subset named by ``on(...)``, or all labels minus
+  ``ignoring(...)`` minus ``__name__``. Rendered as the canonical sorted
+  JSON of the subset (functions/labels.py:labels_map_to_json) — a plain
+  string equi-join key, so the join hash-partitions like any other.
+- **Cardinality**: ``one_to_one`` requires both sides unique per
+  (timestamp, match key); ``many_to_one`` (PromQL ``group_left``) /
+  ``one_to_many`` (``group_right``) require only the "one" side unique.
+  Violations raise at execution time with Prometheus's "found duplicate
+  series for the match group" error — implemented as a lazy
+  ``raise_error`` guard on the group count, so the check is distributed
+  and costs one keyed aggregation the join needed anyway.
+- **Result labels** (engine.go resultMetric): one-to-one keeps only the
+  ``on`` labels, or drops ``ignoring`` + ``__name__``; grouped matches keep
+  the "many" side's labels minus ``__name__`` and copy any
+  ``include``-listed labels from the "one" side. Filter-mode comparisons
+  (no ``bool``) keep the left labels untouched, metric name included.
+- **Aggregation**: ``sum/avg/min/max/count by (labels)`` /
+  ``without (labels)`` over the labels map; ``topk/bottomk`` keep the
+  original series rows ranked per group with a canonical-labels tie-break
+  so results are partition- and engine-reproducible.
+
+Scale shape: everything is built-in column expressions + one equi-join or
+keyed aggregation on (timestamp, canonical-key) — map-side combinable,
+AQE-skew-splittable, no UDFs, no window over the fact table.
+
+Division by zero follows Spark's non-ANSI NULL (PromQL emits IEEE ±Inf);
+registered queries sidestep the divergence with NULLIF fixed-point forms.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from promhouse_spark.functions.labels import labels_map_to_json
+
+NAME_LABEL = "__name__"
+
+_ARITH: dict[str, Callable[[Column, Column], Column]] = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+    "^": lambda l, r: F.pow(l, r),
+}
+_CMP: dict[str, Callable[[Column, Column], Column]] = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+
+def match_labels(
+    labels: Column | str,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] | None = None,
+) -> Column:
+    """The matching label subset of a MapType labels column: ``on`` keeps
+    exactly the listed names; otherwise all names minus ``ignoring`` minus
+    ``__name__`` (parser.VectorMatching.MatchingLabels)."""
+    c = F.col(labels) if isinstance(labels, str) else labels
+    if on is not None and ignoring is not None:
+        raise ValueError("on and ignoring are mutually exclusive")
+    if on is not None:
+        keep = F.array(*[F.lit(k) for k in on])
+        return F.map_filter(c, lambda k, _: F.array_contains(keep, k))
+    drop = F.array(F.lit(NAME_LABEL), *[F.lit(k) for k in (ignoring or ())])
+    return F.map_filter(c, lambda k, _: ~F.array_contains(drop, k))
+
+
+def match_key(
+    labels: Column | str,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] | None = None,
+) -> Column:
+    """Canonical string join key of the matching label subset."""
+    return labels_map_to_json(match_labels(labels, on, ignoring))
+
+
+def _drop_keys(labels: Column, keys: Sequence[str]) -> Column:
+    drop = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(labels, lambda k, _: ~F.array_contains(drop, k))
+
+
+def _one_side(
+    df: DataFrame,
+    key: Column,
+    side: str,
+    labels_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Collapse a vector to one row per (time, match key), guarded: reading
+    the value of a group with >1 series raises Prometheus's duplicate-series
+    error. The guard rides the aggregation the join needs anyway."""
+    agg = df.groupBy(F.col(time_col).alias("__t"), key.alias("__key")).agg(
+        F.count("*").alias("__n"),
+        F.first(labels_col).alias("__labels"),
+        F.first(F.col(value_col).cast("double")).alias("__v"),
+    )
+    guarded = F.when(F.col("__n") == 1, F.col("__v")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "found duplicate series for the match group on the "
+                    f"{side} side: "
+                ),
+                F.col("__key"),
+            )
+        )
+    )
+    return agg.select("__t", "__key", "__labels", guarded.alias("__v"))
+
+
+def binop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str | Callable[[Column, Column], Column],
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] | None = None,
+    card: str = "one_to_one",
+    include: Sequence[str] = (),
+    bool_mode: bool = False,
+    labels_col: str = "labels",
+    time_col: str = "eval_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """Binary operation between two instant vectors with PromQL vector
+    matching. ``op`` is one of ``+ - * / % ^ == != > < >= <=`` or a custom
+    ``(left_value, right_value) -> Column`` callable (queries use this to
+    emit engine-exact fixed-point forms).
+
+    ``card``: ``one_to_one`` | ``many_to_one`` (``group_left``) |
+    ``one_to_many`` (``group_right``); ``include`` copies the listed labels
+    from the "one" side onto grouped results (``group_left(lbls...)``).
+
+    Output: (``labels_col``, ``time_col``, ``value_col``) — unmatched rows
+    drop (inner join), comparison ops without ``bool_mode`` filter the left
+    vector instead of computing a value.
+    """
+    if card not in ("one_to_one", "many_to_one", "one_to_many"):
+        raise ValueError(f"unknown cardinality: {card}")
+    if include and card == "one_to_one":
+        raise ValueError("include labels require group_left/group_right")
+    is_cmp = isinstance(op, str) and op in _CMP
+    if isinstance(op, str):
+        try:
+            op_fn = _ARITH[op] if not is_cmp else _CMP[op]
+        except KeyError:
+            raise ValueError(f"unknown operator: {op}") from None
+    else:
+        op_fn = op
+
+    lkey = match_key(F.col(labels_col), on, ignoring)
+    rkey = match_key(F.col(labels_col), on, ignoring)
+    left_labels = F.col("l.__labels")  # where the left arg's labels land
+
+    if card == "one_to_one":
+        l = _one_side(left, lkey, "left", labels_col, time_col, value_col)
+        r = _one_side(right, rkey, "right", labels_col, time_col, value_col)
+        lv, rv = F.col("l.__v"), F.col("r.__v")
+        if on is not None:
+            out_labels = match_labels(F.col("l.__labels"), on=on)
+        else:
+            out_labels = _drop_keys(
+                F.col("l.__labels"), [NAME_LABEL, *(ignoring or ())]
+            )
+    else:
+        many, one = (left, right) if card == "many_to_one" else (right, left)
+        one_side = "right" if card == "many_to_one" else "left"
+        m = many.select(
+            F.col(time_col).alias("__t"),
+            match_key(F.col(labels_col), on, ignoring).alias("__key"),
+            F.col(labels_col).alias("__labels"),
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("l")
+        o = _one_side(one, rkey, one_side, labels_col, time_col, value_col)
+        l, r = (m, o)
+        if card == "many_to_one":
+            lv, rv = F.col("l.__v"), F.col("r.__v")
+        else:
+            lv, rv = F.col("r.__v"), F.col("l.__v")
+            left_labels = F.col("r.__labels")
+        out_labels = _drop_keys(
+            F.col("l.__labels"), [NAME_LABEL, *include]
+        )
+        if include:
+            inc = F.array(*[F.lit(k) for k in include])
+            copied = F.map_filter(
+                F.col("r.__labels"), lambda k, _: F.array_contains(inc, k)
+            )
+            out_labels = F.map_concat(out_labels, copied)
+
+    joined = l.alias("l").join(r.alias("r"), ["__t", "__key"])
+
+    if is_cmp and not bool_mode:
+        # filter semantics: keep left rows where the predicate holds, left
+        # labels untouched (metric name kept — engine.go shouldDropMetricName)
+        return joined.filter(op_fn(lv, rv)).select(
+            left_labels.alias(labels_col),
+            F.col("__t").alias(time_col),
+            lv.alias(value_col),
+        )
+    value = op_fn(lv, rv)
+    if is_cmp:
+        value = value.cast("double")  # bool modifier: 1.0 / 0.0
+    return joined.select(
+        out_labels.alias(labels_col),
+        F.col("__t").alias(time_col),
+        value.alias(value_col),
+    )
+
+
+_AGGS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c).cast("double"),  # PromQL count is a float
+}
+
+
+def agg_by(
+    vec: DataFrame,
+    func: str | Callable[[Column], Column] = "sum",
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    labels_col: str = "labels",
+    time_col: str = "eval_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL aggregation over the label dimension:
+    ``sum by (job) (v)`` / ``avg without (instance) (v)``. ``func`` is a
+    name from sum/avg/min/max/count or a custom Column aggregator (queries
+    use this for fixed-point sums).
+
+    Output: (labels = the grouped subset map, time, value, n_series). One
+    keyed aggregation on (time, canonical subset key) — map-side
+    combinable."""
+    agg_fn = _AGGS[func] if isinstance(func, str) else func
+    key = match_key(F.col(labels_col), by, without)
+    out = (
+        vec.groupBy(F.col(time_col).alias("__t"), key.alias("__key"))
+        .agg(
+            agg_fn(F.col(value_col).cast("double")).alias("__v"),
+            F.count("*").cast("long").alias("n_series"),
+        )
+    )
+    return out.select(
+        F.from_json("__key", "map<string,string>").alias(labels_col),
+        F.col("__t").alias(time_col),
+        F.col("__v").alias(value_col),
+        "n_series",
+    )
+
+
+def topk_by(
+    vec: DataFrame,
+    k: int,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    bottom: bool = False,
+    labels_col: str = "labels",
+    time_col: str = "eval_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL ``topk(k, v) by (labels)`` / ``bottomk``: the k highest (or
+    lowest) series per (timestamp, group), ORIGINAL labels kept (topk is the
+    one PromQL aggregation that returns input series untouched). Ties break
+    on the canonical labels JSON so ranks are partition/engine-stable.
+
+    One window pass partitioned by (time, group key) — the per-group row
+    count is the series cardinality, never the sample count."""
+    key = match_key(F.col(labels_col), by, without)
+    v = F.col(value_col).cast("double")
+    order = [v.asc() if bottom else v.desc(), labels_map_to_json(labels_col)]
+    w = W.partitionBy(F.col(time_col), key).orderBy(*order)
+    return (
+        vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -24,6 +24,7 @@ from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import llmdata3 as _llmdata3
 from promhouse_spark.workloads import promql2 as _promql2
+from promhouse_spark.workloads import promql3 as _promql3
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 from promhouse_spark.workloads import tpch3 as _tpch3
@@ -37,6 +38,7 @@ _ALL_QUERIES = {
     **_llmdata2.QUERIES,
     **_llmdata3.QUERIES,
     **_promql2.QUERIES,
+    **_promql3.QUERIES,
     **_extra.QUERIES,
 }
 
@@ -116,6 +118,7 @@ ORACLES = {
     **_llmdata2.ORACLES,
     **_llmdata3.ORACLES,
     **_promql2.ORACLES,
+    **_promql3.ORACLES,
     **_extra.ORACLES,
 }
 
