@@ -373,6 +373,85 @@ def rate_extrapolated(samples_df: DataFrame, step_ms: int = 300_000) -> DataFram
     )
 
 
+def last_two(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """The last two samples per (series, window) — the shared scaffold of
+    PromQL's instant-variant functions ``irate``/``idelta``
+    (promql/functions.go instantValue): one in-window window pass ordered
+    newest-first (ties newest-first by value, engine-reproducible), keeping
+    only the newest row with its predecessor attached. Windows with < 2
+    samples drop, as in Prometheus.
+
+    Output: (fingerprint, window_start_ms, timestamp_ms, v, prev_ts,
+    prev_v)."""
+    ws = window_start_ms(step_ms)
+    base = samples_df.select(
+        FINGERPRINT, ws, F.col(TIMESTAMP_MS), F.col(VALUE).cast("double").alias("v")
+    )
+    w = W.partitionBy(FINGERPRINT, "window_start_ms").orderBy(
+        F.desc(TIMESTAMP_MS), F.desc("v")
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn("prev_ts", F.lead(TIMESTAMP_MS).over(w))
+        .withColumn("prev_v", F.lead("v").over(w))
+        .filter((F.col("__rn") == 1) & F.col("prev_ts").isNotNull())
+        .drop("__rn")
+    )
+
+
+def irate(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """PromQL ``irate()``: per-second rate between the LAST TWO samples of
+    each (series, window), counter-reset aware (a drop contributes the new
+    value, as instantValue does). NULL rate when the two samples share a
+    timestamp (Prometheus can't produce that pair; stored data can).
+
+    Output adds ``increase`` (the reset-aware last-step delta), ``dt_ms``,
+    and ``irate`` (increase / dt seconds)."""
+    lt = last_two(samples_df, step_ms)
+    inc = F.when(
+        F.col("v") >= F.col("prev_v"), F.col("v") - F.col("prev_v")
+    ).otherwise(F.col("v"))
+    dt = (F.col(TIMESTAMP_MS) - F.col("prev_ts")).cast("long")
+    return lt.select(
+        FINGERPRINT,
+        "window_start_ms",
+        inc.alias("increase"),
+        dt.alias("dt_ms"),
+        (inc / F.nullif(dt.cast("double"), F.lit(0.0)) * 1000.0).alias("irate"),
+    )
+
+
+def idelta(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
+    """PromQL ``idelta()``: the plain (gauge) difference between the last
+    two samples of each (series, window) — no reset handling, may be
+    negative."""
+    lt = last_two(samples_df, step_ms)
+    return lt.select(
+        FINGERPRINT,
+        "window_start_ms",
+        (F.col("v") - F.col("prev_v")).alias("idelta"),
+        (F.col(TIMESTAMP_MS) - F.col("prev_ts")).cast("long").alias("dt_ms"),
+    )
+
+
+def clamp(c: "Column", mn: float, mx: float) -> "Column":
+    """PromQL ``clamp(v, min, max)``; min > max yields NaN (Prometheus
+    funcClamp)."""
+    if mn > mx:
+        return F.lit(float("nan"))
+    return F.least(F.greatest(c, F.lit(float(mn))), F.lit(float(mx)))
+
+
+def clamp_min(c: "Column", mn: float) -> "Column":
+    """PromQL ``clamp_min(v, min)``."""
+    return F.greatest(c, F.lit(float(mn)))
+
+
+def clamp_max(c: "Column", mx: float) -> "Column":
+    """PromQL ``clamp_max(v, max)``."""
+    return F.least(c, F.lit(float(mx)))
+
+
 def time_weighted_avg(samples_df: DataFrame, step_ms: int = 300_000) -> DataFrame:
     """Time-weighted average per (series, window) over IRREGULARLY spaced
     samples — the TimescaleDB ``time_weight('LOCF')`` shape: each sample's

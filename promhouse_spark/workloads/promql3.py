@@ -260,3 +260,112 @@ ORACLES = {
     "ph_agg_by_label": PH_AGG_BY_LABEL_SQL,
     "ph_topk_by_label": PH_TOPK_BY_LABEL_SQL,
 }
+
+
+def ph_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate() per (series, 6 h window): reset-aware per-second rate
+    between the last two samples (operators/promql_lite.py:irate), surfaced
+    in exact 1e-6 fixed point (cents increase x 1e7 integer-divided by the
+    millisecond gap)."""
+    from promhouse_spark.operators.promql_lite import irate
+
+    step = 6 * 3600 * 1000
+    out = irate(_samples(spark, sf_dir), step_ms=step)
+    inc_cents = _cents(F.col("increase"))
+    return out.select(
+        F.col("fingerprint").alias("user_id"),
+        "window_start_ms",
+        inc_cents.alias("inc_cents"),
+        "dt_ms",
+        _idiv(inc_cents * F.lit(10_000_000), F.col("dt_ms")).alias("irate_e6"),
+    ).orderBy("user_id", "window_start_ms")
+
+
+_LAST_TWO_SQL = """
+  SELECT user_id,
+         (epoch_ms(ts) // 21600000) * 21600000 AS w,
+         epoch_ms(ts) AS ts_ms, value,
+         row_number() OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                                  ORDER BY epoch_ms(ts) DESC, value DESC) AS prev_ts,
+         lead(value) OVER (PARTITION BY user_id, (epoch_ms(ts) // 21600000) * 21600000
+                           ORDER BY epoch_ms(ts) DESC, value DESC) AS prev_v
+  FROM events
+"""
+
+PH_IRATE_SQL = f"""
+WITH base AS ({_LAST_TWO_SQL}),
+lasttwo AS (
+  SELECT user_id, w,
+         CAST(round((CASE WHEN value >= prev_v THEN value - prev_v ELSE value END) * 100)
+              AS BIGINT) AS inc_cents,
+         ts_ms - prev_ts AS dt_ms
+  FROM base WHERE rn = 1 AND prev_ts IS NOT NULL
+)
+SELECT user_id, w AS window_start_ms, inc_cents, CAST(dt_ms AS BIGINT) AS dt_ms,
+       (inc_cents * 10000000) // nullif(dt_ms, 0) AS irate_e6
+FROM lasttwo
+ORDER BY user_id, window_start_ms
+"""
+
+
+def ph_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL idelta() per (series, 6 h window): the plain gauge difference
+    between the last two samples, in exact signed cents."""
+    from promhouse_spark.operators.promql_lite import idelta
+
+    step = 6 * 3600 * 1000
+    out = idelta(_samples(spark, sf_dir), step_ms=step)
+    return out.select(
+        F.col("fingerprint").alias("user_id"),
+        "window_start_ms",
+        _cents(F.col("idelta")).alias("idelta_cents"),
+        "dt_ms",
+    ).orderBy("user_id", "window_start_ms")
+
+
+PH_IDELTA_SQL = f"""
+WITH base AS ({_LAST_TWO_SQL})
+SELECT user_id, w AS window_start_ms,
+       CAST(round((value - prev_v) * 100) AS BIGINT) AS idelta_cents,
+       CAST(ts_ms - prev_ts AS BIGINT) AS dt_ms
+FROM base WHERE rn = 1 AND prev_ts IS NOT NULL
+ORDER BY user_id, window_start_ms
+"""
+
+
+def ph_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL clamp / clamp_min / clamp_max over the per-user instant
+    vector — the gauge guard-rail family, pure column expressions."""
+    from promhouse_spark.operators.promql_lite import clamp, clamp_max, clamp_min
+
+    vec = _user_vec(spark, sf_dir, "total")
+    v = F.col("value")
+    return vec.select(
+        F.element_at("labels", "user").cast("long").alias("user_id"),
+        "eval_ms",
+        F.round(clamp(v, 25.0, 75.0), 6).alias("clamped"),
+        F.round(clamp_min(v, 10.0), 6).alias("clamped_min"),
+        F.round(clamp_max(v, 300.0), 6).alias("clamped_max"),
+    ).orderBy("user_id", "eval_ms")
+
+
+PH_CLAMP_SQL = f"""
+WITH {_SAMPLES_CTE},
+{_vec_ctes("tvec", "TRUE")}
+SELECT user_id, eval_ms,
+       round(least(greatest(value, 25.0), 75.0), 6) AS clamped,
+       round(greatest(value, 10.0), 6) AS clamped_min,
+       round(least(value, 300.0), 6) AS clamped_max
+FROM tvec
+ORDER BY user_id, eval_ms
+"""
+
+
+QUERIES["ph_irate"] = ph_irate
+QUERIES["ph_idelta"] = ph_idelta
+QUERIES["ph_clamp"] = ph_clamp
+ORACLES["ph_irate"] = PH_IRATE_SQL
+ORACLES["ph_idelta"] = PH_IDELTA_SQL
+ORACLES["ph_clamp"] = PH_CLAMP_SQL

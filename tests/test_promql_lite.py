@@ -137,3 +137,54 @@ def test_alert_intervals_property_vs_python_model(spark):
         assert got == want
 
     check()
+
+
+def test_irate_uses_last_two_and_handles_reset(spark):
+    rows = [
+        (1, 0, 10.0),
+        (1, 60_000, 95.0),
+        (1, 120_000, 100.0),
+        (1, 180_000, 4.0),  # reset: irate contributes the new value
+    ]
+    from promhouse_spark.operators.promql_lite import idelta, irate
+
+    df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    row = irate(df, W).collect()[0]
+    assert row["increase"] == 4.0       # reset-aware (100 -> 4 drop)
+    assert row["dt_ms"] == 60_000
+    assert abs(row["irate"] - 4.0 / 60.0) < 1e-12
+    # idelta: plain gauge difference, negative on the same data
+    d = idelta(df, W).collect()[0]
+    assert d["idelta"] == 4.0 - 100.0
+    # earlier samples in the window are ignored by both
+    no_reset = spark.createDataFrame(rows[:3], SAMPLES_SCHEMA)
+    row2 = irate(no_reset, W).collect()[0]
+    assert row2["increase"] == 5.0 and row2["dt_ms"] == 60_000
+
+
+def test_irate_single_sample_window_drops(spark):
+    from promhouse_spark.operators.promql_lite import irate
+
+    df = spark.createDataFrame([(1, 0, 1.0), (2, 0, 2.0)], SAMPLES_SCHEMA)
+    assert irate(df, W).collect() == []
+
+
+def test_clamp_family(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.operators.promql_lite import clamp, clamp_max, clamp_min
+
+    df = spark.createDataFrame([(v,) for v in [-5.0, 50.0, 500.0]], "v double")
+    got = df.select(
+        clamp(F.col("v"), 0.0, 100.0).alias("c"),
+        clamp_min(F.col("v"), 0.0).alias("cmin"),
+        clamp_max(F.col("v"), 100.0).alias("cmax"),
+    ).collect()
+    assert [r.c for r in got] == [0.0, 50.0, 100.0]
+    assert [r.cmin for r in got] == [0.0, 50.0, 500.0]
+    assert [r.cmax for r in got] == [-5.0, 50.0, 100.0]
+    # Prometheus funcClamp: min > max yields NaN for every point
+    nan = df.select(clamp(F.col("v"), 10.0, 5.0).alias("c")).collect()
+    assert all(math.isnan(r.c) for r in nan)
