@@ -38,10 +38,30 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # record machine load BEFORE the run: r5's checked-in headline was
+    # measured under background load and overstated the engine's cost by
+    # ~20% — a polluted run must at least be visible as such in the artifact
+    load_before = _loadavg()
+    ncpu = os.cpu_count() or 1
+    if load_before and load_before[0] > max(2.0, 0.25 * ncpu):
+        print(
+            f"WARNING: loadavg {load_before[0]:.1f} before bench on {ncpu} CPUs "
+            "— machine is busy; timings will overstate engine cost",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="promhouse-bench")
 
     # warm up the session (JVM classload, parquet footer reads)
@@ -78,6 +98,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+        "ncpu": ncpu,
     }
     if errors:
         out["errors"] = errors

@@ -1,0 +1,86 @@
+"""Measured near-linearity gate: a 10x scale-up must cost ~10x, not 100x.
+
+The sf0.1 plan checks (tests/test_plan_hygiene.py) prove the ABSENCE of
+cartesian/nested-loop shapes, but a hidden quadratic can hide inside a
+legal plan (key fan-out). This test measures it: generate sf1
+(tools/gen_sf.py, 10x the shipped sf0.1, cached in /tmp), run a
+representative query per family at sf0.1 and sf1, and assert the total
+time ratio stays well under quadratic.
+
+Exemption, by design: ``doc_jaccard_pairs`` pins EXACT distinct-token
+Jaccard semantics on a corpus with a flat 31-token vocabulary — every pair
+is a candidate, so the token self-join is inherently O(n^2/|V|) (measured
+41x for 10x docs). That is the data shape, not the plan: the operator's
+``max_df`` / PPJoin guards handle real Zipfian vocabularies, and the scale
+path for flat corpora is MinHash-LSH — which IS in the gate below and
+measures ~6x for 10x. The full 13-query curve is recorded in BASELINE.md
+(tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from promhouse_spark.workloads import QUERIES
+
+SF1_DIR = "/tmp/phs-sf1"
+SF01_DIR = "/root/testdata/sf0.1"
+
+# one query per family: scan-agg, join, keyed agg, session window,
+# banded dedup (the jaccard scale path), ANN
+GATE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "ph_downsample_1h",
+    "ph_sessionize",
+    "doc_minhash_lsh",
+    "emb_cosine_topk",
+]
+
+# 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
+# still failing hard on anything quadratic (100x-class).
+MAX_RATIO = 15.0
+
+
+@pytest.fixture(scope="module")
+def sf1_dir():
+    marker = os.path.join(SF1_DIR, ".complete")
+    if not os.path.exists(marker):
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+            ),
+        )
+        from gen_sf import generate
+
+        generate(SF1_DIR, 1.0)
+        open(marker, "w").write("ok")
+    return SF1_DIR
+
+
+def _run_once(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in GATE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = time.time() - t0
+    return out
+
+
+def test_sf1_over_sf01_total_ratio_is_near_linear(spark, sf1_dir):
+    # warm both paths' footers + plans once so compile noise hits both sides
+    small = _run_once(spark, SF01_DIR)
+    small = _run_once(spark, SF01_DIR)  # second pass: plans warm
+    big = _run_once(spark, sf1_dir)
+    total_small, total_big = sum(small.values()), sum(big.values())
+    ratio = total_big / total_small
+    detail = {k: round(big[k] / small[k], 1) for k in GATE}
+    assert ratio <= MAX_RATIO, (
+        f"10x scale-up cost {ratio:.1f}x (limit {MAX_RATIO}); per-query {detail}"
+    )
