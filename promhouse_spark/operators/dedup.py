@@ -986,3 +986,197 @@ def embedding_lsh_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---- SemDeDup: k-means-blocked semantic dedup (Abbas et al. 2023) --------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the IVF coarse quantizer
+    (operators/similarity.py:ivf_index — MLlib k-means, distributed fit),
+    then exact cosine pairs WITHIN each cluster only. The candidate space
+    is cluster-bounded — sum of per-cluster squares, never the corpus
+    cross-join — which is the whole SemDeDup idea: at 100 TB you pick
+    num_centroids so clusters hold ~1e4 vectors and intra-cluster pairs
+    stay tractable, trading recall of cross-cluster near-dups (rare by
+    construction: near-identical embeddings land on the same centroid).
+
+    Label-FREE, unlike ``embedding_cosine_duplicates(group_col=...)``, and
+    cheaper than the OR-amplified ``embedding_lsh_duplicates`` when a
+    corpus-level clustering is already being built for curation anyway.
+
+    Output: (id_a, id_b, cosine) — identical shape to the other embedding
+    pair generators, so connected_components / keep-one policies compose.
+    """
+    from promhouse_spark.operators.similarity import ivf_index
+
+    assigned, _ = ivf_index(df, num_centroids, id_col, vec_col, seed)
+    return embedding_cosine_duplicates(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col="centroid_id",
+        threshold=threshold,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus pruning via SemDeDup pairs: drop the higher-id member of
+    every semantic near-dup pair (keep-min-id — a deterministic greedy
+    stand-in for the paper's keep-lowest-centroid-similarity policy; the
+    pair generation is the expensive part, the keep policy is swappable).
+    One anti-join against the distinct drop set."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, num_centroids, threshold, seed
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
+# ---- Paragraph-granularity near-dup ---------------------------------------
+
+
+def paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    chunk_words: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode documents into paragraph rows — the sub-document granularity
+    production dedup pipelines work at (boilerplate headers/footers repeat
+    across documents whose whole-text similarity is low).
+
+    ``sep`` splits on a real paragraph separator; ``chunk_words`` instead
+    windows the token stream into fixed-size pseudo-paragraphs (for corpora
+    with no separator structure, like the single-line synthetic testdata).
+    Output: (id_col, para_idx, para, para_id) — ``para_id`` is the
+    composite "doc#idx" string key the pair generators block on. Pure
+    column expressions + one explode; no shuffle."""
+    if chunk_words is not None:
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+        parts = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * chunk_words + 1, chunk_words), " "
+            ),
+        )
+    else:
+        parts = F.split(F.col(text_col), F.lit(sep))
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(parts).alias("para_idx", "para"),
+    ).filter(F.length("para") > 0)
+    return out.select(
+        id_col,
+        *keep_cols,
+        "para_idx",
+        "para",
+        F.concat_ws("#", F.col(id_col), F.col("para_idx")).alias("para_id"),
+    )
+
+
+def paragraph_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int | None = None,
+    sep: str = "\n\n",
+    threshold: float = 0.8,
+    cross_doc_only: bool = True,
+    group_col: str | None = None,
+    **jaccard_kwargs,
+) -> DataFrame:
+    """Exact paragraph-level near-dup pairs: explode to paragraphs, then
+    distinct-token Jaccard over the paragraph frame (same lossless
+    machinery as ``ngram_jaccard_pairs``, so max_df / prefix_filter guards
+    apply, and ``group_col`` blocks candidates exactly as at document
+    granularity). ``cross_doc_only`` keeps only pairs from DIFFERENT
+    documents — the boilerplate-detection signal. Output: (doc_a, para_a,
+    doc_b, para_b, jaccard)."""
+    paras = paragraphs(
+        df,
+        id_col,
+        text_col,
+        sep,
+        chunk_words,
+        keep_cols=(group_col,) if group_col else (),
+    )
+    pairs = ngram_jaccard_pairs(
+        paras,
+        id_col="para_id",
+        text_col="para",
+        group_col=group_col,
+        threshold=threshold,
+        **jaccard_kwargs,
+    )
+    split_a = F.split(F.col("doc_a"), "#")
+    split_b = F.split(F.col("doc_b"), "#")
+    out = pairs.select(
+        split_a[0].cast("long").alias("doc_a"),
+        split_a[1].cast("int").alias("para_a"),
+        split_b[0].cast("long").alias("doc_b"),
+        split_b[1].cast("int").alias("para_b"),
+        "jaccard",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out
+
+
+def paragraph_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int | None = None,
+    sep: str = "\n\n",
+    threshold: float = 0.7,
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 3,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """MinHash-LSH paragraph near-dup pairs — the scale path: paragraph
+    explode, then the shuffle-free signature fold + banded self-join keyed
+    by para_id (operators above), candidates bucket-bounded exactly as at
+    document granularity. Output: (doc_a, para_a, doc_b, para_b,
+    est_jaccard)."""
+    paras = paragraphs(df, id_col, text_col, sep, chunk_words)
+    pairs = minhash_lsh_candidates(
+        paras,
+        id_col="para_id",
+        text_col="para",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    ).filter(F.col("est_jaccard") >= threshold)
+    split_a = F.split(F.col("doc_a"), "#")
+    split_b = F.split(F.col("doc_b"), "#")
+    out = pairs.select(
+        split_a[0].cast("long").alias("doc_a"),
+        split_a[1].cast("int").alias("para_a"),
+        split_b[0].cast("long").alias("doc_b"),
+        split_b[1].cast("int").alias("para_b"),
+        "est_jaccard",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out

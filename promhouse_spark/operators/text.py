@@ -272,3 +272,104 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "score")
     )
+
+
+def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right BPE merge of one (left, right) symbol pair in a
+    symbol array — Sennrich et al. 2016 semantics: [a,a,a] with pair (a,a)
+    becomes [aa,a] (a merged element never re-merges in the same round).
+    One JVM-side array fold per row, no Python."""
+    lr = left + right
+    merged_tail = lambda acc: F.concat(  # noqa: E731
+        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lr))
+    )
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            merged_tail(acc),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The BPE training state: distinct words with corpus counts and their
+    initial symbol arrays (characters + a final ``</w>`` end-of-word
+    marker). Training iterates over THIS frame, never the corpus — the
+    word-frequency table is Zipf-bounded (millions of rows at 100 TB, vs
+    trillions of tokens), which is what makes driver-looped BPE tractable
+    at scale (the fastBPE/Sennrich formulation)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    return words.select(
+        "w", "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the weighted word vocabulary — the
+    argmax input of one BPE merge round. (left, right, cnt), exact BIGINT
+    counts so the argmax is engine-deterministic."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("syms") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("left"),
+            F.element_at("syms", i + 1).alias("right"),
+        ),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Iterative BPE tokenizer induction (Sennrich et al. 2016): K driver
+    iterations, each one keyed pair-count aggregation + a 1-row argmax
+    collect + a distributed symbol-array merge fold. Ties on the count
+    break (left, right) lexicographically so the merges list is
+    deterministic across engines and partitionings.
+
+    Returns (merges, final_vocab): merges as (step, left, right, count)
+    with the count measured BEFORE that merge was applied; final_vocab is
+    the symbolized word frame after all merges (the tokenizer's word
+    segmentation). Lineage is truncated every ``checkpoint_every`` rounds —
+    K nested folds would otherwise grow the plan unboundedly."""
+    vocab = bpe_vocab(df, text_col).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append((step, l, r, c))
+        nxt = vocab.select("w", "cnt", merge_pair_expr(F.col("syms"), l, r).alias("syms"))
+        if step % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab

@@ -23,6 +23,7 @@ from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import llmdata3 as _llmdata3
+from promhouse_spark.workloads import llmdata4 as _llmdata4
 from promhouse_spark.workloads import promql2 as _promql2
 from promhouse_spark.workloads import promql3 as _promql3
 from promhouse_spark.workloads import tpch as _tpch
@@ -37,6 +38,7 @@ _ALL_QUERIES = {
     **_llmdata.QUERIES,
     **_llmdata2.QUERIES,
     **_llmdata3.QUERIES,
+    **_llmdata4.QUERIES,
     **_promql2.QUERIES,
     **_promql3.QUERIES,
     **_extra.QUERIES,
@@ -99,10 +101,13 @@ JUDGED_PRIORITY = [
     "doc_substring_dups",
     "doc_domain_resample",
     "doc_pii_scrub",
+    # SemDeDup is oracle-less (k-means fit): it must sit in the judged
+    # prefix, whose driver check tolerates no_oracle entries — the tail
+    # gate (test_oracle_tail) requires a DuckDB oracle of every member
+    "doc_semantic_dups",
     # --- representative TPC-H shapes (one per family; rest in the tail) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in JUDGED_PRIORITY}
@@ -117,6 +122,7 @@ ORACLES = {
     **_llmdata.ORACLES,
     **_llmdata2.ORACLES,
     **_llmdata3.ORACLES,
+    **_llmdata4.ORACLES,
     **_promql2.ORACLES,
     **_promql3.ORACLES,
     **_extra.ORACLES,

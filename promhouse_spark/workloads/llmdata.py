@@ -311,6 +311,74 @@ QUERIES = {
     "emb_ivf_ann_topk": emb_ivf_ann_topk,
 }
 
+def _lsh_ann_oracle_sql(
+    num_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 10,
+    min_candidates: int = 250,
+) -> str:
+    """DuckDB replay of the FULL multiprobe LSH ANN algorithm
+    (operators/similarity.py:lsh_ann_topk): the deterministic hyperplanes
+    are embedded as literals, bucket signatures / query margins / the
+    Lv-et-al probe-cost ordering / the greedy candidate-budget stop are all
+    integer-or-window SQL, and the shortlist is scored exactly like the
+    brute-force oracle. Converts the entry from rows-only to hash-paired —
+    possible because hyperplane LSH is plain arithmetic over fixed planes,
+    unlike the xxhash64-based MinHash/SimHash sketches."""
+    from promhouse_spark.operators.similarity import _planes
+
+    planes = _planes(num_planes, dim, seed)
+    plit = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    ) + "]"
+    np1 = num_planes + 1
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+planes AS (SELECT {plit} AS ps),
+m AS (
+  SELECT list_transform(planes.ps, p -> list_inner_product(q.qv, p)) AS ms
+  FROM planes, q
+),
+qbits AS (
+  SELECT list_sum(list_transform(range(1, {np1}), i ->
+    CASE WHEN ms[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS qb
+  FROM m
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0
+),
+bucketed AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(1, {np1}), i ->
+           CASE WHEN list_inner_product(v, planes.ps[i]) > 0
+                THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS b
+  FROM vecs, planes
+),
+hist AS (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b),
+scored AS (
+  SELECT t.b AS pb,
+         list_sum(list_transform(range(1, {np1}), i ->
+           CASE WHEN (xor(t.b, qbits.qb) >> (i-1)) & 1 = 1
+                THEN abs(m.ms[i]) ELSE 0.0 END)) AS cost
+  FROM (SELECT unnest(range(0, {1 << num_planes})) AS b) t, qbits, m
+),
+probe AS (
+  SELECT pb,
+         coalesce(sum(coalesce(h.cnt, 0)) OVER (
+           ORDER BY cost, pb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM scored LEFT JOIN hist h ON h.b = scored.pb
+)
+SELECT vec_id, round(list_cosine_similarity(v, q.qv), 4) AS cosine
+FROM bucketed, q
+WHERE b IN (SELECT pb FROM probe WHERE cum_before < {min_candidates})
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+EMB_LSH_ANN_SQL = _lsh_ann_oracle_sql()
+
+
+
 ORACLES = {
     "doc_exact_dup": DOC_EXACT_DUP_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
@@ -321,6 +389,7 @@ ORACLES = {
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_knn_within_label": EMB_KNN_WITHIN_LABEL_SQL,
     "emb_knn_join_batch": EMB_KNN_JOIN_BATCH_SQL,
+    "emb_lsh_ann_topk": EMB_LSH_ANN_SQL,
 }
 
 

@@ -1,0 +1,180 @@
+"""LLM-data-pipeline workloads, fourth wave (round 6): BPE tokenizer
+induction (the merge loop over operators/text.py:bpe_train), SemDeDup-style
+IVF-blocked semantic dedup, and paragraph-granularity near-dup detection.
+
+The BPE oracle replays the full iterative algorithm in DuckDB as K
+UNROLLED CTE blocks (pair-count → argmax → positional merge) — the greedy
+left-to-right merge is expressed with a run-parity rule over match
+positions (within a run of consecutive matches, the 1st/3rd/5th merge),
+which is provably identical to the Spark-side array fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.session import load_table
+
+_BPE_K = 8
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the documents corpus: the first
+    8 merges learned from word-frequency-weighted character pairs
+    (operators/text.py:bpe_train) — K driver iterations of one keyed
+    aggregation + 1-row argmax each, ties broken (count desc, left, right)
+    for engine determinism. Output: (step, left, right, cnt) with cnt
+    measured before the merge applied."""
+    from promhouse_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, "text", n_merges=_BPE_K)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, cnt long"
+    ).orderBy("step")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    ctes = ["""words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+vocab0 AS (
+  SELECT w, cnt,
+         list_transform(range(1, len(w)+1), i -> w[i:i]) || ['</w>'] AS syms
+  FROM words
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        ctes.append(f"""pairs{i} AS (
+  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p, cnt
+    FROM vocab{p}
+  ) GROUP BY p.l, p.r
+),
+top{i} AS (
+  SELECT l, r, cnt FROM pairs{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+vocab{i} AS (
+  -- greedy left-to-right merge, positionally: q merges iff (q, q+1)
+  -- matches (l, r) and q sits at an odd offset within its run of
+  -- consecutive matches (runs exist only when l = r); positions consumed
+  -- as the right half (mg[q-1]) drop
+  SELECT w, cnt,
+         list_transform(
+           list_filter(range(1, n+1), q -> NOT coalesce(mg[q-1], FALSE)),
+           q -> CASE WHEN coalesce(mg[q], FALSE) THEN syms[q] || syms[q+1] ELSE syms[q] END
+         ) AS syms
+  FROM (
+    SELECT w, cnt, syms, n,
+           list_transform(range(1, n), q ->
+             marks[q] AND (q - coalesce(list_max(list_filter(range(1, q), z -> NOT marks[z])), 0)) % 2 = 1
+           ) AS mg
+    FROM (
+      SELECT v.w, v.cnt, v.syms, len(v.syms) AS n,
+             list_transform(range(1, len(v.syms)), q -> v.syms[q] = t.l AND v.syms[q+1] = t.r) AS marks
+      FROM vocab{p} v CROSS JOIN top{i} t
+    )
+  )
+)""")
+    unions = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS step, l AS "left", r AS "right", cnt FROM top{i}'
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY step"
+
+
+DOC_BPE_MERGES_SQL = _bpe_oracle_sql(_BPE_K)
+
+
+QUERIES = {
+    "doc_bpe_merges": doc_bpe_merges,
+}
+
+ORACLES = {
+    "doc_bpe_merges": DOC_BPE_MERGES_SQL,
+}
+
+
+def doc_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs over the embeddings corpus
+    (operators/dedup.py:semantic_dedup_pairs): MLlib k-means coarse
+    quantizer as the label-free blocking stage, exact cosine within
+    clusters only. Threshold 0.4 is corpus-relative: the synthetic
+    embeddings are near-uniform with a ~0.51 cosine ceiling (no natural
+    near-identical pairs), so 0.4 surfaces the true top of the similarity
+    distribution — production corpora use 0.95+. Rows-only driver check (a
+    k-means fit is not SQL-expressible); precision/recall gated in
+    tests/test_recall.py with PLANTED near-identical vectors against the
+    brute-force truth."""
+    from promhouse_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, num_centroids=16, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+_CHUNK = 20
+
+
+def doc_para_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity near-dup pairs: documents windowed into
+    20-word pseudo-paragraphs (the synthetic corpus is single-line; real
+    corpora split on \n\n), exact distinct-token Jaccard >= 0.8 between
+    paragraphs of DIFFERENT documents, blocked by source
+    (operators/dedup.py:paragraph_jaccard_pairs) — the boilerplate span
+    detector whole-document similarity misses."""
+    from promhouse_spark.operators.dedup import paragraph_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_jaccard_pairs(
+        docs,
+        chunk_words=_CHUNK,
+        threshold=0.8,
+        group_col="source",
+        prefix_filter=False,
+    ).orderBy("doc_a", "para_a", "doc_b", "para_b")
+
+
+DOC_PARA_DUPS_SQL = f"""
+WITH paras AS (
+  SELECT doc_id, source, i - 1 AS para_idx,
+         doc_id || '#' || CAST(i - 1 AS VARCHAR) AS para_id,
+         array_to_string(list_slice(toks, (i-1)*{_CHUNK}+1, (i-1)*{_CHUNK}+{_CHUNK}), ' ') AS para
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(toks)/{_CHUNK}.0) AS INT) + 1)) AS i) u
+  WHERE len(toks) > 0
+),
+tok AS (
+  SELECT para_id, doc_id, para_idx, source,
+         unnest(list_distinct(string_split(para, ' '))) AS token
+  FROM paras
+  WHERE len(para) > 0
+),
+sz AS (SELECT para_id, count(*) AS n FROM tok GROUP BY para_id),
+inter AS (
+  SELECT a.para_id AS pa, b.para_id AS pb,
+         CAST(min(a.doc_id) AS BIGINT) AS doc_a, CAST(min(a.para_idx) AS INT) AS para_a,
+         CAST(min(b.doc_id) AS BIGINT) AS doc_b, CAST(min(b.para_idx) AS INT) AS para_b,
+         count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.source = b.source AND a.para_id < b.para_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, para_a, doc_b, para_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.para_id = pa
+JOIN sz sb ON sb.para_id = pb
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8 AND doc_a != doc_b
+ORDER BY doc_a, para_a, doc_b, para_b
+"""
+
+
+QUERIES["doc_semantic_dups"] = doc_semantic_dups
+QUERIES["doc_para_dups"] = doc_para_dups
+ORACLES["doc_para_dups"] = DOC_PARA_DUPS_SQL

@@ -10,11 +10,13 @@ def test_queries_and_oracles_consistent():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 36
-    # sketch/UDF ops are intentionally oracle-less
+    # sketch/UDF ops are intentionally oracle-less (emb_lsh_ann_topk
+    # graduated to hash-paired in r6 — hyperplane LSH is plain arithmetic,
+    # replayed in full by its DuckDB oracle)
     assert set(qs) - set(os_) == {
         "doc_minhash_lsh",
         "doc_simhash_dups",
-        "emb_lsh_ann_topk",
+        "doc_semantic_dups",  # k-means fit is not SQL-expressible
         "doc_multimodal_features",
         "emb_ivf_ann_topk",
         "emb_pq_ann_topk",

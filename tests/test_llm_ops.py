@@ -494,3 +494,60 @@ def test_jaccard_auto_prefix_on_zipf_corpus(spark):
         .count()
     )
     assert n_prefix < n_plain, (n_prefix, n_plain)
+
+
+def test_bpe_train_rerank_and_greedy_merge(spark):
+    """Merging 'a b' -> 'ab' must re-rank the NEXT round's pairs: ('ab','c')
+    exists only after merge 1 and must win round 2 on the post-merge
+    counts (tie with ('c','</w>') broken lexicographically). Also pins the
+    greedy left-to-right fold: [a,a,a] with pair (a,a) -> [aa,a]."""
+    from promhouse_spark.operators.text import bpe_train, merge_pair_expr
+
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "text string")
+    merges, vocab = bpe_train(df, n_merges=3)
+    assert merges == [(1, "a", "b", 3), (2, "ab", "c", 2), (3, "abc", "</w>", 2)]
+    segs = {r.w: r.syms for r in vocab.collect()}
+    vocab.unpersist()
+    assert segs == {"abc": ["abc</w>"], "abd": ["ab", "d", "</w>"]}
+
+    from pyspark.sql import functions as F
+
+    folded = (
+        spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+        .select(merge_pair_expr(F.col("syms"), "a", "a").alias("m"))
+        .first()
+        .m
+    )
+    assert folded == ["aa", "a"]
+
+
+def test_paragraph_dedup_finds_planted_boilerplate(spark):
+    """A 5-word boilerplate paragraph shared by two otherwise-disjoint
+    documents must surface as a cross-document paragraph pair — at
+    whole-document granularity the Jaccard is far below threshold, which
+    is the point of sub-document dedup. Both the exact and the MinHash
+    paths must find it."""
+    from promhouse_spark.operators import dedup as D
+
+    boiler = "subscribe to our mailing list"
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + boiler),
+        (2, "one two three four five " + boiler),
+        (3, "red green blue yellow purple cyan magenta umber teal navy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = D.paragraph_jaccard_pairs(
+        df, chunk_words=5, threshold=0.9, prefix_filter=False
+    ).collect()
+    got = {(r.doc_a, r.para_a, r.doc_b, r.para_b) for r in exact}
+    assert got == {(1, 1, 2, 1)}  # the boiler chunk, nothing else
+
+    # whole-document exact jaccard misses it at the same threshold
+    whole = D.ngram_jaccard_pairs(df, threshold=0.9, prefix_filter=False).collect()
+    assert whole == []
+
+    mh = D.paragraph_minhash_pairs(
+        df, chunk_words=5, threshold=0.9, shingle_n=2
+    ).collect()
+    assert {(r.doc_a, r.para_a, r.doc_b, r.para_b) for r in mh} == {(1, 1, 2, 1)}

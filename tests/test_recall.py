@@ -446,3 +446,52 @@ def test_embedding_lsh_duplicates_recall(spark, sf_dir):
     if truth:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_semantic_dedup_recall(spark, sf_dir):
+    """SemDeDup (k-means-blocked) pairs: every emitted pair is exact
+    (cosine-verified within clusters — precision 1 vs brute force by
+    construction), planted near-identical vectors are recovered, and
+    overall recall vs the unblocked brute-force truth stays >= 0.8 (the
+    only misses SemDeDup permits are cross-cluster, rare by design)."""
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.operators import dedup as D
+    from promhouse_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant: clone every 25th vector with a tiny first-component nudge
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    n_planted = planted.count()
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_duplicates(
+            corpus, group_col=None, threshold=0.95
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.semantic_dedup_pairs(
+            corpus, num_centroids=8, threshold=0.95
+        ).collect()
+    }
+    assert got <= truth  # precision 1: same exact-cosine gate
+    planted_pairs = {(v, v + 1_000_000) for (v, _) in truth if (v, v + 1_000_000) in truth}
+    found_planted = {p for p in planted_pairs if p in got}
+    assert len(planted_pairs) >= n_planted  # the nudge kept cosine >= 0.95
+    assert len(found_planted) / len(planted_pairs) >= 0.9
+    if truth:
+        assert len(got & truth) / len(truth) >= 0.8
+
+    # the keep-min-id pruning drops exactly the distinct higher-id members
+    kept = D.semantic_dedup(corpus, num_centroids=8, threshold=0.95)
+    drop_ids = {b for (_, b) in got}
+    assert kept.count() == corpus.count() - len(drop_ids)
