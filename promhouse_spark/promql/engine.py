@@ -1,0 +1,577 @@
+"""PromQL → Spark DataFrame compiler.
+
+Evaluates a parsed PromQL expression over the engine's storage model — a
+samples frame ``(fingerprint, timestamp_ms, value)`` plus a series frame
+``(fingerprint, labels map<string,string>)`` — on a fixed evaluation grid
+(start/end/step with a staleness lookback), returning the instant-vector
+frame ``(labels, eval_ms, value)`` every operator in
+operators/vector_match.py speaks.
+
+Semantics follow prometheus/promql/engine.go + functions.go:
+
+- **Instant selectors** resolve each grid timestamp to the most recent
+  sample within the lookback (operators/asof.py union-merge as-of join);
+  ``offset`` shifts the sample timeline, not the output grid.
+- **Range functions** get TRUE sliding-window semantics for arbitrary
+  range/step (not tumbling approximations): each sample explodes to the
+  grid points whose ``(t - range, t]`` window contains it — a bounded
+  ``range/step``-fold expansion, map-side, no window over the fact table —
+  then one keyed aggregation per (series, eval). ``rate``/``increase``/
+  ``delta`` reproduce extrapolatedRate exactly (boundary extrapolation,
+  1.1×-average-interval guard, counter zero-crossing clamp BEFORE the
+  threshold, reset-aware folding).
+- **Vector matching / aggregation** compile to operators/vector_match.py;
+  set operators (and/or/unless) are semi/anti/union joins on the match
+  key. Metric names drop where Prometheus drops them.
+
+Known divergences (documented, not silent): float division by zero yields
+NULL (Spark non-ANSI) where PromQL emits ±Inf/NaN; NaN ordering in
+topk/bottomk follows Spark's NULL/NaN sort rather than Prometheus's
+heap-order; ``absent``/``absent_over_time`` and subqueries are not
+compiled (the standalone operators in operators/promql_lite.py cover the
+batch use)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from promhouse_spark.operators.asof import instant_vector
+from promhouse_spark.operators.vector_match import agg_by, binop, match_key, topk_by
+from promhouse_spark.promql.parser import (
+    Aggregation,
+    BinaryOp,
+    Call,
+    Matcher,
+    NumberLiteral,
+    RangeSelector,
+    Unary,
+    VectorSelector,
+    parse,
+)
+
+NAME = "__name__"
+
+_ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+    "^": lambda l, r: F.pow(l, r),
+}
+_CMP = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+# range-vector aggregations with a direct Spark aggregate
+_SIMPLE_OVER_TIME = {
+    "avg_over_time": lambda v, ts: F.avg(v),
+    "min_over_time": lambda v, ts: F.min(v),
+    "max_over_time": lambda v, ts: F.max(v),
+    "sum_over_time": lambda v, ts: F.sum(v),
+    "count_over_time": lambda v, ts: F.count(v).cast("double"),
+    "last_over_time": lambda v, ts: F.max_by(v, F.struct(ts, v)),
+    "stddev_over_time": lambda v, ts: F.stddev_pop(v),
+    "stdvar_over_time": lambda v, ts: F.var_pop(v),
+    "present_over_time": lambda v, ts: F.lit(1.0),
+}
+
+# instant-vector math functions (value map; metric name drops)
+_VALUE_FUNCS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "sgn": F.signum,
+}
+
+
+def matcher_condition(labels: Column, m: Matcher) -> Column:
+    """One label matcher over a MapType labels column — absent ≡ ""
+    (storages/base/base.go:53-82 semantics, same as operators/matchers)."""
+    v = F.coalesce(F.element_at(labels, F.lit(m.name)), F.lit(""))
+    if m.op == "=":
+        return v == m.value
+    if m.op == "!=":
+        return v != m.value
+    anchored = f"^(?:{m.value})$"
+    if m.op == "=~":
+        return v.rlike(anchored)
+    if m.op == "!~":
+        return ~v.rlike(anchored)
+    raise ValueError(f"bad matcher op {m.op}")
+
+
+class PromQLEngine:
+    def __init__(
+        self,
+        samples_df: DataFrame,
+        series_df: DataFrame,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int = 300_000,
+    ):
+        self.samples = samples_df
+        self.series = series_df
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+        self.step_ms = step_ms
+        self.lookback_ms = lookback_ms
+
+    # -- public ------------------------------------------------------------
+
+    def eval(self, src: str | object) -> DataFrame:
+        node = parse(src) if isinstance(src, str) else src
+        out = self._compile(node)
+        if isinstance(out, float):
+            return self._scalar_frame(out)
+        return out
+
+    # -- scaffolding --------------------------------------------------------
+
+    def _grid(self) -> Column:
+        return F.explode(
+            F.sequence(
+                F.lit(self.start_ms), F.lit(self.end_ms), F.lit(self.step_ms)
+            )
+        ).alias("eval_ms")
+
+    def _scalar_frame(self, x: float) -> DataFrame:
+        spark = self.samples.sparkSession
+        return spark.range(1).select(
+            F.create_map().cast("map<string,string>").alias("labels"),
+            self._grid(),
+            F.lit(float(x)).alias("value"),
+        )
+
+    def _selected(self, sel: VectorSelector) -> tuple[DataFrame, DataFrame]:
+        """(samples of the matched series with offset applied, their series
+        frame). The matcher evaluates on the series dimension only — the
+        fact table is touched by fingerprint semi-join, exactly the
+        reference's read path (O2 matcher→series resolution)."""
+        matchers = list(sel.matchers)
+        if sel.name is not None:
+            matchers.append(Matcher(NAME, "=", sel.name))
+        cond = F.lit(True)
+        for m in matchers:
+            cond = cond & matcher_condition(F.col("labels"), m)
+        series = self.series.filter(cond)
+        samples = self.samples.join(
+            series.select("fingerprint"), "fingerprint", "left_semi"
+        )
+        if sel.offset_ms:
+            samples = samples.withColumn(
+                "timestamp_ms", F.col("timestamp_ms") + F.lit(sel.offset_ms)
+            )
+        return samples, series
+
+    def _attach(self, vec: DataFrame, series: DataFrame, drop_name: bool = False) -> DataFrame:
+        labels = F.col("labels")
+        if drop_name:
+            labels = F.map_filter(labels, lambda k, _: k != F.lit(NAME))
+        return vec.join(series, "fingerprint").select(
+            labels.alias("labels"), "eval_ms", F.col("value").cast("double").alias("value")
+        )
+
+    def _instant(self, sel: VectorSelector) -> DataFrame:
+        samples, series = self._selected(sel)
+        iv = instant_vector(
+            samples, self.start_ms, self.end_ms, self.step_ms, self.lookback_ms
+        )
+        return self._attach(iv, series)
+
+    def _range_frame(self, rsel: RangeSelector) -> tuple[DataFrame, DataFrame, int]:
+        """Sliding-window explode: sample at ts reaches grid points t with
+        ts ≤ t < ts + range (PromQL window (t-range, t]). Expansion factor
+        ≤ range/step, bounded and map-side."""
+        samples, series = self._selected(rsel.selector)
+        rng, step, start, end = (
+            rsel.range_ms, self.step_ms, self.start_ms, self.end_ms,
+        )
+        ts = F.col("timestamp_ms")
+        first = F.greatest(
+            F.lit(start),
+            F.lit(start) + F.ceil((ts - F.lit(start)) / F.lit(step)) * F.lit(step),
+        ).cast("long")
+        last = F.least(
+            F.lit(end),
+            F.lit(start)
+            + F.floor((ts + F.lit(rng - 1) - F.lit(start)) / F.lit(step)) * F.lit(step),
+        ).cast("long")
+        evs = F.when(first <= last, F.sequence(first, last, F.lit(step))).otherwise(
+            F.array().cast("array<long>")
+        )
+        frame = samples.select(
+            "fingerprint",
+            F.explode(evs).alias("eval_ms"),
+            ts.alias("ts"),
+            F.col("value").cast("double").alias("v"),
+        )
+        return frame, series, rng
+
+    # -- range functions -----------------------------------------------------
+
+    def _extrapolated(
+        self, frame: DataFrame, rng: int, counter: bool, as_rate: bool
+    ) -> DataFrame:
+        """promql/functions.go extrapolatedRate over the exploded range
+        frame: used by rate/increase (counter) and delta (gauge)."""
+        w_in = W.partitionBy("fingerprint", "eval_ms").orderBy("ts", "v")
+        if counter:
+            prev = F.lag("v").over(w_in)
+            inc = (
+                F.when(prev.isNull(), F.lit(0.0))
+                .when(F.col("v") >= prev, F.col("v") - prev)
+                .otherwise(F.col("v"))
+            )
+            delta_agg = F.sum("inc").alias("delta")
+            base = frame.withColumn("inc", inc)
+        else:
+            delta_agg = (
+                F.max_by("v", F.struct("ts", "v")) - F.min_by("v", F.struct("ts", "v"))
+            ).alias("delta")
+            base = frame
+        agg = (
+            base.groupBy("fingerprint", "eval_ms")
+            .agg(
+                delta_agg,
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.min_by("v", F.struct("ts", "v")).alias("first_v"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .filter((F.col("n") >= 2) & (F.col("last_ts") > F.col("first_ts")))
+        )
+        sampled = (F.col("last_ts") - F.col("first_ts")).cast("double")
+        avg_iv = sampled / (F.col("n") - 1)
+        to_start = (F.col("first_ts") - (F.col("eval_ms") - F.lit(rng))).cast("double")
+        to_end = (F.col("eval_ms") - F.col("last_ts")).cast("double")
+        if counter:
+            to_zero = sampled * (
+                F.col("first_v") / F.nullif(F.col("delta"), F.lit(0.0))
+            )
+            to_start = F.when(
+                (F.col("delta") > 0) & (F.col("first_v") >= 0) & (to_zero < to_start),
+                to_zero,
+            ).otherwise(to_start)
+        head = F.when(to_start >= avg_iv * 1.1, avg_iv / 2).otherwise(to_start)
+        tail = F.when(to_end >= avg_iv * 1.1, avg_iv / 2).otherwise(to_end)
+        value = F.col("delta") * (sampled + head + tail) / sampled
+        if as_rate:
+            value = value / F.lit(rng / 1000.0)
+        return agg.select("fingerprint", "eval_ms", value.alias("value"))
+
+    def _range_call(self, func: str, node: Call) -> DataFrame:
+        q_param = None
+        args = node.args
+        if func == "quantile_over_time":
+            q_param, args = args[0], args[1:]
+        if func == "predict_linear":
+            args, horizon = args[:1], args[1]
+        if len(args) != 1 or not isinstance(args[0], RangeSelector):
+            raise ValueError(f"{func} expects a range selector")
+        frame, series, rng = self._range_frame(args[0])
+        g = frame.groupBy("fingerprint", "eval_ms")
+        if func in ("rate", "increase", "delta"):
+            out = self._extrapolated(
+                frame, rng, counter=func != "delta", as_rate=func == "rate"
+            )
+        elif func in _SIMPLE_OVER_TIME:
+            out = g.agg(
+                _SIMPLE_OVER_TIME[func](F.col("v"), F.col("ts")).alias("value")
+            )
+        elif func == "quantile_over_time":
+            if not isinstance(q_param, NumberLiteral):
+                raise ValueError("quantile_over_time needs a literal quantile")
+            out = g.agg(F.percentile("v", F.lit(q_param.value)).alias("value"))
+        elif func in ("irate", "idelta"):
+            w = W.partitionBy("fingerprint", "eval_ms").orderBy(
+                F.desc("ts"), F.desc("v")
+            )
+            lt = (
+                frame.withColumn("__rn", F.row_number().over(w))
+                .withColumn("pts", F.lead("ts").over(w))
+                .withColumn("pv", F.lead("v").over(w))
+                .filter((F.col("__rn") == 1) & F.col("pts").isNotNull())
+            )
+            if func == "irate":
+                inc = F.when(
+                    F.col("v") >= F.col("pv"), F.col("v") - F.col("pv")
+                ).otherwise(F.col("v"))
+                value = inc / F.nullif(
+                    (F.col("ts") - F.col("pts")).cast("double"), F.lit(0.0)
+                ) * 1000.0
+            else:
+                value = F.col("v") - F.col("pv")
+            out = lt.select("fingerprint", "eval_ms", value.alias("value"))
+        elif func in ("resets", "changes"):
+            w_in = W.partitionBy("fingerprint", "eval_ms").orderBy("ts", "v")
+            prev = F.lag("v").over(w_in)
+            mark = (
+                (prev.isNotNull() & (F.col("v") < prev))
+                if func == "resets"
+                else (prev.isNotNull() & (F.col("v") != prev))
+            ).cast("int")
+            out = (
+                frame.withColumn("m", mark)
+                .groupBy("fingerprint", "eval_ms")
+                .agg(F.sum("m").cast("double").alias("value"))
+            )
+        elif func in ("deriv", "predict_linear"):
+            x = (F.col("ts") - F.col("eval_ms")) / F.lit(1000.0)
+            fitted = frame.select(
+                "fingerprint", "eval_ms", x.alias("x"), F.col("v").alias("y")
+            ).groupBy("fingerprint", "eval_ms")
+            if func == "deriv":
+                out = fitted.agg(F.regr_slope("y", "x").alias("value")).filter(
+                    F.col("value").isNotNull()
+                )
+            else:
+                if not isinstance(horizon, NumberLiteral):
+                    raise ValueError("predict_linear needs a literal horizon")
+                out = fitted.agg(
+                    (
+                        F.regr_intercept("y", "x")
+                        + F.regr_slope("y", "x") * F.lit(horizon.value)
+                    ).alias("value")
+                ).filter(F.col("value").isNotNull())
+        else:
+            raise ValueError(f"unsupported range function: {func}")
+        # range functions drop the metric name (engine.go dropMetricName)
+        return self._attach(out, series, drop_name=True)
+
+    # -- compile -------------------------------------------------------------
+
+    def _compile(self, node) -> DataFrame | float:
+        if isinstance(node, NumberLiteral):
+            return float(node.value)
+        if isinstance(node, Unary):
+            inner = self._compile(node.expr)
+            if isinstance(inner, float):
+                return -inner
+            return inner.withColumn("value", -F.col("value")).withColumn(
+                "labels", F.map_filter("labels", lambda k, _: k != F.lit(NAME))
+            )
+        if isinstance(node, VectorSelector):
+            return self._instant(node)
+        if isinstance(node, RangeSelector):
+            raise ValueError("range selector outside a function call")
+        if isinstance(node, Call):
+            return self._call(node)
+        if isinstance(node, Aggregation):
+            return self._aggregation(node)
+        if isinstance(node, BinaryOp):
+            return self._binop(node)
+        raise ValueError(f"cannot compile {type(node).__name__}")
+
+    def _call(self, node: Call) -> DataFrame:
+        func = node.func
+        range_funcs = (
+            {"rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+             "deriv", "predict_linear", "quantile_over_time"}
+            | set(_SIMPLE_OVER_TIME)
+        )
+        if func in range_funcs:
+            return self._range_call(func, node)
+        if func in _VALUE_FUNCS:
+            vec = self._compile(node.args[0])
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                _VALUE_FUNCS[func](F.col("value")).cast("double").alias("value"),
+            )
+        if func in ("clamp", "clamp_min", "clamp_max"):
+            from promhouse_spark.operators.promql_lite import (
+                clamp, clamp_max, clamp_min,
+            )
+
+            vec = self._compile(node.args[0])
+            lits = [a.value for a in node.args[1:]]
+            v = F.col("value")
+            if func == "clamp":
+                value = clamp(v, lits[0], lits[1])
+            elif func == "clamp_min":
+                value = clamp_min(v, lits[0])
+            else:
+                value = clamp_max(v, lits[0])
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        if func == "round":
+            vec = self._compile(node.args[0])
+            to = node.args[1].value if len(node.args) > 1 else 1.0
+            value = F.round(F.col("value") / F.lit(to)) * F.lit(to)
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        if func in ("sort", "sort_desc"):
+            # ordering is presentational; the frame is unchanged
+            vec = self._compile(node.args[0])
+            return vec.orderBy(
+                F.col("value").asc() if func == "sort" else F.col("value").desc()
+            )
+        if func == "scalar":
+            vec = self._compile(node.args[0])
+            # scalar(v): the single series' value per eval; NaN when 0 or >1
+            counted = vec.groupBy("eval_ms").agg(
+                F.count("*").alias("n"), F.first("value").alias("v")
+            )
+            return counted.select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                "eval_ms",
+                F.when(F.col("n") == 1, F.col("v"))
+                .otherwise(F.lit(float("nan")))
+                .alias("value"),
+            )
+        if func == "vector":
+            return self._scalar_frame(self._compile(node.args[0]))
+        if func == "histogram_quantile":
+            return self._histogram_quantile(node)
+        if func == "label_replace" or func == "label_join":
+            raise ValueError(
+                f"{func}: use functions/labels.py label_replace/label_join "
+                "directly on the vector frame"
+            )
+        raise ValueError(f"unsupported function: {func}")
+
+    def _histogram_quantile(self, node: Call) -> DataFrame:
+        q = node.args[0]
+        if not isinstance(q, NumberLiteral):
+            raise ValueError("histogram_quantile needs a literal quantile")
+        vec = self._compile(node.args[1])
+        # group per eval by labels minus le (and __name__); le "+Inf" → inf
+        key = match_key(F.col("labels"), ignoring=["le"])
+        le = F.when(
+            F.element_at("labels", "le").isin("+Inf", "Inf", "inf"),
+            F.lit(float("inf")),
+        ).otherwise(F.element_at("labels", "le").cast("double"))
+        b = vec.select(
+            key.alias("__key"), "eval_ms", le.alias("le"), F.col("value").alias("cnt")
+        )
+        wg = W.partitionBy("__key", "eval_ms")
+        wo = wg.orderBy("le")
+        rank = F.lit(q.value) * F.max("cnt").over(wg)
+        prev_le = F.coalesce(F.lag("le").over(wo), F.lit(0.0))
+        prev_cnt = F.coalesce(F.lag("cnt").over(wo), F.lit(0.0))
+        staged = b.select(
+            "__key", "eval_ms", "le", "cnt",
+            rank.alias("__rank"), prev_le.alias("__lo"), prev_cnt.alias("__pcnt"),
+        )
+        hit = staged.filter(
+            (F.col("cnt") >= F.col("__rank")) & (F.col("__pcnt") < F.col("__rank"))
+        )
+        interp = F.col("__lo") + (F.col("le") - F.col("__lo")) * (
+            F.col("__rank") - F.col("__pcnt")
+        ) / (F.col("cnt") - F.col("__pcnt"))
+        # quantile in the +Inf bucket returns the highest finite bound
+        value = F.when(F.col("le") == float("inf"), F.col("__lo")).otherwise(interp)
+        return hit.select(
+            F.from_json("__key", "map<string,string>").alias("labels"),
+            "eval_ms",
+            value.cast("double").alias("value"),
+        )
+
+    def _aggregation(self, node: Aggregation) -> DataFrame:
+        vec = self._compile(node.expr)
+        if node.op in ("topk", "bottomk"):
+            k = int(node.param.value)
+            return topk_by(
+                vec, k, by=node.by, without=node.without,
+                bottom=node.op == "bottomk",
+            ).drop("rank")
+        fn = {
+            "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+            "count": "count",
+            "group": lambda c: F.lit(1.0),
+            "stddev": lambda c: F.stddev_pop(c),
+            "stdvar": lambda c: F.var_pop(c),
+        }[node.op]
+        return agg_by(vec, fn, by=node.by, without=node.without).drop("n_series")
+
+    def _binop(self, node: BinaryOp) -> DataFrame | float:
+        lhs = self._compile(node.lhs)
+        rhs = self._compile(node.rhs)
+        l_scalar, r_scalar = isinstance(lhs, float), isinstance(rhs, float)
+        if node.op in ("and", "or", "unless"):
+            if l_scalar or r_scalar:
+                raise ValueError(f"set operator {node.op} requires vectors")
+            return self._set_op(node, lhs, rhs)
+        is_cmp = node.op in _CMP
+        op_fn = _CMP[node.op] if is_cmp else _ARITH[node.op]
+        if l_scalar and r_scalar:
+            if is_cmp:
+                if not node.bool_mode:
+                    raise ValueError(
+                        "comparisons between scalars must use bool modifier"
+                    )
+                return float(_PY_CMP[node.op](lhs, rhs))
+            return float(_PY_ARITH[node.op](lhs, rhs))
+        if l_scalar or r_scalar:
+            vec, scalar, flipped = (
+                (rhs, lhs, True) if l_scalar else (lhs, rhs, False)
+            )
+            lcol = F.lit(scalar) if flipped else F.col("value")
+            rcol = F.col("value") if flipped else F.lit(scalar)
+            if is_cmp and not node.bool_mode:
+                return vec.filter(op_fn(lcol, rcol))
+            value = op_fn(lcol, rcol)
+            if is_cmp:
+                value = value.cast("double")
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        return binop(
+            lhs, rhs, node.op,
+            on=node.on, ignoring=node.ignoring, card=node.card,
+            include=node.include, bool_mode=node.bool_mode,
+        )
+
+    def _set_op(self, node: BinaryOp, lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+        key = match_key(F.col("labels"), node.on, node.ignoring)
+        l = lhs.withColumn("__key", key)
+        r = rhs.withColumn("__key", key)
+        rk = r.select("eval_ms", "__key").distinct()
+        if node.op == "and":
+            return l.join(rk, ["eval_ms", "__key"], "left_semi").drop("__key")
+        if node.op == "unless":
+            return l.join(rk, ["eval_ms", "__key"], "left_anti").drop("__key")
+        # or: left rows, plus right rows whose match key is absent on the left
+        lk = l.select("eval_ms", "__key").distinct()
+        extra = r.join(lk, ["eval_ms", "__key"], "left_anti").drop("__key")
+        return l.drop("__key").unionByName(extra)
+
+
+_PY_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan,
+    "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
+    "^": lambda a, b: a ** b,
+}
+_PY_CMP = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}

@@ -1,0 +1,366 @@
+"""Recursive-descent PromQL parser for the engine's supported subset.
+
+Grammar and precedence follow prometheus/promql/parser (operator
+precedence low→high: or | unless/and | comparisons | +- | */% | ^, with ^
+right-associative and unary +/- binding tighter than ^'s left operand).
+The AST is deliberately plain dataclasses — promql/engine.py compiles it
+to DataFrame plans.
+
+Supported surface: number literals; vector selectors with {=, !=, =~, !~}
+matchers; range selectors [5m]; offset modifiers; function calls;
+aggregations with by/without (prefix or postfix grouping clause, topk/
+bottomk/quantile_over_time parameters); binary operations with
+on/ignoring + group_left/group_right vector matching, bool modifier, and
+the set operators and/or/unless.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# ---- AST ------------------------------------------------------------------
+
+
+@dataclass
+class NumberLiteral:
+    value: float
+
+
+@dataclass
+class Matcher:
+    name: str
+    op: str  # = != =~ !~
+    value: str
+
+
+@dataclass
+class VectorSelector:
+    name: str | None
+    matchers: list[Matcher] = field(default_factory=list)
+    offset_ms: int = 0
+
+
+@dataclass
+class RangeSelector:
+    selector: VectorSelector
+    range_ms: int
+
+
+@dataclass
+class Call:
+    func: str
+    args: list  # mixed NumberLiteral / expressions
+
+
+@dataclass
+class Aggregation:
+    op: str
+    expr: object
+    by: list[str] | None = None
+    without: list[str] | None = None
+    param: object | None = None  # k for topk/bottomk, q for quantile
+
+
+@dataclass
+class BinaryOp:
+    op: str
+    lhs: object
+    rhs: object
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
+    card: str = "one_to_one"  # many_to_one (group_left) / one_to_many
+    include: list[str] = field(default_factory=list)
+    bool_mode: bool = False
+
+
+@dataclass
+class Unary:
+    op: str  # - only (+ is identity)
+    expr: object
+
+
+AGG_OPS = {
+    "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
+    "topk", "bottomk",
+}
+_PARAM_AGGS = {"topk", "bottomk"}
+
+_DUR_UNITS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+    "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000,
+}
+
+
+def parse_duration_ms(s: str) -> int:
+    total, pos = 0, 0
+    pat = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
+    while pos < len(s):
+        m = pat.match(s, pos)
+        if not m:
+            raise ValueError(f"bad duration: {s!r}")
+        total += int(m.group(1)) * _DUR_UNITS[m.group(2)]
+        pos = m.end()
+    if total == 0 and s != "0":
+        raise ValueError(f"bad duration: {s!r}")
+    return total
+
+
+# ---- Lexer ----------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)(?:\d+(?:ms|s|m|h|d|w|y))*)
+    | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
+    | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+    | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
+    | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "by", "without", "on", "ignoring", "group_left", "group_right",
+    "offset", "bool", "and", "or", "unless",
+}
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+
+
+def lex(src: str) -> list[Token]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"PromQL lex error at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        out.append(Token(kind, m.group()))
+    out.append(Token("EOF", ""))
+    return out
+
+
+# ---- Parser ---------------------------------------------------------------
+
+# precedence low → high (prometheus/promql/parser: or < and/unless <
+# comparisons < +- < */% < ^)
+_PRECEDENCE = [
+    {"or"},
+    {"and", "unless"},
+    {"==", "!=", ">", "<", ">=", "<="},
+    {"+", "-"},
+    {"*", "/", "%"},
+]
+_RIGHT_ASSOC = {"^"}
+SET_OPS = {"and", "or", "unless"}
+
+
+class Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+    # -- entry --
+
+    def parse_expr(self) -> object:
+        return self._binary(0)
+
+    def _binary(self, level: int) -> object:
+        if level >= len(_PRECEDENCE):
+            return self._unary()
+        lhs = self._binary(level + 1)
+        while True:
+            t = self.peek()
+            if t.text not in _PRECEDENCE[level]:
+                return lhs
+            op = self.next().text
+            bool_mode, on, ignoring, card, include = self._modifiers()
+            rhs = self._binary(level + 1)
+            lhs = BinaryOp(
+                op, lhs, rhs, on=on, ignoring=ignoring, card=card,
+                include=include, bool_mode=bool_mode,
+            )
+
+    def _unary(self) -> object:
+        # unary binds tighter than * / % but LOOSER than ^:
+        # -2^2 == -(2^2) == -4, while 2^-2 == 0.25
+        t = self.peek()
+        if t.text in ("-", "+"):
+            self.next()
+            inner = self._unary()
+            return inner if t.text == "+" else Unary("-", inner)
+        return self._power()
+
+    def _power(self) -> object:
+        lhs = self._postfix(self._atom())
+        if self.peek().text == "^":
+            self.next()
+            bool_mode, on, ignoring, card, include = self._modifiers()
+            rhs = self._unary()  # right-assoc via the unary→power recursion
+            return BinaryOp(
+                "^", lhs, rhs, on=on, ignoring=ignoring, card=card,
+                include=include, bool_mode=bool_mode,
+            )
+        return lhs
+
+    def _modifiers(self):
+        bool_mode = False
+        on = ignoring = None
+        card = "one_to_one"
+        include: list[str] = []
+        if self.peek().text == "bool":
+            self.next()
+            bool_mode = True
+        if self.peek().text in ("on", "ignoring"):
+            which = self.next().text
+            names = self._grouping_names()
+            if which == "on":
+                on = names
+            else:
+                ignoring = names
+            if self.peek().text in ("group_left", "group_right"):
+                g = self.next().text
+                card = "many_to_one" if g == "group_left" else "one_to_many"
+                if self.peek().text == "(":
+                    include = self._grouping_names()
+        return bool_mode, on, ignoring, card, include
+
+    def _grouping_names(self) -> list[str]:
+        self.expect("(")
+        names = []
+        while self.peek().text != ")":
+            t = self.next()
+            if t.kind != "IDENT":
+                raise ValueError(f"expected label name, got {t.text!r}")
+            names.append(t.text)
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return names
+
+    def _postfix(self, expr: object) -> object:
+        while True:
+            t = self.peek()
+            if t.text == "[":
+                if not isinstance(expr, VectorSelector):
+                    raise ValueError("range selector requires a vector selector")
+                self.next()
+                d = self.next()
+                if d.kind not in ("DURATION", "NUMBER"):
+                    raise ValueError(f"expected duration, got {d.text!r}")
+                self.expect("]")
+                expr = RangeSelector(expr, parse_duration_ms(d.text))
+            elif t.text == "offset":
+                self.next()
+                d = self.next()
+                off = parse_duration_ms(d.text)
+                target = expr.selector if isinstance(expr, RangeSelector) else expr
+                if not isinstance(target, VectorSelector):
+                    raise ValueError("offset requires a selector")
+                target.offset_ms = off
+            else:
+                return expr
+
+    def _atom(self) -> object:
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.kind == "NUMBER":
+            self.next()
+            return NumberLiteral(float(int(t.text, 16)) if t.text.startswith("0x") else float(t.text))
+        if t.kind == "IDENT":
+            name = self.next().text
+            if name in AGG_OPS:
+                return self._aggregation(name)
+            if self.peek().text == "(":
+                return self._call(name)
+            matchers = self._matchers() if self.peek().text == "{" else []
+            return VectorSelector(name, matchers)
+        if t.text == "{":
+            return VectorSelector(None, self._matchers())
+        raise ValueError(f"unexpected token {t.text!r}")
+
+    def _aggregation(self, op: str) -> Aggregation:
+        by = without = None
+        if self.peek().text in ("by", "without"):
+            which = self.next().text
+            names = self._grouping_names()
+            by, without = (names, None) if which == "by" else (None, names)
+        self.expect("(")
+        param = None
+        first = self.parse_expr()
+        if self.peek().text == ",":
+            self.next()
+            param, first = first, self.parse_expr()
+        elif op in _PARAM_AGGS:
+            raise ValueError(f"{op} requires a parameter")
+        self.expect(")")
+        if self.peek().text in ("by", "without"):
+            which = self.next().text
+            names = self._grouping_names()
+            by, without = (names, None) if which == "by" else (None, names)
+        return Aggregation(op, first, by=by, without=without, param=param)
+
+    def _call(self, func: str) -> Call:
+        self.expect("(")
+        args = []
+        while self.peek().text != ")":
+            args.append(self.parse_expr())
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return Call(func, args)
+
+    def _matchers(self) -> list[Matcher]:
+        self.expect("{")
+        out = []
+        while self.peek().text != "}":
+            name_t = self.next()
+            if name_t.kind != "IDENT":
+                raise ValueError(f"expected label name, got {name_t.text!r}")
+            op_t = self.next()
+            if op_t.text not in ("=", "!=", "=~", "!~"):
+                raise ValueError(f"bad matcher op {op_t.text!r}")
+            val_t = self.next()
+            if val_t.kind != "STRING":
+                raise ValueError(f"expected quoted value, got {val_t.text!r}")
+            raw = val_t.text[1:-1]
+            value = raw.encode().decode("unicode_escape") if "\\" in raw else raw
+            out.append(Matcher(name_t.text, op_t.text, value))
+            if self.peek().text == ",":
+                self.next()
+        self.expect("}")
+        return out
+
+
+def parse(src: str) -> object:
+    p = Parser(lex(src))
+    expr = p.parse_expr()
+    if p.peek().kind != "EOF":
+        raise ValueError(f"trailing input at {p.peek().text!r}")
+    return expr

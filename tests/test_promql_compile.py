@@ -1,0 +1,251 @@
+"""PromQL front-end: parser precedence/shape pins + compiled-plan semantics
+on a hand-computable corpus (promhouse_spark/promql/)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from promhouse_spark.functions.labels import labels_map_to_json
+from promhouse_spark.promql import PromQLEngine, parse
+from promhouse_spark.promql.parser import (
+    Aggregation,
+    BinaryOp,
+    Call,
+    NumberLiteral,
+    RangeSelector,
+    Unary,
+    VectorSelector,
+    parse_duration_ms,
+)
+
+
+# ---- parser ---------------------------------------------------------------
+
+
+def test_durations():
+    assert parse_duration_ms("5m") == 300_000
+    assert parse_duration_ms("1h30m") == 5_400_000
+    assert parse_duration_ms("250ms") == 250
+    with pytest.raises(ValueError):
+        parse_duration_ms("5x")
+
+
+def test_parse_selector_and_matchers():
+    r = parse('http_requests_total{code="200", handler=~"q.*", x!~"a", y!="b"}')
+    assert isinstance(r, VectorSelector) and r.name == "http_requests_total"
+    assert [(m.name, m.op, m.value) for m in r.matchers] == [
+        ("code", "=", "200"), ("handler", "=~", "q.*"),
+        ("x", "!~", "a"), ("y", "!=", "b"),
+    ]
+    bare = parse('{__name__="x"}')
+    assert bare.name is None and bare.matchers[0].name == "__name__"
+
+
+def test_parse_precedence():
+    # ^ binds tighter than unary minus; right-associative
+    r = parse("-2^2")
+    assert isinstance(r, Unary) and isinstance(r.expr, BinaryOp)
+    r = parse("2^-2")
+    assert isinstance(r, BinaryOp) and isinstance(r.rhs, Unary)
+    r = parse("2^3^2")
+    assert isinstance(r.rhs, BinaryOp)  # 2^(3^2)
+    r = parse("1 + 2 * 3")
+    assert r.op == "+" and r.rhs.op == "*"
+    r = parse("a and b or c")
+    assert r.op == "or" and r.lhs.op == "and"
+
+
+def test_parse_modifiers_and_aggregations():
+    r = parse("errors / on(user) group_left(ver) total")
+    assert r.on == ["user"] and r.card == "many_to_one" and r.include == ["ver"]
+    r = parse("a > bool b")
+    assert r.bool_mode
+    r = parse("sum by (job) (m)")
+    assert isinstance(r, Aggregation) and r.by == ["job"]
+    r = parse("sum(m) without (instance)")
+    assert r.without == ["instance"]
+    r = parse("topk(3, m) by (t)")
+    assert r.param.value == 3.0 and r.by == ["t"]
+    r = parse("rate(m[5m] offset 30m)")
+    sel = r.args[0]
+    assert isinstance(sel, RangeSelector) and sel.selector.offset_ms == 1_800_000
+    with pytest.raises(ValueError):
+        parse("topk(m)")  # missing parameter
+    with pytest.raises(ValueError):
+        parse("m[5m]")  # bare range selector is not an expression... parsed
+        # but rejected at compile time — ensure trailing-input errors too
+        parse("m } x")
+
+
+# ---- engine ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    samples, series = [], []
+    fp = 0
+    for job in ("api", "db"):
+        for name, per_s in (("errors", 1.0), ("total", 10.0)):
+            fp += 1
+            mult = 1.0 if job == "api" else 2.0
+            series.append(Row(fingerprint=fp, labels={"__name__": name, "job": job}))
+            for i in range(41):  # 15 s scrapes, 0..600 s
+                samples.append(
+                    Row(
+                        fingerprint=fp,
+                        timestamp_ms=i * 15_000,
+                        value=float(i) * 15.0 * per_s * mult,
+                    )
+                )
+    sdf = spark.createDataFrame(
+        samples, "fingerprint long, timestamp_ms long, value double"
+    )
+    ser = spark.createDataFrame(series, "fingerprint long, labels map<string,string>")
+    return PromQLEngine(
+        sdf, ser, start_ms=300_000, end_ms=600_000, step_ms=60_000
+    )
+
+
+def _rows(eng, q):
+    return (
+        eng.eval(q)
+        .select(labels_map_to_json("labels").alias("l"), "eval_ms", "value")
+        .orderBy("eval_ms", "l")
+        .collect()
+    )
+
+
+def test_selector_and_regex_matchers(eng):
+    r = _rows(eng, 'errors{job=~"a.*"}')
+    assert {x.l for x in r} == {'{"__name__":"errors","job":"api"}'}
+    assert len(r) == 6  # 6 grid points
+    # absent label ≡ "" — negative regex keeps both
+    assert len(_rows(eng, 'errors{missing!~"zzz.*"}')) == 12
+
+
+def test_rate_is_exact_on_linear_counters(eng):
+    # counters grow 1/s (api) and 2/s (db): extrapolated rate is exact
+    r = _rows(eng, "rate(errors[2m])")
+    by_label = {(x.l, x.eval_ms): x.value for x in r}
+    assert by_label[('{"job":"api"}', 300_000)] == pytest.approx(1.0)
+    assert by_label[('{"job":"db"}', 300_000)] == pytest.approx(2.0)
+    inc = _rows(eng, "increase(errors{job=\"api\"}[2m])")
+    assert inc[0].value == pytest.approx(120.0)
+
+
+def test_error_ratio_binop_and_agg(eng):
+    r = _rows(
+        eng, "sum by (job) (rate(errors[2m])) / sum by (job) (rate(total[2m]))"
+    )
+    assert all(x.value == pytest.approx(0.1) for x in r)
+    assert {x.l for x in r} == {'{"job":"api"}', '{"job":"db"}'}
+    direct = _rows(eng, "errors / on(job) total")
+    assert all(x.value == pytest.approx(0.1) for x in direct)
+
+
+def test_comparison_filter_vs_bool(eng):
+    # instant values: api errors = t_s, db errors = 2*t_s over t=300..600 s
+    filt = _rows(eng, "errors > 500")
+    assert all(x.value > 500 for x in filt)
+    # filter mode keeps the full left labels, metric name included
+    assert all("__name__" in x.l for x in filt)
+    # at t=300s only db (600) passes; api (300) is filtered
+    t0 = [x for x in filt if x.eval_ms == 300_000]
+    assert {x.l for x in t0} == {'{"__name__":"errors","job":"db"}'}
+    b = _rows(eng, "errors > bool 500")
+    assert {x.value for x in b} == {0.0, 1.0}
+    assert all("__name__" not in x.l for x in b)
+
+
+def test_scalar_arithmetic_and_unary(eng):
+    r = _rows(eng, "-errors{job=\"api\"} * 2 + 1")
+    assert r[0].value == pytest.approx(-300.0 * 2 + 1)
+    assert "__name__" not in r[0].l
+    # pure scalar expression evaluates per grid point
+    s = _rows(eng, "1 + 2 * 3")
+    assert all(x.value == 7.0 for x in s) and len(s) == 6
+
+
+def test_set_operators(eng):
+    a = _rows(eng, 'errors and on(job) total{job="api"}')
+    assert {x.l for x in a} == {'{"__name__":"errors","job":"api"}'}
+    u = _rows(eng, 'errors unless on(job) total{job="api"}')
+    assert {x.l for x in u} == {'{"__name__":"errors","job":"db"}'}
+    o = _rows(eng, 'errors{job="api"} or errors')
+    assert len(o) == 12  # left wins on overlap, right fills the rest
+
+
+def test_topk_and_sort(eng):
+    t = _rows(eng, "topk(1, total) by (job)")
+    assert len(t) == 12  # 1 series × 2 jobs × 6 evals
+    assert all("__name__" in x.l for x in t)  # topk keeps original labels
+
+
+def test_offset_and_over_time(eng):
+    r = _rows(eng, 'avg_over_time(total{job="api"}[2m] offset 1m)')
+    # window (t-3m, t-2m]... offset shifts the SAMPLE timeline by +1m:
+    # at t=300s covers samples 135..240 s → avg value 1875
+    assert r[0].value == pytest.approx(1875.0)
+    inst = _rows(eng, 'total{job="api"} offset 1m')
+    assert inst[0].value == pytest.approx((300 - 60) * 10.0)
+
+
+def test_changes_resets_deriv_predict(eng):
+    c = _rows(eng, 'changes(errors{job="api"}[2m])')
+    assert c[0].value == 7.0  # 8 samples in (t-2m, t], 7 adjacent changes
+    res = _rows(eng, 'resets(errors{job="api"}[2m])')
+    assert all(x.value == 0.0 for x in res)
+    d = _rows(eng, 'deriv(total{job="db"}[2m])')
+    assert d[0].value == pytest.approx(20.0)
+    p = _rows(eng, 'predict_linear(total{job="db"}[2m], 3600)')
+    # linear counter: value at t + 1h = 20*(t_s+3600)
+    assert p[0].value == pytest.approx(20.0 * (300 + 3600))
+
+
+def test_quantile_and_clamp(eng):
+    q = _rows(eng, 'quantile_over_time(0.5, total{job="api"}[2m])')
+    # window (180, 300] s → 8 samples 1950..3000; interpolated median 2475
+    assert q[0].value == pytest.approx(2475.0)
+    cl = _rows(eng, "clamp(total, 0, 1000)")
+    assert all(x.value <= 1000.0 for x in cl)
+
+
+def test_histogram_quantile_compiled(spark):
+    # 2 cumulative buckets series sets: le=0.1:60, le=1:90, le=+Inf:100
+    rows, series = [], []
+    for i, le in enumerate(["0.1", "1", "+Inf"]):
+        series.append(
+            Row(fingerprint=i, labels={"__name__": "lat_bucket", "le": le, "job": "x"})
+        )
+        rows.append(Row(fingerprint=i, timestamp_ms=0, value=[60.0, 90.0, 100.0][i]))
+    sdf = spark.createDataFrame(rows, "fingerprint long, timestamp_ms long, value double")
+    ser = spark.createDataFrame(series, "fingerprint long, labels map<string,string>")
+    e = PromQLEngine(sdf, ser, start_ms=0, end_ms=0, step_ms=60_000)
+    out = e.eval("histogram_quantile(0.9, lat_bucket)").collect()
+    assert len(out) == 1
+    # rank 90 lands exactly on the le=1 bucket boundary: interp → 1.0
+    assert out[0].value == pytest.approx(1.0)
+    assert out[0].labels == {"job": "x"}
+    # q=0.95 → rank 95 falls in +Inf bucket → highest finite bound
+    out = e.eval("histogram_quantile(0.95, lat_bucket)").collect()
+    assert out[0].value == pytest.approx(1.0)
+
+
+def test_scalar_function(eng):
+    s = _rows(eng, 'scalar(errors{job="api"})')
+    assert s[0].value == pytest.approx(300.0)
+    nan = _rows(eng, "scalar(errors)")  # 2 series → NaN
+    assert all(math.isnan(x.value) for x in nan)
+
+
+def test_compile_errors(eng):
+    with pytest.raises(ValueError):
+        eng.eval("m[5m]")  # bare range vector
+    with pytest.raises(ValueError):
+        eng.eval("no_such_function(m)")
+    with pytest.raises(ValueError):
+        eng.eval("1 > 2")  # scalar comparison without bool
+    assert eng.eval("1 > bool 2") is not None
