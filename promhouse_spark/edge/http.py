@@ -95,6 +95,108 @@ def create_app(storage: Storage):
             },
         )
 
+    # -- Prometheus HTTP API v1: server-side PromQL evaluation --------------
+    # Beyond-reference: PromHouse serves only remote_read and lets
+    # Prometheus evaluate PromQL (handlers/prom.go:184-186 drops the
+    # hints); with the promql/ compiler the adapter can answer
+    # query/query_range itself, Prometheus-API-compatible
+    # (prometheus/web/api/v1 response shapes).
+
+    def _parse_time_ms(s: str) -> int:
+        try:
+            return int(float(s) * 1000)
+        except ValueError:
+            from datetime import datetime
+
+            return int(
+                datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp() * 1000
+            )
+
+    def _parse_step_ms(s: str) -> int:
+        try:
+            return max(1, int(float(s) * 1000))
+        except ValueError:
+            from promhouse_spark.promql.parser import parse_duration_ms
+
+            return parse_duration_ms(s)
+
+    def _format_value(v: float) -> str:
+        # Go strconv.FormatFloat(v, 'f', -1, 64)-style shortest decimal
+        return repr(v) if v == v else "NaN"
+
+    def _evaluate(query: str, start_ms: int, end_ms: int, step_ms: int):
+        from promhouse_spark.promql import PromQLEngine
+
+        lookback = int(request.values.get("lookback_delta_ms", 300_000))
+        eng = PromQLEngine.from_storage(
+            storage, start_ms, end_ms, step_ms, lookback_ms=lookback
+        )
+        rows = eng.eval(query).filter("value IS NOT NULL").collect()
+        grouped: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(sorted((r["labels"] or {}).items()))
+            grouped.setdefault(key, []).append((r["eval_ms"], r["value"]))
+        return [
+            {
+                "metric": dict(key),
+                "values": [
+                    [t / 1000.0, _format_value(v)] for t, v in sorted(vals)
+                ],
+            }
+            for key, vals in sorted(grouped.items())
+        ]
+
+    def _promql_error(e: Exception, status: int = 400):
+        return (
+            {"status": "error", "errorType": "bad_data", "error": str(e)[:500]},
+            status,
+        )
+
+    @app.route("/api/v1/query_range", methods=["GET", "POST"])
+    def query_range():
+        try:
+            query = request.values["query"]
+            start_ms = _parse_time_ms(request.values["start"])
+            end_ms = _parse_time_ms(request.values["end"])
+            step_ms = _parse_step_ms(request.values["step"])
+        except (KeyError, ValueError) as e:
+            return _promql_error(e)
+        try:
+            result = _evaluate(query, start_ms, end_ms, step_ms)
+        except ValueError as e:
+            return _promql_error(e)
+        counters["read_queries"] += 1
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": result},
+        }
+
+    @app.route("/api/v1/query", methods=["GET", "POST"])
+    def query_instant():
+        import time as _time
+
+        try:
+            query = request.values["query"]
+            t_ms = _parse_time_ms(
+                request.values.get("time", str(_time.time()))
+            )
+        except (KeyError, ValueError) as e:
+            return _promql_error(e)
+        try:
+            series = _evaluate(query, t_ms, t_ms, 1_000)
+        except ValueError as e:
+            return _promql_error(e)
+        counters["read_queries"] += 1
+        result = [
+            {"metric": s["metric"], "value": s["values"][-1]}
+            for s in series
+            if s["values"]
+        ]
+        return {
+            "status": "success",
+            "data": {"resultType": "vector", "result": result},
+        }
+
     @app.get("/health")
     def health():
         return {"status": "ok"}

@@ -132,6 +132,23 @@ class PromQLEngine:
 
     # -- public ------------------------------------------------------------
 
+    @classmethod
+    def from_storage(
+        cls,
+        storage,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int = 300_000,
+    ) -> "PromQLEngine":
+        """Evaluate over a Storage's persisted frames (SparkParquetStorage
+        and friends expose ``samples_df``/``registry_df``) — the serving
+        path behind the /api/v1/query_range endpoint."""
+        series = storage.registry_df().select("fingerprint", "labels")
+        return cls(
+            storage.samples_df(), series, start_ms, end_ms, step_ms, lookback_ms
+        )
+
     def eval(self, src: str | object) -> DataFrame:
         node = parse(src) if isinstance(src, str) else src
         out = self._compile(node)
@@ -489,10 +506,13 @@ class PromQLEngine:
 
     def _aggregation(self, node: Aggregation) -> DataFrame:
         vec = self._compile(node.expr)
+        by, without = node.by, node.without
+        if by is None and without is None:
+            by = []  # bare sum(v): one group, ALL labels drop (PromQL)
         if node.op in ("topk", "bottomk"):
             k = int(node.param.value)
             return topk_by(
-                vec, k, by=node.by, without=node.without,
+                vec, k, by=by, without=without,
                 bottom=node.op == "bottomk",
             ).drop("rank")
         fn = {
@@ -502,7 +522,7 @@ class PromQLEngine:
             "stddev": lambda c: F.stddev_pop(c),
             "stdvar": lambda c: F.var_pop(c),
         }[node.op]
-        return agg_by(vec, fn, by=node.by, without=node.without).drop("n_series")
+        return agg_by(vec, fn, by=by, without=without).drop("n_series")
 
     def _binop(self, node: BinaryOp) -> DataFrame | float:
         lhs = self._compile(node.lhs)

@@ -1,0 +1,127 @@
+"""Prometheus HTTP API v1 endpoints over the PromQL compiler
+(edge/http.py /api/v1/query_range + /api/v1/query): write series through
+the storage, query them back as PromQL text, assert the Prometheus
+response shapes and hand-computed values."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from promhouse_spark.edge.http import create_app
+from promhouse_spark.models import Label, Sample, TimeSeries
+from promhouse_spark.storage.parquet import SparkParquetStorage
+
+T0 = 1_767_225_600_000  # 2026-01-01T00:00:00Z
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    store = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-promql-api-"))
+    series = []
+    for job, mult in (("api", 1.0), ("db", 2.0)):
+        series.append(
+            TimeSeries(
+                labels=[Label("__name__", "requests_total"), Label("job", job)],
+                samples=[
+                    # perfect counters: mult req/s, 15 s scrapes, 10 min
+                    Sample(value=i * 15.0 * mult, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            )
+        )
+    store.write(series)
+    app = create_app(store)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_query_range_rate(client):
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "rate(requests_total[2m])",
+            "start": str(T0 / 1000 + 300),
+            "end": str(T0 / 1000 + 600),
+            "step": "60",
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "success"
+    assert body["data"]["resultType"] == "matrix"
+    result = body["data"]["result"]
+    # rate() drops the metric name; one stream per job
+    assert [s["metric"] for s in result] == [{"job": "api"}, {"job": "db"}]
+    for s in result:
+        mult = 1.0 if s["metric"]["job"] == "api" else 2.0
+        assert len(s["values"]) == 6
+        for t, v in s["values"]:
+            assert float(v) == pytest.approx(mult)
+
+
+def test_query_range_binop_and_agg(client):
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": 'sum(requests_total) / sum(requests_total{job="api"})',
+            "start": str(T0 / 1000 + 300),
+            "end": str(T0 / 1000 + 300),
+            "step": "1m",
+        },
+    )
+    body = r.get_json()
+    [stream] = body["data"]["result"]
+    assert stream["metric"] == {}
+    assert float(stream["values"][0][1]) == pytest.approx(3.0)  # (1x+2x)/1x
+
+
+def test_query_instant_vector(client):
+    r = client.get(
+        "/api/v1/query",
+        query_string={
+            "query": "requests_total",
+            "time": str(T0 / 1000 + 300),
+        },
+    )
+    body = r.get_json()
+    assert body["data"]["resultType"] == "vector"
+    got = {s["metric"]["job"]: float(s["value"][1]) for s in body["data"]["result"]}
+    assert got == {"api": pytest.approx(300.0), "db": pytest.approx(600.0)}
+    assert all(
+        s["value"][0] == pytest.approx(T0 / 1000 + 300)
+        for s in body["data"]["result"]
+    )
+
+
+def test_query_range_bad_promql_is_client_error(client):
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "rate(oops[",
+            "start": "0",
+            "end": "1",
+            "step": "1",
+        },
+    )
+    assert r.status_code == 400
+    assert r.get_json()["status"] == "error"
+    # missing parameter is also a 400, not a 500
+    assert client.get("/api/v1/query_range").status_code == 400
+    assert client.get("/api/v1/query").status_code == 400
+
+
+def test_query_range_rfc3339_times(client):
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": 'requests_total{job="api"}',
+            "start": "2026-01-01T00:05:00Z",
+            "end": "2026-01-01T00:05:00Z",
+            "step": "1m",
+        },
+    )
+    [stream] = r.get_json()["data"]["result"]
+    assert stream["metric"]["__name__"] == "requests_total"
+    assert float(stream["values"][0][1]) == pytest.approx(300.0)
