@@ -46,6 +46,8 @@ from promhouse_spark.promql.parser import (
     Matcher,
     NumberLiteral,
     RangeSelector,
+    StringLiteral,
+    Subquery,
     Unary,
     VectorSelector,
     parse,
@@ -209,14 +211,11 @@ class PromQLEngine:
         )
         return self._attach(iv, series)
 
-    def _range_frame(self, rsel: RangeSelector) -> tuple[DataFrame, DataFrame, int]:
+    def _explode_to_grid(self, samples: DataFrame, rng: int) -> DataFrame:
         """Sliding-window explode: sample at ts reaches grid points t with
         ts ≤ t < ts + range (PromQL window (t-range, t]). Expansion factor
         ≤ range/step, bounded and map-side."""
-        samples, series = self._selected(rsel.selector)
-        rng, step, start, end = (
-            rsel.range_ms, self.step_ms, self.start_ms, self.end_ms,
-        )
+        step, start, end = self.step_ms, self.start_ms, self.end_ms
         ts = F.col("timestamp_ms")
         first = F.greatest(
             F.lit(start),
@@ -230,13 +229,49 @@ class PromQLEngine:
         evs = F.when(first <= last, F.sequence(first, last, F.lit(step))).otherwise(
             F.array().cast("array<long>")
         )
-        frame = samples.select(
+        return samples.select(
             "fingerprint",
             F.explode(evs).alias("eval_ms"),
             ts.alias("ts"),
             F.col("value").cast("double").alias("v"),
         )
-        return frame, series, rng
+
+    def _range_input(self, arg) -> tuple[DataFrame, DataFrame, int]:
+        """(exploded frame, series frame, range_ms) for a range-function
+        argument — either a plain range selector over stored samples or a
+        SUBQUERY, whose inner expression is first evaluated on a finer
+        epoch-aligned grid and whose output points then feed the same
+        sliding-window explode (prometheus/promql subquery semantics)."""
+        if isinstance(arg, RangeSelector):
+            samples, series = self._selected(arg.selector)
+            return self._explode_to_grid(samples, arg.range_ms), series, arg.range_ms
+        if isinstance(arg, Subquery):
+            step = arg.step_ms or self.step_ms
+            fine_start = ((self.start_ms - arg.range_ms) // step) * step
+            inner = PromQLEngine(
+                self.samples, self.series, fine_start, self.end_ms, step,
+                self.lookback_ms,
+            )
+            vec = inner._compile(arg.expr)
+            if isinstance(vec, float):
+                vec = inner._scalar_frame(vec)
+            from promhouse_spark.functions.labels import labels_map_to_json
+
+            key = labels_map_to_json("labels")
+            samples_like = vec.select(
+                key.alias("fingerprint"),
+                F.col("eval_ms").alias("timestamp_ms"),
+                "value",
+            )
+            series_like = vec.select(key.alias("fingerprint"), "labels").dropDuplicates(
+                ["fingerprint"]
+            )
+            return (
+                self._explode_to_grid(samples_like, arg.range_ms),
+                series_like,
+                arg.range_ms,
+            )
+        raise ValueError("expected a range selector or subquery")
 
     # -- range functions -----------------------------------------------------
 
@@ -297,9 +332,9 @@ class PromQLEngine:
             q_param, args = args[0], args[1:]
         if func == "predict_linear":
             args, horizon = args[:1], args[1]
-        if len(args) != 1 or not isinstance(args[0], RangeSelector):
-            raise ValueError(f"{func} expects a range selector")
-        frame, series, rng = self._range_frame(args[0])
+        if len(args) != 1 or not isinstance(args[0], (RangeSelector, Subquery)):
+            raise ValueError(f"{func} expects a range selector or subquery")
+        frame, series, rng = self._range_input(args[0])
         g = frame.groupBy("fingerprint", "eval_ms")
         if func in ("rate", "increase", "delta"):
             out = self._extrapolated(
@@ -460,10 +495,74 @@ class PromQLEngine:
             return self._scalar_frame(self._compile(node.args[0]))
         if func == "histogram_quantile":
             return self._histogram_quantile(node)
-        if func == "label_replace" or func == "label_join":
-            raise ValueError(
-                f"{func}: use functions/labels.py label_replace/label_join "
-                "directly on the vector frame"
+        if func in ("label_replace", "label_join"):
+            from promhouse_spark.functions import labels as L
+
+            vec = self._compile(node.args[0])
+            strs = []
+            for a in node.args[1:]:
+                if not isinstance(a, StringLiteral):
+                    raise ValueError(f"{func} needs string literal arguments")
+                strs.append(a.value)
+            if func == "label_replace":
+                dst, rep, src, regex = strs
+                labels = L.label_replace("labels", dst, rep, src, regex)
+            else:
+                dst, sep, *srcs = strs
+                labels = L.label_join("labels", dst, sep, *srcs)
+            return vec.select(labels.alias("labels"), "eval_ms", "value")
+        if func == "time":
+            spark = self.samples.sparkSession
+            return spark.range(1).select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                self._grid(),
+                (F.col("eval_ms") / 1000.0).alias("value"),
+            )
+        if func in ("minute", "hour", "day_of_week", "day_of_month", "month", "year"):
+            # of the vector's values interpreted as epoch seconds;
+            # zero-arg form operates on time() (PromQL semantics, UTC)
+            vec = (
+                self._compile(node.args[0]) if node.args else self._call(Call("time", []))
+            )
+            t = F.timestamp_seconds(F.col("value"))
+            value = {
+                "minute": F.minute(t),
+                "hour": F.hour(t),
+                "day_of_week": F.dayofweek(t) - 1,  # Prometheus: 0=Sunday
+                "day_of_month": F.dayofmonth(t),
+                "month": F.month(t),
+                "year": F.year(t),
+            }[func]
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        if func == "absent":
+            vec = self._compile(node.args[0])
+            # output labels from the equality matchers of a plain selector
+            # (promql/functions.go createLabelsForAbsentFunction)
+            entries = {}
+            sel = node.args[0]
+            if isinstance(sel, VectorSelector):
+                if sel.name:
+                    entries[NAME] = sel.name
+                for m in sel.matchers:
+                    if m.op == "=":
+                        entries[m.name] = m.value
+            entries.pop(NAME, None)  # absent() drops the metric name
+            label_lit = (
+                F.create_map(
+                    *[x for k, v in sorted(entries.items()) for x in (F.lit(k), F.lit(v))]
+                )
+                if entries
+                else F.create_map().cast("map<string,string>")
+            )
+            spark = self.samples.sparkSession
+            grid = spark.range(1).select(self._grid())
+            present = vec.select("eval_ms").distinct()
+            return grid.join(present, "eval_ms", "left_anti").select(
+                label_lit.alias("labels"), "eval_ms", F.lit(1.0).alias("value")
             )
         raise ValueError(f"unsupported function: {func}")
 

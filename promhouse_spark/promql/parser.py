@@ -29,6 +29,11 @@ class NumberLiteral:
 
 
 @dataclass
+class StringLiteral:
+    value: str
+
+
+@dataclass
 class Matcher:
     name: str
     op: str  # = != =~ !~
@@ -46,6 +51,13 @@ class VectorSelector:
 class RangeSelector:
     selector: VectorSelector
     range_ms: int
+
+
+@dataclass
+class Subquery:
+    expr: object
+    range_ms: int
+    step_ms: int | None  # None: the engine's default resolution
 
 
 @dataclass
@@ -115,7 +127,7 @@ _TOKEN_RE = re.compile(
     | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)(?:\d+(?:ms|s|m|h|d|w|y))*)
     | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
     | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-    | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
+    | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>:])
     | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
     """,
     re.VERBOSE,
@@ -264,14 +276,29 @@ class Parser:
         while True:
             t = self.peek()
             if t.text == "[":
-                if not isinstance(expr, VectorSelector):
-                    raise ValueError("range selector requires a vector selector")
                 self.next()
                 d = self.next()
                 if d.kind not in ("DURATION", "NUMBER"):
                     raise ValueError(f"expected duration, got {d.text!r}")
-                self.expect("]")
-                expr = RangeSelector(expr, parse_duration_ms(d.text))
+                rng = parse_duration_ms(d.text)
+                if self.peek().text == ":":
+                    # subquery [range:step] over any expression
+                    self.next()
+                    step = None
+                    if self.peek().text != "]":
+                        s = self.next()
+                        if s.kind not in ("DURATION", "NUMBER"):
+                            raise ValueError(f"expected step, got {s.text!r}")
+                        step = parse_duration_ms(s.text)
+                    self.expect("]")
+                    expr = Subquery(expr, rng, step)
+                else:
+                    self.expect("]")
+                    if not isinstance(expr, VectorSelector):
+                        raise ValueError(
+                            "range selector requires a vector selector"
+                        )
+                    expr = RangeSelector(expr, rng)
             elif t.text == "offset":
                 self.next()
                 d = self.next()
@@ -293,6 +320,12 @@ class Parser:
         if t.kind == "NUMBER":
             self.next()
             return NumberLiteral(float(int(t.text, 16)) if t.text.startswith("0x") else float(t.text))
+        if t.kind == "STRING":
+            self.next()
+            raw = t.text[1:-1]
+            return StringLiteral(
+                raw.encode().decode("unicode_escape") if "\\" in raw else raw
+            )
         if t.kind == "IDENT":
             name = self.next().text
             if name in AGG_OPS:

@@ -249,3 +249,49 @@ def test_compile_errors(eng):
     with pytest.raises(ValueError):
         eng.eval("1 > 2")  # scalar comparison without bool
     assert eng.eval("1 > bool 2") is not None
+
+
+def test_subquery_rate_then_max(eng):
+    # max_over_time(rate(errors[2m])[4m:1m]): rate is constant 1.0 (api) /
+    # 2.0 (db), so the subquery max equals the rate itself
+    r = _rows(eng, "max_over_time(rate(errors[2m])[4m:1m])")
+    vals = {(x.l, x.eval_ms): x.value for x in r}
+    assert vals[('{"job":"api"}', 300_000)] == pytest.approx(1.0)
+    assert vals[('{"job":"db"}', 480_000)] == pytest.approx(2.0)
+
+
+def test_subquery_avg_of_instant(eng):
+    # avg_over_time(total{job="api"}[3m:1m]): inner instant evals on the
+    # 1m grid in (t-3m, t] → values 10*(t-120), 10*(t-60), 10*t seconds
+    r = _rows(eng, 'avg_over_time(total{job="api"}[3m:1m])')
+    first = [x for x in r if x.eval_ms == 300_000][0]
+    assert first.value == pytest.approx(10.0 * (180 + 240 + 300) / 3)
+
+
+def test_label_replace_and_join(eng):
+    r = _rows(eng, 'label_replace(errors, "svc", "$1-svc", "job", "(a.*)")')
+    ls = {x.l for x in r}
+    assert '{"__name__":"errors","job":"api","svc":"api-svc"}' in ls
+    assert '{"__name__":"errors","job":"db"}' in ls  # no match → untouched
+    j = _rows(eng, 'label_join(errors, "combo", "-", "job", "__name__")')
+    assert any('"combo":"api-errors"' in x.l for x in j)
+
+
+def test_time_functions(eng):
+    t = _rows(eng, "time()")
+    assert t[0].value == pytest.approx(300.0)
+    h = _rows(eng, "hour()")  # epoch 300s = 1970-01-01T00:05 UTC
+    assert all(x.value == 0.0 for x in h)
+    m = _rows(eng, "minute()")
+    assert m[0].value == 5.0 and m[-1].value == 10.0
+    dow = _rows(eng, "day_of_week()")  # 1970-01-01 was a Thursday → 4
+    assert all(x.value == 4.0 for x in dow)
+
+
+def test_absent(eng):
+    gone = _rows(eng, 'absent(errors{job="nope"})')
+    assert len(gone) == 6  # absent on every grid point
+    assert all(x.value == 1.0 for x in gone)
+    assert gone[0].l == '{"job":"nope"}'  # equality matchers become labels
+    here = _rows(eng, "absent(errors)")
+    assert here == []
