@@ -178,3 +178,136 @@ ORDER BY doc_a, para_a, doc_b, para_b
 QUERIES["doc_semantic_dups"] = doc_semantic_dups
 QUERIES["doc_para_dups"] = doc_para_dups
 ORACLES["doc_para_dups"] = DOC_PARA_DUPS_SQL
+
+
+def doc_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform corpus sample: rank every document by its LCG
+    id bucket (operators/sampling.py:split_bucket — pure per-row integer
+    arithmetic, reproducible bit-for-bit in any engine) and keep the 50
+    smallest. The distributed form of reservoir sampling with a fixed
+    seed: a global TakeOrdered(50) — no full sort, no shuffle of the
+    corpus, and the SAME 50 docs on every engine, run, and partitioning
+    (F.rand cannot promise any of that)."""
+    from promhouse_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(split_bucket("doc_id"), 8).alias("bucket"),
+            "source",
+        )
+        .orderBy("bucket", "doc_id")
+        .limit(50)
+    )
+
+
+DOC_SAMPLE_N_SQL = """
+SELECT doc_id,
+       round(((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0, 8)
+         AS bucket,
+       source
+FROM documents
+ORDER BY bucket, doc_id
+LIMIT 50
+"""
+
+
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's 20-word
+    pseudo-paragraphs that also appear (Jaccard >= 0.8) in a DIFFERENT
+    document — the curation signal paragraph dedup exists to feed. Exact
+    1e-6 fixed point (small-integer division). Only documents with at
+    least one boilerplate paragraph are returned."""
+    from promhouse_spark.operators.dedup import paragraph_jaccard_pairs, paragraphs
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = paragraph_jaccard_pairs(
+        docs, chunk_words=_CHUNK, threshold=0.8, group_col="source",
+        prefix_filter=False,
+    )
+    boiler = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.col("para_a").alias("para_idx"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"), F.col("para_b").alias("para_idx"))
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_boiler"))
+    )
+    totals = (
+        paragraphs(docs, chunk_words=_CHUNK)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_paras"))
+    )
+    return (
+        boiler.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_boiler",
+            "n_paras",
+            _idiv(F.col("n_boiler") * F.lit(1_000_000), F.col("n_paras")).alias(
+                "boiler_share_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BOILERPLATE_SQL = f"""
+WITH paras AS (
+  SELECT doc_id, source, i - 1 AS para_idx,
+         doc_id || '#' || CAST(i - 1 AS VARCHAR) AS para_id,
+         array_to_string(list_slice(toks, (i-1)*{_CHUNK}+1, (i-1)*{_CHUNK}+{_CHUNK}), ' ') AS para
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(toks)/{_CHUNK}.0) AS INT) + 1)) AS i) u
+  WHERE len(toks) > 0
+),
+tok AS (
+  SELECT para_id, doc_id, para_idx, source,
+         unnest(list_distinct(string_split(para, ' '))) AS token
+  FROM paras
+  WHERE len(para) > 0
+),
+sz AS (SELECT para_id, count(*) AS n FROM tok GROUP BY para_id),
+inter AS (
+  SELECT a.para_id AS pa, b.para_id AS pb,
+         min(a.doc_id) AS doc_a, min(a.para_idx) AS para_a,
+         min(b.doc_id) AS doc_b, min(b.para_idx) AS para_b,
+         count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.source = b.source AND a.para_id < b.para_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT doc_a, para_a, doc_b, para_b
+  FROM inter
+  JOIN sz sa ON sa.para_id = pa
+  JOIN sz sb ON sb.para_id = pb
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8 AND doc_a != doc_b
+),
+boiler AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler FROM (
+    SELECT DISTINCT doc_id, para_idx FROM (
+      SELECT doc_a AS doc_id, para_a AS para_idx FROM dups
+      UNION ALL
+      SELECT doc_b AS doc_id, para_b AS para_idx FROM dups
+    )
+  ) GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+  FROM paras WHERE len(para) > 0 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_boiler, t.n_paras,
+       (b.n_boiler * 1000000) // t.n_paras AS boiler_share_e6
+FROM boiler b JOIN totals t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_sample_n"] = doc_sample_n
+QUERIES["doc_boilerplate_ratio"] = doc_boilerplate_ratio
+ORACLES["doc_sample_n"] = DOC_SAMPLE_N_SQL
+ORACLES["doc_boilerplate_ratio"] = DOC_BOILERPLATE_SQL
