@@ -295,3 +295,30 @@ def test_absent(eng):
     assert gone[0].l == '{"job":"nope"}'  # equality matchers become labels
     here = _rows(eng, "absent(errors)")
     assert here == []
+
+
+def test_alert_intervals_from_promql(eng):
+    """Rule replay over compiled expressions: errors > 450 fires once
+    db crosses (t >= 240s) and once api crosses (t >= 480s); with
+    for=2m the api run (480..600) still qualifies, a 1-point run would
+    not."""
+    from promhouse_spark.promql.alerts import alert_intervals_promql
+
+    out = alert_intervals_promql(eng, "errors > 450", for_ms=120_000).collect()
+    got = {r.labels["job"]: (r.start_ms, r.end_ms, r.n_evals) for r in out}
+    # db: 2*t > 450 from t=300s (the whole grid); api: t > 450 from 480s
+    assert got["db"] == (300_000, 600_000, 6)
+    assert got["api"] == (480_000, 600_000, 3)
+    # a for longer than any run drops everything for api
+    strict = alert_intervals_promql(eng, "errors > 450", for_ms=200_000).collect()
+    assert {r.labels["job"] for r in strict} == {"db"}
+    # compiled ratio alerts work the same way (filter-mode comparison:
+    # a series only fires at evals where the predicate holds)
+    ratio = alert_intervals_promql(
+        eng, "errors / on(job) total > 0.09", for_ms=0
+    ).collect()
+    assert len(ratio) == 2  # both jobs hold 0.1 > 0.09 continuously
+    assert all(r.n_evals == 6 for r in ratio)
+    assert alert_intervals_promql(
+        eng, "errors / on(job) total > 0.11", for_ms=0
+    ).collect() == []  # never fires
