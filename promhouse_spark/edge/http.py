@@ -197,6 +197,84 @@ def create_app(storage: Storage):
             "data": {"resultType": "vector", "result": result},
         }
 
+    # -- Prometheus HTTP API v1: metadata (what Grafana calls first) --------
+
+    def _series_frame():
+        from pyspark.sql import functions as F
+
+        return storage.registry_df().select(F.col("labels"))
+
+    def _apply_match(df):
+        """Apply repeated ?match[]= selectors (PromQL selector syntax) as
+        an OR over the series frame; no selectors = all series."""
+        from pyspark.sql import functions as F
+
+        from promhouse_spark.promql.engine import matcher_condition
+        from promhouse_spark.promql.parser import Matcher, VectorSelector, parse
+
+        sels = request.values.getlist("match[]")
+        if not sels:
+            return df
+        conds = None
+        for s in sels:
+            node = parse(s)
+            if not isinstance(node, VectorSelector):
+                raise ValueError(f"match[] must be a selector: {s!r}")
+            matchers = list(node.matchers)
+            if node.name:
+                matchers.append(Matcher("__name__", "=", node.name))
+            c = F.lit(True)
+            for m in matchers:
+                c = c & matcher_condition(F.col("labels"), m)
+            conds = c if conds is None else (conds | c)
+        return df.filter(conds)
+
+    @app.get("/api/v1/labels")
+    def labels_endpoint():
+        from pyspark.sql import functions as F
+
+        try:
+            df = _apply_match(_series_frame())
+        except ValueError as e:
+            return _promql_error(e)
+        rows = (
+            df.select(F.explode(F.map_keys("labels")).alias("l"))
+            .distinct()
+            .orderBy("l")
+            .collect()
+        )
+        return {"status": "success", "data": [r["l"] for r in rows]}
+
+    @app.get("/api/v1/label/<name>/values")
+    def label_values(name: str):
+        from pyspark.sql import functions as F
+
+        try:
+            df = _apply_match(_series_frame())
+        except ValueError as e:
+            return _promql_error(e)
+        rows = (
+            df.select(F.element_at("labels", F.lit(name)).alias("v"))
+            .filter("v IS NOT NULL")
+            .distinct()
+            .orderBy("v")
+            .collect()
+        )
+        return {"status": "success", "data": [r["v"] for r in rows]}
+
+    @app.get("/api/v1/series")
+    def series_endpoint():
+        try:
+            df = _apply_match(_series_frame())
+        except ValueError as e:
+            return _promql_error(e)
+        rows = df.collect()
+        data = sorted(
+            (dict(r["labels"]) for r in rows),
+            key=lambda d: sorted(d.items()),
+        )
+        return {"status": "success", "data": data}
+
     @app.get("/health")
     def health():
         return {"status": "ok"}

@@ -614,6 +614,11 @@ class PromQLEngine:
                 vec, k, by=by, without=without,
                 bottom=node.op == "bottomk",
             ).drop("rank")
+        if node.op == "quantile":
+            q = float(node.param.value)
+            return agg_by(
+                vec, lambda c: F.percentile(c, F.lit(q)), by=by, without=without
+            ).drop("n_series")
         fn = {
             "sum": "sum", "avg": "avg", "min": "min", "max": "max",
             "count": "count",

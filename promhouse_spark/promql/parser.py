@@ -95,9 +95,9 @@ class Unary:
 
 AGG_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "topk", "bottomk",
+    "topk", "bottomk", "quantile",
 }
-_PARAM_AGGS = {"topk", "bottomk"}
+_PARAM_AGGS = {"topk", "bottomk", "quantile"}
 
 _DUR_UNITS = {
     "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,

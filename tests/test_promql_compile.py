@@ -322,3 +322,12 @@ def test_alert_intervals_from_promql(eng):
     assert alert_intervals_promql(
         eng, "errors / on(job) total > 0.11", for_ms=0
     ).collect() == []  # never fires
+
+
+def test_quantile_aggregation(eng):
+    # quantile(0.5, errors): 2 series (300, 600 at t=300s) → median 450
+    r = _rows(eng, "quantile(0.5, errors)")
+    first = [x for x in r if x.eval_ms == 300_000]
+    assert len(first) == 1 and first[0].value == pytest.approx(450.0)
+    by_job = _rows(eng, "quantile(1, errors) by (job)")
+    assert len(by_job) == 12  # max per single-series group

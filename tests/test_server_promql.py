@@ -125,3 +125,22 @@ def test_query_range_rfc3339_times(client):
     [stream] = r.get_json()["data"]["result"]
     assert stream["metric"]["__name__"] == "requests_total"
     assert float(stream["values"][0][1]) == pytest.approx(300.0)
+
+
+def test_metadata_endpoints(client):
+    r = client.get("/api/v1/labels")
+    assert r.get_json() == {"status": "success", "data": ["__name__", "job"]}
+    r = client.get("/api/v1/label/job/values")
+    assert r.get_json()["data"] == ["api", "db"]
+    r = client.get("/api/v1/series", query_string={"match[]": 'requests_total{job="api"}'})
+    assert r.get_json()["data"] == [
+        {"__name__": "requests_total", "job": "api"}
+    ]
+    # OR of several selectors; bad selector is a client error
+    r = client.get(
+        "/api/v1/series",
+        query_string=[("match[]", '{job="api"}'), ("match[]", '{job="db"}')],
+    )
+    assert len(r.get_json()["data"]) == 2
+    bad = client.get("/api/v1/series", query_string={"match[]": "rate(x[5m])"})
+    assert bad.get_json()["status"] == "error"
