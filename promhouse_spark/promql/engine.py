@@ -206,6 +206,17 @@ class PromQLEngine:
 
     def _instant(self, sel: VectorSelector) -> DataFrame:
         samples, series = self._selected(sel)
+        if sel.at_ms is not None:
+            # @ modifier: one evaluation at the pinned timestamp, its value
+            # broadcast to every grid point (promql step-invariant @)
+            iv = instant_vector(
+                samples, sel.at_ms, sel.at_ms, max(self.step_ms, 1),
+                self.lookback_ms,
+            )
+            pinned = iv.select("fingerprint", "value").crossJoin(
+                iv.sparkSession.range(1).select(self._grid())
+            )
+            return self._attach(pinned, series)
         iv = instant_vector(
             samples, self.start_ms, self.end_ms, self.step_ms, self.lookback_ms
         )
@@ -243,6 +254,11 @@ class PromQLEngine:
         epoch-aligned grid and whose output points then feed the same
         sliding-window explode (prometheus/promql subquery semantics)."""
         if isinstance(arg, RangeSelector):
+            if arg.selector.at_ms is not None:
+                raise ValueError(
+                    "@ on range selectors is not supported; pin via a "
+                    "subquery or offset instead"
+                )
             samples, series = self._selected(arg.selector)
             return self._explode_to_grid(samples, arg.range_ms), series, arg.range_ms
         if isinstance(arg, Subquery):

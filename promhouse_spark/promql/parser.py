@@ -45,6 +45,7 @@ class VectorSelector:
     name: str | None
     matchers: list[Matcher] = field(default_factory=list)
     offset_ms: int = 0
+    at_ms: int | None = None  # @ modifier: pin evaluation to a timestamp
 
 
 @dataclass
@@ -127,7 +128,7 @@ _TOKEN_RE = re.compile(
     | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)(?:\d+(?:ms|s|m|h|d|w|y))*)
     | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
     | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-    | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>:])
+    | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>:@])
     | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
     """,
     re.VERBOSE,
@@ -307,6 +308,15 @@ class Parser:
                 if not isinstance(target, VectorSelector):
                     raise ValueError("offset requires a selector")
                 target.offset_ms = off
+            elif t.text == "@":
+                self.next()
+                ts = self.next()
+                if ts.kind != "NUMBER":
+                    raise ValueError(f"@ expects a unix timestamp, got {ts.text!r}")
+                target = expr.selector if isinstance(expr, RangeSelector) else expr
+                if not isinstance(target, VectorSelector):
+                    raise ValueError("@ requires a selector")
+                target.at_ms = int(float(ts.text) * 1000)
             else:
                 return expr
 

@@ -331,3 +331,17 @@ def test_quantile_aggregation(eng):
     assert len(first) == 1 and first[0].value == pytest.approx(450.0)
     by_job = _rows(eng, "quantile(1, errors) by (job)")
     assert len(by_job) == 12  # max per single-series group
+
+
+def test_at_modifier(eng):
+    # pin errors to t=420s: every grid point carries the 420s value
+    r = _rows(eng, 'errors{job="api"} @ 420')
+    assert len(r) == 6
+    assert all(x.value == pytest.approx(420.0) for x in r)
+    # binop against the moving vector: share of the pinned snapshot
+    ratio = _rows(eng, 'errors{job="api"} / errors{job="api"} @ 420')
+    by_t = {x.eval_ms: x.value for x in ratio}
+    assert by_t[300_000] == pytest.approx(300.0 / 420.0)
+    assert by_t[600_000] == pytest.approx(600.0 / 420.0)
+    with pytest.raises(ValueError, match="@ on range"):
+        eng.eval("rate(errors[2m] @ 420)")
