@@ -348,6 +348,12 @@ class PromQLEngine:
             q_param, args = args[0], args[1:]
         if func == "predict_linear":
             args, horizon = args[:1], args[1]
+        hw_params = (0.1, 0.3)
+        if func == "holt_winters":
+            args, hw = args[:1], args[1:]
+            if len(hw) != 2 or not all(isinstance(x, NumberLiteral) for x in hw):
+                raise ValueError("holt_winters needs literal sf, tf")
+            hw_params = (hw[0].value, hw[1].value)
         if len(args) != 1 or not isinstance(args[0], (RangeSelector, Subquery)):
             raise ValueError(f"{func} expects a range selector or subquery")
         frame, series, rng = self._range_input(args[0])
@@ -396,6 +402,34 @@ class PromQLEngine:
                 frame.withColumn("m", mark)
                 .groupBy("fingerprint", "eval_ms")
                 .agg(F.sum("m").cast("double").alias("value"))
+            )
+        elif func == "holt_winters":
+            # double exponential smoothing (funcHoltWinters), seeded
+            # s=x2, b=x2-x1, folded over the window's sorted samples —
+            # the bounded collect-fold shape (operators/promql_lite.py)
+            sf_, tf_ = hw_params
+            omf, omtf = 1.0 - sf_, 1.0 - tf_
+            arr = F.array_sort(F.collect_list(F.struct("ts", "v")))
+            gathered = g.agg(arr.alias("a"), F.count("*").alias("n")).filter(
+                F.col("n") >= 2
+            )
+            a = F.col("a")
+            init = F.struct(
+                a[1]["v"].alias("s"), (a[1]["v"] - a[0]["v"]).alias("b")
+            )
+            rest = F.slice(a, 3, F.greatest(F.size(a) - 2, F.lit(0)))
+            smooth = lambda acc, x: F.struct(  # noqa: E731
+                (F.lit(sf_) * x["v"] + F.lit(omf) * (acc["s"] + acc["b"])).alias("s"),
+                (
+                    F.lit(tf_)
+                    * ((F.lit(sf_) * x["v"] + F.lit(omf) * (acc["s"] + acc["b"])) - acc["s"])
+                    + F.lit(omtf) * acc["b"]
+                ).alias("b"),
+            )
+            out = gathered.select(
+                "fingerprint",
+                "eval_ms",
+                F.aggregate(rest, init, smooth)["s"].alias("value"),
             )
         elif func in ("deriv", "predict_linear"):
             x = (F.col("ts") - F.col("eval_ms")) / F.lit(1000.0)
@@ -448,7 +482,7 @@ class PromQLEngine:
         func = node.func
         range_funcs = (
             {"rate", "increase", "delta", "irate", "idelta", "resets", "changes",
-             "deriv", "predict_linear", "quantile_over_time"}
+             "deriv", "predict_linear", "quantile_over_time", "holt_winters"}
             | set(_SIMPLE_OVER_TIME)
         )
         if func in range_funcs:

@@ -311,3 +311,134 @@ QUERIES["doc_sample_n"] = doc_sample_n
 QUERIES["doc_boilerplate_ratio"] = doc_boilerplate_ratio
 ORACLES["doc_sample_n"] = DOC_SAMPLE_N_SQL
 ORACLES["doc_boilerplate_ratio"] = DOC_BOILERPLATE_SQL
+
+
+def doc_curation_pipeline3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 curation capstone — this round's operators composed into
+    ONE declarative chain: paragraph-granularity boilerplate share
+    (paragraph_jaccard_pairs) gates out documents that are >= 50%
+    boilerplate → deterministic LCG-bucket sampling keeps the 200
+    lowest-bucket survivors (reproducible on any engine/partitioning) →
+    per-source corpus rollup (docs, chars, tokens — exact BIGINTs).
+
+    The value hash pins every stage at once; the oracle replays the
+    identical chain as a CTE pipeline over pieces that were each
+    hash-validated stand-alone (doc_boilerplate_ratio, doc_sample_n)."""
+    from promhouse_spark.operators.dedup import paragraph_jaccard_pairs, paragraphs
+    from promhouse_spark.operators.sampling import split_bucket
+    from promhouse_spark.operators.text import token_count
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = paragraph_jaccard_pairs(
+        docs, chunk_words=_CHUNK, threshold=0.8, group_col="source",
+        prefix_filter=False,
+    )
+    boiler = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.col("para_a").alias("para_idx"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"), F.col("para_b").alias("para_idx"))
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_boiler"))
+    )
+    totals = (
+        paragraphs(docs, chunk_words=_CHUNK)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_paras"))
+    )
+    share = boiler.join(totals, "doc_id").select(
+        "doc_id",
+        _idiv(F.col("n_boiler") * F.lit(1_000_000), F.col("n_paras")).alias("share_e6"),
+    )
+    kept = (
+        docs.join(share, "doc_id", "left")
+        .filter(F.coalesce("share_e6", F.lit(0)) < 500_000)
+    )
+    sampled = (
+        kept.select(
+            "doc_id", "source", "n_chars",
+            token_count("text").alias("n_tokens"),
+            split_bucket("doc_id").alias("bucket"),
+        )
+        .orderBy("bucket", "doc_id")
+        .limit(200)
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_CURATION3_SQL = f"""
+WITH paras AS (
+  SELECT doc_id, source, i - 1 AS para_idx,
+         doc_id || '#' || CAST(i - 1 AS VARCHAR) AS para_id,
+         array_to_string(list_slice(toks, (i-1)*{_CHUNK}+1, (i-1)*{_CHUNK}+{_CHUNK}), ' ') AS para
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(toks)/{_CHUNK}.0) AS INT) + 1)) AS i) u
+  WHERE len(toks) > 0
+),
+tok AS (
+  SELECT para_id, doc_id, para_idx, source,
+         unnest(list_distinct(string_split(para, ' '))) AS token
+  FROM paras WHERE len(para) > 0
+),
+sz AS (SELECT para_id, count(*) AS n FROM tok GROUP BY para_id),
+inter AS (
+  SELECT a.para_id AS pa, b.para_id AS pb,
+         min(a.doc_id) AS doc_a, min(a.para_idx) AS para_a,
+         min(b.doc_id) AS doc_b, min(b.para_idx) AS para_b,
+         count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.source = b.source AND a.para_id < b.para_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT doc_a, para_a, doc_b, para_b FROM inter
+  JOIN sz sa ON sa.para_id = pa
+  JOIN sz sb ON sb.para_id = pb
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8 AND doc_a != doc_b
+),
+boiler AS (
+  SELECT doc_id, count(*) AS n_boiler FROM (
+    SELECT DISTINCT doc_id, para_idx FROM (
+      SELECT doc_a AS doc_id, para_a AS para_idx FROM dups
+      UNION ALL SELECT doc_b, para_b FROM dups
+    )
+  ) GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_paras FROM paras WHERE len(para) > 0 GROUP BY doc_id
+),
+share AS (
+  SELECT b.doc_id, (b.n_boiler * 1000000) // t.n_paras AS share_e6
+  FROM boiler b JOIN totals t USING (doc_id)
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         ((d.doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS bucket
+  FROM documents d LEFT JOIN share s USING (doc_id)
+  WHERE coalesce(s.share_e6, 0) < 500000
+),
+sampled AS (
+  SELECT * FROM kept ORDER BY bucket, doc_id LIMIT 200
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM sampled GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["doc_curation_pipeline3"] = doc_curation_pipeline3
+ORACLES["doc_curation_pipeline3"] = DOC_CURATION3_SQL

@@ -345,3 +345,13 @@ def test_at_modifier(eng):
     assert by_t[600_000] == pytest.approx(600.0 / 420.0)
     with pytest.raises(ValueError, match="@ on range"):
         eng.eval("rate(errors[2m] @ 420)")
+
+
+def test_holt_winters_compiled(eng):
+    """holt_winters over a linear series converges to the series itself:
+    with s seeded on x2 and b on the exact step, the recurrence stays on
+    the line, so the smoothed value equals the window's last sample."""
+    r = _rows(eng, 'holt_winters(total{job="api"}[2m], 0.3, 0.1)')
+    by_t = {x.eval_ms: x.value for x in r}
+    assert by_t[300_000] == pytest.approx(3000.0)  # last sample at 300 s
+    assert by_t[600_000] == pytest.approx(6000.0)
