@@ -144,3 +144,47 @@ def test_metadata_endpoints(client):
     assert len(r.get_json()["data"]) == 2
     bad = client.get("/api/v1/series", query_string={"match[]": "rate(x[5m])"})
     assert bad.get_json()["status"] == "error"
+
+
+def test_recording_rules_materialize_and_requery(spark, tmp_path):
+    """Full rules loop: ingest counters -> evaluate a recording rule ->
+    write the recorded series back -> query the RECORDED metric through
+    the PromQL engine as if it were scraped."""
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.promql.rules import evaluate_rules, record_rules
+
+    store = SparkParquetStorage(spark, str(tmp_path / "rules-store"))
+    series = []
+    for job, mult in (("api", 1.0), ("db", 2.0)):
+        series.append(
+            TimeSeries(
+                labels=[Label("__name__", "requests_total"), Label("job", job)],
+                samples=[
+                    Sample(value=i * 15.0 * mult, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            )
+        )
+    store.write(series)
+
+    eng = PromQLEngine.from_storage(
+        store, T0 + 300_000, T0 + 600_000, 60_000
+    )
+    rules = [("job:requests:rate2m", "sum by (job) (rate(requests_total[2m]))")]
+    frame = evaluate_rules(eng, rules).collect()
+    assert all(r["labels"]["__name__"] == "job:requests:rate2m" for r in frame)
+    n = record_rules(eng, store, rules)
+    assert n == 2  # one recorded series per job
+
+    # the recorded metric is a first-class series: query it back compiled
+    eng2 = PromQLEngine.from_storage(
+        store, T0 + 300_000, T0 + 600_000, 60_000
+    )
+    got = eng2.eval('job:requests:rate2m{job="db"}').collect()
+    assert len(got) == 6
+    assert all(abs(r["value"] - 2.0) < 1e-9 for r in got)
+    # and the registry knows it
+    names = {
+        r["labels"]["__name__"] for r in store.registry_df().collect()
+    }
+    assert "job:requests:rate2m" in names
