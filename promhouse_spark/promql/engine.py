@@ -24,10 +24,15 @@ Semantics follow prometheus/promql/engine.go + functions.go:
   set operators (and/or/unless) are semi/anti/union joins on the match
   key. Metric names drop where Prometheus drops them.
 
+Subqueries ``[range:step]`` evaluate the inner expression on a finer
+epoch-aligned grid and feed its points through the same sliding-window
+explode; ``absent`` reconstructs labels from equality matchers;
+``@`` pins instant selectors to a fixed evaluation.
+
 Known divergences (documented, not silent): float division by zero yields
 NULL (Spark non-ANSI) where PromQL emits ±Inf/NaN; NaN ordering in
 topk/bottomk follows Spark's NULL/NaN sort rather than Prometheus's
-heap-order; ``absent``/``absent_over_time`` and subqueries are not
+heap-order; ``absent_over_time`` and ``@`` on range selectors are not
 compiled (the standalone operators in operators/promql_lite.py cover the
 batch use)."""
 
@@ -96,6 +101,11 @@ _VALUE_FUNCS = {
     "log10": F.log10,
     "sqrt": F.sqrt,
     "sgn": F.signum,
+    # the trigonometric family (promql/functions.go simpleFunc set)
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "deg": F.degrees, "rad": F.radians,
 }
 
 
@@ -561,6 +571,13 @@ class PromQLEngine:
                 dst, sep, *srcs = strs
                 labels = L.label_join("labels", dst, sep, *srcs)
             return vec.select(labels.alias("labels"), "eval_ms", "value")
+        if func == "pi":
+            spark = self.samples.sparkSession
+            return spark.range(1).select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                self._grid(),
+                F.lit(math.pi).alias("value"),
+            )
         if func == "time":
             spark = self.samples.sparkSession
             return spark.range(1).select(

@@ -355,3 +355,43 @@ def test_holt_winters_compiled(eng):
     by_t = {x.eval_ms: x.value for x in r}
     assert by_t[300_000] == pytest.approx(3000.0)  # last sample at 300 s
     assert by_t[600_000] == pytest.approx(6000.0)
+
+
+def test_parser_only_raises_valueerror():
+    """The parser fronts untrusted HTTP query params: any garbage must
+    either parse or raise ValueError — never IndexError/KeyError/etc.
+    (which would 500 the API endpoints instead of 400)."""
+    import random
+
+    from promhouse_spark.promql.parser import parse as p
+
+    rng = random.Random(20260814)
+    alphabet = 'abc(){}[]<>=!~+-*/%^,:@ "\'0123456789mshd._'
+    for _ in range(5000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+        try:
+            p(s)
+        except ValueError:
+            pass
+    # truncation sweep over every prefix of real queries
+    for q in [
+        'sum by (job) (rate(http_requests_total{code="200"}[5m]))',
+        "errors / on(user) group_left(v) total offset 5m @ 100",
+        "max_over_time(rate(m[2m])[4m:1m])",
+        'label_replace(m, "a", "$1", "b", "(.*)")',
+    ]:
+        for i in range(len(q)):
+            try:
+                p(q[:i])
+            except ValueError:
+                pass
+
+
+def test_math_functions_and_pi(eng):
+    r = _rows(eng, "sqrt(errors{job=\"api\"})")
+    assert r[0].value == pytest.approx(300.0 ** 0.5)
+    assert "__name__" not in r[0].l
+    s = _rows(eng, "sin(pi() / 2)")
+    assert all(x.value == pytest.approx(1.0) for x in s)
+    d = _rows(eng, "deg(pi())")
+    assert all(x.value == pytest.approx(180.0) for x in d)
