@@ -30,7 +30,8 @@ SF1_DIR = "/tmp/phs-sf1"
 SF01_DIR = "/root/testdata/sf0.1"
 
 # one query per family: scan-agg, join, keyed agg, session window,
-# banded dedup (the jaccard scale path), ANN
+# banded dedup (the jaccard scale path), ANN, compiled sliding-window
+# PromQL (grid explode + instant vectors + vector matching)
 GATE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -38,6 +39,7 @@ GATE = [
     "ph_sessionize",
     "doc_minhash_lsh",
     "emb_cosine_topk",
+    "ph_promql_rate",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
