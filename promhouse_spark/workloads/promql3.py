@@ -94,21 +94,25 @@ def _user_type_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vec_ctes(alias: str, pred: str, grid_key: str = "user_id") -> str:
+def _vec_ctes(
+    alias: str, pred: str, grid_key: str = "user_id", grid_sql: str | None = None
+) -> str:
     """DuckDB instant-vector replay as a CTE pair: distinct-series × grid
     through the native ASOF JOIN, MATERIALIZED so DuckDB 1.0 cannot push
     the staleness WHERE into the join (it would reject it as a second ASOF
     inequality), then the lookback filter. ``pred`` filters the sample
-    stream; ``alias`` names the filtered vector."""
+    stream; ``alias`` names the filtered vector; ``grid_sql`` overrides the
+    evaluation grid (subquery oracles use a finer/extended one)."""
     keys = [k.strip() for k in grid_key.split(",")]
     on = " AND ".join(f"g.{k} = s.{k}" for k in keys)
     gsel = ", ".join(f"u.{k}" for k in keys)
+    grid_sql = grid_sql or _GRID_SQL
     return f"""{alias}_raw AS MATERIALIZED (
   SELECT g.*, s.value, s.ts_ms
   FROM (
     SELECT {gsel}, gg.eval_ms
     FROM (SELECT DISTINCT {grid_key} FROM samples WHERE {pred}) u
-    CROSS JOIN (SELECT unnest({_GRID_SQL}) AS eval_ms) gg
+    CROSS JOIN (SELECT unnest({grid_sql}) AS eval_ms) gg
   ) g ASOF JOIN (SELECT * FROM samples WHERE {pred}) s
     ON {on} AND g.eval_ms >= s.ts_ms
 ),

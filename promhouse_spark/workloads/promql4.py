@@ -195,3 +195,46 @@ ORACLES = {
     "ph_promql_rate": PH_PROMQL_RATE_SQL,
     "ph_promql_topk": PH_PROMQL_TOPK_SQL,
 }
+
+
+_SUB_RANGE_MS = 6 * 3600 * 1000
+
+
+def ph_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_over_time(sum by (user) (events)[6h:1h])`` compiled from
+    text: the subquery evaluates the per-user instant sum on the hourly
+    fine grid extended 6 h before the range start, and the outer
+    max_over_time slides over those points — the rolling-peak-of-an-
+    aggregate query subqueries exist for."""
+    eng = _engine(spark, sf_dir)
+    out = eng.eval("max_over_time(sum by (user) (events)[6h:1h])")
+    return out.select(
+        F.element_at("labels", "user").cast("long").alias("user_id"),
+        "eval_ms",
+        F.round("value", 4).alias("peak_sum"),
+    ).orderBy("user_id", "eval_ms")
+
+
+PH_PROMQL_SUBQUERY_SQL = f"""
+WITH {_SAMPLES_CTE},
+{_vec_ctes(
+    "utvec", "TRUE", "user_id, event_type",
+    grid_sql=f"generate_series({_START_MS - _SUB_RANGE_MS}, {_END_MS}, {_STEP_MS})",
+)},
+inner_vec AS (
+  SELECT user_id, eval_ms, sum(value) AS v
+  FROM utvec GROUP BY 1, 2
+),
+outer_grid AS (
+  SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS t
+)
+SELECT i.user_id, g.t AS eval_ms, round(max(i.v), 4) AS peak_sum
+FROM outer_grid g JOIN inner_vec i
+  ON i.eval_ms <= g.t AND i.eval_ms > g.t - {_SUB_RANGE_MS}
+GROUP BY i.user_id, g.t
+ORDER BY user_id, eval_ms
+"""
+
+
+QUERIES["ph_promql_subquery"] = ph_promql_subquery
+ORACLES["ph_promql_subquery"] = PH_PROMQL_SUBQUERY_SQL
