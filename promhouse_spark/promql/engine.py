@@ -681,6 +681,34 @@ class PromQLEngine:
                 vec, k, by=by, without=without,
                 bottom=node.op == "bottomk",
             ).drop("rank")
+        if node.op == "count_values":
+            if not isinstance(node.param, StringLiteral):
+                raise ValueError("count_values needs a string label name")
+            label = node.param.value
+            # render values Prometheus-style: integral floats without ".0"
+            v = F.col("value")
+            vstr = F.when(
+                (v == F.floor(v)) & (F.abs(v) < 1e15),
+                v.cast("long").cast("string"),
+            ).otherwise(v.cast("string"))
+            from promhouse_spark.operators.vector_match import match_labels
+
+            sub = F.map_concat(
+                match_labels(F.col("labels"), by, without),
+                F.create_map(F.lit(label), vstr),
+            )
+            from promhouse_spark.functions.labels import labels_map_to_json
+
+            out = (
+                vec.select(labels_map_to_json(sub).alias("__key"), "eval_ms")
+                .groupBy("__key", "eval_ms")
+                .agg(F.count("*").cast("double").alias("value"))
+            )
+            return out.select(
+                F.from_json("__key", "map<string,string>").alias("labels"),
+                "eval_ms",
+                "value",
+            )
         if node.op == "quantile":
             q = float(node.param.value)
             return agg_by(

@@ -96,9 +96,9 @@ class Unary:
 
 AGG_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "topk", "bottomk", "quantile",
+    "topk", "bottomk", "quantile", "count_values",
 }
-_PARAM_AGGS = {"topk", "bottomk", "quantile"}
+_PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
 
 _DUR_UNITS = {
     "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,

@@ -395,3 +395,13 @@ def test_math_functions_and_pi(eng):
     assert all(x.value == pytest.approx(1.0) for x in s)
     d = _rows(eng, "deg(pi())")
     assert all(x.value == pytest.approx(180.0) for x in d)
+
+
+def test_count_values_aggregation(eng):
+    # round errors to the nearest 300: values 300..600 (api), 600..1200 (db)
+    r = _rows(eng, 'count_values("band", round(errors, 300))')
+    at0 = {x.l: x.value for x in r if x.eval_ms == 300_000}
+    # t=300s: api errors 300 -> band 300, db errors 600 -> band 600
+    assert at0 == {'{"band":"300"}': 1.0, '{"band":"600"}': 1.0}
+    by_job = _rows(eng, 'count_values("band", round(errors, 600)) by (job)')
+    assert all('"job"' in x.l and '"band"' in x.l for x in by_job)
