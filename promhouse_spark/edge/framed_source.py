@@ -147,3 +147,46 @@ class FramedDataSource(DataSource):
 def register_framed_source(spark) -> None:
     """Idempotently register the format with a session."""
     spark.dataSource.register(FramedDataSource)
+
+
+def distributed_restore(storage, framed_path: str, files_per_day: int = 4) -> tuple[int, int]:
+    """Dump-directory → storage at cluster scale: scan promload framed
+    dumps through the ``promframed`` DataSource (one task per file), derive
+    the registry diff as a distinct+anti-join, and append samples through
+    the bulk ``ingest_df`` path — no driver-side TimeSeries loop, unlike
+    ``promload copy file:... store:...`` (which exists for protocol parity,
+    ``cmd/promload/main.go:205-241``; this is the shape you actually run on
+    a cluster against a TB-scale dump).
+
+    Returns (new_series, samples) counts."""
+    from pyspark.sql import functions as F
+
+    from promhouse_spark.schemas import DATE, FINGERPRINT, LABELS
+
+    spark = storage.spark
+    register_framed_source(spark)
+    df = spark.read.format("promframed").load(framed_path)
+    df = df.persist()
+    try:
+        reg = (
+            df.select(
+                FINGERPRINT,
+                F.from_json("labels", "map<string,string>").alias(LABELS),
+            )
+            .dropDuplicates([FINGERPRINT])
+            .withColumn(DATE, F.current_date())
+            .select(DATE, FINGERPRINT, LABELS)
+        )
+        new_reg = reg.join(
+            storage._existing_fingerprints(), FINGERPRINT, "left_anti"
+        ).select(DATE, FINGERPRINT, LABELS)
+        n_new = new_reg.count()
+        if n_new:
+            storage._append_registry(new_reg)
+            storage.reload_registry()
+        samples = df.select(FINGERPRINT, "timestamp_ms", "value")
+        n_samples = samples.count()
+        storage.ingest_df(samples, files_per_day=files_per_day)
+        return n_new, n_samples
+    finally:
+        df.unpersist()

@@ -77,3 +77,27 @@ def test_missing_path_is_an_error(spark):
     register_framed_source(spark)
     with pytest.raises(Exception):
         spark.read.format("promframed").load("/nonexistent/dir").collect()
+
+
+def test_distributed_restore_into_storage(spark, framed_dir, tmp_path):
+    """Dump → storage without a driver-side series loop: the restored
+    store must answer matcher reads identically to protocol-written data,
+    and a second restore of the same dump must add no registry rows
+    (anti-join idempotence)."""
+    from promhouse_spark.edge.framed_source import distributed_restore
+    from promhouse_spark.models import Query, make_matchers
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+
+    store = SparkParquetStorage(spark, str(tmp_path / "restored"))
+    n_series, n_samples = distributed_restore(store, framed_dir)
+    assert n_series == 6 and n_samples == 3 * (5 + 3)
+
+    [res] = store.read(
+        [Query(0, 10_000_000, make_matchers(("__name__", "=", "up"), ("job", "=", "j1")))]
+    )
+    assert len(res) == 1
+    assert [s.value for s in res[0].samples] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+    # idempotent registry: restoring again adds samples but no series
+    n_series2, _ = distributed_restore(store, framed_dir)
+    assert n_series2 == 0
