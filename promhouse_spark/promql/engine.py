@@ -693,10 +693,14 @@ class PromQLEngine:
             ).otherwise(v.cast("string"))
             from promhouse_spark.operators.vector_match import match_labels
 
-            sub = F.map_concat(
+            # the value label overwrites a same-named grouping label
+            # (Prometheus semantics) — pre-filter to avoid Spark's
+            # duplicate-map-key exception
+            base = F.map_filter(
                 match_labels(F.col("labels"), by, without),
-                F.create_map(F.lit(label), vstr),
+                lambda k, _: k != F.lit(label),
             )
+            sub = F.map_concat(base, F.create_map(F.lit(label), vstr))
             from promhouse_spark.functions.labels import labels_map_to_json
 
             out = (

@@ -31,6 +31,7 @@ def sliding_rate(
     range_ms: int = 300_000,
     step_ms: int = 60_000,
     counter: bool = True,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Extrapolated PromQL rate per (fingerprint, epoch-aligned grid
     evaluation): promql/functions.go extrapolatedRate, evaluated wherever
@@ -52,7 +53,7 @@ def sliding_rate(
         F.col(VALUE).cast("double").alias("v"),
     ).withColumn("eval_time", F.timestamp_millis(F.col("eval_ms")))
     if samples_df.isStreaming:
-        exploded = exploded.withWatermark("eval_time", "10 minutes")
+        exploded = exploded.withWatermark("eval_time", watermark)
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("v")))
     )

@@ -405,3 +405,7 @@ def test_count_values_aggregation(eng):
     assert at0 == {'{"band":"300"}': 1.0, '{"band":"600"}': 1.0}
     by_job = _rows(eng, 'count_values("band", round(errors, 600)) by (job)')
     assert all('"job"' in x.l and '"band"' in x.l for x in by_job)
+    # value label colliding with a grouping label overwrites it (no crash)
+    collide = _rows(eng, 'count_values("job", round(errors, 600)) by (job)')
+    assert all(set(x.l.split('"')).__contains__("job") for x in collide)
+    assert all(x.l.count('"job"') == 1 for x in collide)
