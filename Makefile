@@ -5,7 +5,7 @@ SF_SMALL ?= /root/testdata/sf0.001
 SF_GATE  ?= /root/testdata/sf0.01
 SF_BENCH ?= /root/testdata/sf0.1
 
-.PHONY: test oracle oracle-all bench efficiency write-bench serve all
+.PHONY: test oracle oracle-all bench scaling efficiency write-bench serve all
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,10 @@ oracle-all:
 
 bench:
 	SPARK_GRAFT_SF_DIR=$(SF_BENCH) python3 bench.py
+
+scaling:  # sf0.01/0.1/1 curve (generates sf1 into /tmp/phs-sf1 if missing)
+	test -f /tmp/phs-sf1/.complete || (python3 tools/gen_sf.py /tmp/phs-sf1 1.0 && touch /tmp/phs-sf1/.complete)
+	python3 tools/bench_scaling.py
 
 efficiency:
 	python3 tools/storage_efficiency.py $(SF_BENCH)
