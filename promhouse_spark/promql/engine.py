@@ -152,14 +152,41 @@ class PromQLEngine:
         end_ms: int,
         step_ms: int,
         lookback_ms: int = 300_000,
+        tier: str = "raw",
     ) -> "PromQLEngine":
         """Evaluate over a Storage's persisted frames (SparkParquetStorage
         and friends expose ``samples_df``/``registry_df``) — the serving
-        path behind the /api/v1/query_range endpoint."""
+        path behind the /api/v1/query_range endpoint.
+
+        ``tier="rollup"`` evaluates over the attached continuous rollup
+        (one last-value sample per downsample window) instead of raw
+        samples — the coarse-dashboard path that never scans the fact
+        table. Semantics match querying a recorded step-sampled series:
+        gauges and *_over_time are faithful at rollup resolution;
+        counter rate/increase lose intra-window resets (same caveat as
+        any recording-rule pre-aggregation — use raw for counters)."""
         series = storage.registry_df().select("fingerprint", "labels")
-        return cls(
-            storage.samples_df(), series, start_ms, end_ms, step_ms, lookback_ms
-        )
+        if tier == "rollup":
+            if not getattr(storage, "_rollup_path", None):
+                raise ValueError("tier='rollup' requires storage.attach_rollup(...)")
+            from promhouse_spark.streaming.rollup import merge_rollup
+
+            partials = storage.spark.read.parquet(storage._rollup_path)
+            # stamp each window at its END: that is when its last value is
+            # current — stamping at the start would leak the window's later
+            # samples into earlier instant reads (lookahead)
+            samples = merge_rollup(partials).select(
+                "fingerprint",
+                (F.col("window_start_ms") + F.lit(storage._rollup_step_ms)).alias(
+                    "timestamp_ms"
+                ),
+                F.col("last_value").alias("value"),
+            )
+        elif tier == "raw":
+            samples = storage.samples_df()
+        else:
+            raise ValueError(f"unknown tier: {tier}")
+        return cls(samples, series, start_ms, end_ms, step_ms, lookback_ms)
 
     def eval(self, src: str | object) -> DataFrame:
         node = parse(src) if isinstance(src, str) else src

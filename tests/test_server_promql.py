@@ -188,3 +188,49 @@ def test_recording_rules_materialize_and_requery(spark, tmp_path):
         r["labels"]["__name__"] for r in store.registry_df().collect()
     }
     assert "job:requests:rate2m" in names
+
+
+def test_promql_over_rollup_tier(spark, tmp_path):
+    """tier='rollup': the engine evaluates over the continuous rollup's
+    step-sampled last values — instant vectors equal the per-window last
+    raw sample, max_over_time composes faithfully, and the fact table is
+    never in the plan."""
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.schemas import SAMPLES_SCHEMA
+    from promhouse_spark.streaming.rollup import downsample_partial
+
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+    store.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "g"), Label("job", "x")],
+                samples=[
+                    Sample(value=float(i), timestamp_ms=T0 + i * 60_000)
+                    for i in range(10)
+                ],
+            )
+        ]
+    )
+    rollup = str(tmp_path / "rollup")
+    downsample_partial(store.samples_df(), step_ms=300_000).write.mode(
+        "append"
+    ).parquet(rollup)
+    store.attach_rollup(rollup, step_ms=300_000)
+
+    eng = PromQLEngine.from_storage(
+        store, T0 + 300_000, T0 + 600_000, 300_000, lookback_ms=600_000,
+        tier="rollup",
+    )
+    got = {r.eval_ms - T0: r.value for r in eng.eval("g").collect()}
+    # windows stamp at their END: [0,300k) -> point at 300k value 4.0
+    # (samples 0..4), [300k,600k) -> point at 600k value 9.0 (samples 5..9);
+    # no lookahead — the instant at 300k must NOT see samples after 300k
+    assert got[300_000] == 4.0
+    assert got[600_000] == 9.0
+    mx = eng.eval("max_over_time(g[10m])").collect()
+    assert {r.eval_ms - T0: r.value for r in mx}[600_000] == 9.0
+    with pytest.raises(ValueError):
+        PromQLEngine.from_storage(store, 0, 1, 1, tier="rollup2")
+    s2 = SparkParquetStorage(spark, str(tmp_path / "bare"))
+    with pytest.raises(ValueError):
+        PromQLEngine.from_storage(s2, 0, 1, 1, tier="rollup")
