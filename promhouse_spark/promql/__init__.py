@@ -36,9 +36,8 @@ and the oracle-paired ph_promql_* registry queries):
   label values, series) in edge/http.py.
 
 Documented divergences: /0 yields NULL (Spark non-ANSI) not ±Inf;
-``@`` on range selectors and ``absent_over_time`` are not compiled (the
-standalone operators cover the batch use); NaN ordering in topk follows
-Spark sort order.
+``absent_over_time`` is not compiled (the standalone operator covers the
+batch use); NaN ordering in topk follows Spark sort order.
 """
 
 from promhouse_spark.promql.engine import PromQLEngine

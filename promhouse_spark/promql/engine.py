@@ -32,9 +32,8 @@ explode; ``absent`` reconstructs labels from equality matchers;
 Known divergences (documented, not silent): float division by zero yields
 NULL (Spark non-ANSI) where PromQL emits ±Inf/NaN; NaN ordering in
 topk/bottomk follows Spark's NULL/NaN sort rather than Prometheus's
-heap-order; ``absent_over_time`` and ``@`` on range selectors are not
-compiled (the standalone operators in operators/promql_lite.py cover the
-batch use)."""
+heap-order; ``absent_over_time`` is not compiled (the standalone
+operator in operators/promql_lite.py covers the batch use)."""
 
 from __future__ import annotations
 
@@ -195,6 +194,15 @@ class PromQLEngine:
             return self._scalar_frame(out)
         return out
 
+    def explain(self, src: str | object, mode: str = "formatted") -> str:
+        """The compiled physical plan of a PromQL expression — the
+        plan-audit hook (`.explain("formatted")` as a string, so callers
+        can grep for Exchange/joins without stdout capture)."""
+        df = self.eval(src)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     # -- scaffolding --------------------------------------------------------
 
     def _grid(self) -> Column:
@@ -291,11 +299,6 @@ class PromQLEngine:
         epoch-aligned grid and whose output points then feed the same
         sliding-window explode (prometheus/promql subquery semantics)."""
         if isinstance(arg, RangeSelector):
-            if arg.selector.at_ms is not None:
-                raise ValueError(
-                    "@ on range selectors is not supported; pin via a "
-                    "subquery or offset instead"
-                )
             samples, series = self._selected(arg.selector)
             return self._explode_to_grid(samples, arg.range_ms), series, arg.range_ms
         if isinstance(arg, Subquery):
@@ -379,6 +382,28 @@ class PromQLEngine:
         return agg.select("fingerprint", "eval_ms", value.alias("value"))
 
     def _range_call(self, func: str, node: Call) -> DataFrame:
+        args0 = node.args[0] if node.args else None
+        if (
+            isinstance(args0, RangeSelector)
+            and args0.selector.at_ms is not None
+        ):
+            # @ on a range selector: evaluate the function ONCE at the
+            # pinned timestamp, broadcast the result across the grid
+            import dataclasses
+
+            at = args0.selector.at_ms
+            sub = PromQLEngine(
+                self.samples, self.series, at, at, max(self.step_ms, 1),
+                self.lookback_ms,
+            )
+            sel = dataclasses.replace(args0.selector, at_ms=None)
+            pinned = sub._range_call(
+                func, Call(node.func, [RangeSelector(sel, args0.range_ms), *node.args[1:]])
+            )
+            spark = self.samples.sparkSession
+            return pinned.select("labels", "value").crossJoin(
+                spark.range(1).select(self._grid())
+            ).select("labels", "eval_ms", "value")
         q_param = None
         args = node.args
         if func == "quantile_over_time":

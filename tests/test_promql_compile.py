@@ -343,8 +343,11 @@ def test_at_modifier(eng):
     by_t = {x.eval_ms: x.value for x in ratio}
     assert by_t[300_000] == pytest.approx(300.0 / 420.0)
     assert by_t[600_000] == pytest.approx(600.0 / 420.0)
-    with pytest.raises(ValueError, match="@ on range"):
-        eng.eval("rate(errors[2m] @ 420)")
+    # @ on a range selector: the function evaluates once at the pin and
+    # broadcasts — rate at t=420s is the constant slope on every grid point
+    pinned = _rows(eng, 'rate(errors{job="api"}[2m] @ 420)')
+    assert len(pinned) == 6
+    assert all(x.value == pytest.approx(1.0) for x in pinned)
 
 
 def test_holt_winters_compiled(eng):
