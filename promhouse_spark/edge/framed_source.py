@@ -118,6 +118,21 @@ class FramedWriter(DataSourceWriter):
         return _Committed(out, n)
 
     def commit(self, messages):
+        # honor mode("overwrite"): drop any pre-existing framed parts that
+        # this job did NOT write — otherwise a re-run silently appends a
+        # second copy of every sample next to the old dump
+        if self.overwrite:
+            import glob
+
+            kept = {
+                m.path for m in messages if m is not None and getattr(m, "path", "")
+            }
+            for f in glob.glob(os.path.join(self.path, "*.framed")):
+                if f not in kept:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
         return None
 
     def abort(self, messages):

@@ -36,8 +36,11 @@ Scale shape: everything is built-in column expressions + one equi-join or
 keyed aggregation on (timestamp, canonical-key) — map-side combinable,
 AQE-skew-splittable, no UDFs, no window over the fact table.
 
-Division by zero follows Spark's non-ANSI NULL (PromQL emits IEEE ±Inf);
-registered queries sidestep the divergence with NULLIF fixed-point forms.
+Float semantics are IEEE-754 exactly as promql/engine.go: division by
+zero yields ±Inf/NaN (not Spark's non-ANSI NULL), x % 0 is NaN, and
+comparisons involving NaN are false (!= true) rather than following
+Spark's NaN-is-largest ordering. topk/bottomk place NaN series last in
+both directions, matching Prometheus's heap order.
 """
 
 from __future__ import annotations
@@ -50,21 +53,57 @@ from promhouse_spark.functions.labels import labels_map_to_json
 
 NAME_LABEL = "__name__"
 
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def ieee_div(l: Column, r: Column) -> Column:
+    """IEEE-754 division exactly as PromQL (Go float64 `/`): x/0 is ±Inf by
+    the sign of x, 0/0 and NaN/0 are NaN — where Spark's non-ANSI `/`
+    yields NULL. The NaN guard comes FIRST because Spark orders NaN above
+    every number, so a bare `l > 0` would send NaN/0 to +Inf."""
+    return F.when(r != 0, l / r).otherwise(
+        F.when(F.isnan(l) | (l == 0), F.lit(_NAN))
+        .when(l > 0, F.lit(_INF))
+        .otherwise(F.lit(-_INF))
+    )
+
+
+def ieee_mod(l: Column, r: Column) -> Column:
+    """Go math.Mod: x % 0 is NaN (Spark `%` gives NULL)."""
+    return F.when(r != 0, l % r).otherwise(F.lit(_NAN))
+
+
+def _ieee_cmp(op: str) -> Callable[[Column, Column], Column]:
+    """IEEE comparison semantics (PromQL): any comparison involving NaN is
+    false, except != which is true. Spark's own operators instead treat
+    NaN = NaN as true and NaN as greater than every number."""
+    raw = {
+        "==": lambda l, r: l == r,
+        "!=": lambda l, r: l != r,
+        ">": lambda l, r: l > r,
+        "<": lambda l, r: l < r,
+        ">=": lambda l, r: l >= r,
+        "<=": lambda l, r: l <= r,
+    }[op]
+
+    def cmp(l: Column, r: Column) -> Column:
+        has_nan = F.isnan(l) | F.isnan(r)
+        return F.when(has_nan, F.lit(op == "!=")).otherwise(raw(l, r))
+
+    return cmp
+
+
 _ARITH: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
-    "%": lambda l, r: l % r,
+    "/": ieee_div,
+    "%": ieee_mod,
     "^": lambda l, r: F.pow(l, r),
 }
 _CMP: dict[str, Callable[[Column, Column], Column]] = {
-    "==": lambda l, r: l == r,
-    "!=": lambda l, r: l != r,
-    ">": lambda l, r: l > r,
-    "<": lambda l, r: l < r,
-    ">=": lambda l, r: l >= r,
-    "<=": lambda l, r: l <= r,
+    op: _ieee_cmp(op) for op in ("==", "!=", ">", "<", ">=", "<=")
 }
 
 
@@ -291,7 +330,11 @@ def topk_by(
     count is the series cardinality, never the sample count."""
     key = match_key(F.col(labels_col), by, without)
     v = F.col(value_col).cast("double")
-    order = [v.asc() if bottom else v.desc(), labels_map_to_json(labels_col)]
+    # Prometheus's heap keeps any non-NaN over NaN in BOTH directions
+    # (engine.go: `math.IsNaN(heap[0].V) || s.V > heap[0].V`), so NaN sorts
+    # last here too — Spark's own desc order would put NaN first
+    nan_last = F.coalesce(F.isnan(v), F.lit(False)).asc()
+    order = [nan_last, v.asc() if bottom else v.desc(), labels_map_to_json(labels_col)]
     w = W.partitionBy(F.col(time_col), key).orderBy(*order)
     return (
         vec.withColumn("rank", F.row_number().over(w))

@@ -29,11 +29,12 @@ epoch-aligned grid and feed its points through the same sliding-window
 explode; ``absent`` reconstructs labels from equality matchers;
 ``@`` pins instant selectors to a fixed evaluation.
 
-Known divergences (documented, not silent): float division by zero yields
-NULL (Spark non-ANSI) where PromQL emits ±Inf/NaN; NaN ordering in
-topk/bottomk follows Spark's NULL/NaN sort rather than Prometheus's
-heap-order; ``absent_over_time`` is not compiled (the standalone
-operator in operators/promql_lite.py covers the batch use)."""
+Float semantics are IEEE-754 exactly as promql/engine.go: x/0 → ±Inf,
+0/0 and x%0 → NaN, comparisons with NaN false (!= true), and topk/bottomk
+place NaN last in both directions (operators/vector_match.py ieee_* ops).
+Scalar-TYPED expressions (scalar(), pi(), time(), arithmetic over them)
+take scalar-vector matching — join on evaluation time only — per
+PromQL's static typing, not empty-labels vector matching."""
 
 from __future__ import annotations
 
@@ -42,7 +43,15 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from promhouse_spark.operators.asof import instant_vector
-from promhouse_spark.operators.vector_match import agg_by, binop, match_key, topk_by
+from promhouse_spark.operators.vector_match import (
+    _CMP as _VM_CMP,
+    agg_by,
+    binop,
+    ieee_div,
+    ieee_mod,
+    match_key,
+    topk_by,
+)
 from promhouse_spark.promql.parser import (
     Aggregation,
     BinaryOp,
@@ -63,18 +72,28 @@ _ARITH = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
-    "%": lambda l, r: l % r,
+    "/": ieee_div,
+    "%": ieee_mod,
     "^": lambda l, r: F.pow(l, r),
 }
-_CMP = {
-    "==": lambda l, r: l == r,
-    "!=": lambda l, r: l != r,
-    ">": lambda l, r: l > r,
-    "<": lambda l, r: l < r,
-    ">=": lambda l, r: l >= r,
-    "<=": lambda l, r: l <= r,
-}
+_CMP = _VM_CMP  # IEEE NaN comparison semantics, shared with binop
+
+
+def is_scalar_expr(node) -> bool:
+    """PromQL static typing: is this expression scalar-typed? Scalar-typed
+    expressions compile to frames with EMPTY labels whose match key never
+    equals a vector's — they must take scalar-vector binop semantics (join
+    on evaluation time only), exactly as promql/parser typechecking routes
+    them in Prometheus."""
+    if isinstance(node, NumberLiteral):
+        return True
+    if isinstance(node, Unary):
+        return is_scalar_expr(node.expr)
+    if isinstance(node, Call):
+        return node.func in ("scalar", "pi", "time")
+    if isinstance(node, BinaryOp):
+        return is_scalar_expr(node.lhs) and is_scalar_expr(node.rhs)
+    return False
 
 # range-vector aggregations with a direct Spark aggregate
 _SIMPLE_OVER_TIME = {
@@ -513,8 +532,10 @@ class PromQLEngine:
                 ).filter(F.col("value").isNotNull())
         else:
             raise ValueError(f"unsupported range function: {func}")
-        # range functions drop the metric name (engine.go dropMetricName)
-        return self._attach(out, series, drop_name=True)
+        # range functions drop the metric name (engine.go dropMetricName) —
+        # EXCEPT last_over_time, which Prometheus treats like an offset
+        # selector and keeps __name__ (engine.go funcs-with-name special case)
+        return self._attach(out, series, drop_name=func != "last_over_time")
 
     # -- compile -------------------------------------------------------------
 
@@ -592,11 +613,15 @@ class PromQLEngine:
             )
         if func == "scalar":
             vec = self._compile(node.args[0])
-            # scalar(v): the single series' value per eval; NaN when 0 or >1
+            # scalar(v): the single series' value per eval; NaN when 0 or
+            # >1. Left-join from the full grid so evaluations with ZERO
+            # input series still emit a NaN row (Prometheus returns NaN at
+            # every step, never a gap)
             counted = vec.groupBy("eval_ms").agg(
                 F.count("*").alias("n"), F.first("value").alias("v")
             )
-            return counted.select(
+            grid = self.samples.sparkSession.range(1).select(self._grid())
+            return grid.join(counted, "eval_ms", "left").select(
                 F.create_map().cast("map<string,string>").alias("labels"),
                 "eval_ms",
                 F.when(F.col("n") == 1, F.col("v"))
@@ -659,31 +684,43 @@ class PromQLEngine:
             )
         if func == "absent":
             vec = self._compile(node.args[0])
-            # output labels from the equality matchers of a plain selector
-            # (promql/functions.go createLabelsForAbsentFunction)
-            entries = {}
+            return self._absent_complement(vec.select("eval_ms"), node.args[0])
+        if func == "absent_over_time":
+            # same grid-complement machinery as absent, over the sliding
+            # range window: 1 at evaluations whose (t-range, t] window holds
+            # NO sample of any matched series, empty otherwise
+            frame, _series, _rng = self._range_input(node.args[0])
             sel = node.args[0]
-            if isinstance(sel, VectorSelector):
-                if sel.name:
-                    entries[NAME] = sel.name
-                for m in sel.matchers:
-                    if m.op == "=":
-                        entries[m.name] = m.value
-            entries.pop(NAME, None)  # absent() drops the metric name
-            label_lit = (
-                F.create_map(
-                    *[x for k, v in sorted(entries.items()) for x in (F.lit(k), F.lit(v))]
-                )
-                if entries
-                else F.create_map().cast("map<string,string>")
-            )
-            spark = self.samples.sparkSession
-            grid = spark.range(1).select(self._grid())
-            present = vec.select("eval_ms").distinct()
-            return grid.join(present, "eval_ms", "left_anti").select(
-                label_lit.alias("labels"), "eval_ms", F.lit(1.0).alias("value")
-            )
+            if isinstance(sel, RangeSelector):
+                sel = sel.selector
+            return self._absent_complement(frame.select("eval_ms"), sel)
         raise ValueError(f"unsupported function: {func}")
+
+    def _absent_complement(self, present_evals: DataFrame, sel) -> DataFrame:
+        """Grid rows where the input produced nothing, labeled from the
+        equality matchers of a plain selector
+        (promql/functions.go createLabelsForAbsentFunction)."""
+        entries = {}
+        if isinstance(sel, VectorSelector):
+            if sel.name:
+                entries[NAME] = sel.name
+            for m in sel.matchers:
+                if m.op == "=":
+                    entries[m.name] = m.value
+        entries.pop(NAME, None)  # absent() drops the metric name
+        label_lit = (
+            F.create_map(
+                *[x for k, v in sorted(entries.items()) for x in (F.lit(k), F.lit(v))]
+            )
+            if entries
+            else F.create_map().cast("map<string,string>")
+        )
+        spark = self.samples.sparkSession
+        grid = spark.range(1).select(self._grid())
+        present = present_evals.distinct()
+        return grid.join(present, "eval_ms", "left_anti").select(
+            label_lit.alias("labels"), "eval_ms", F.lit(1.0).alias("value")
+        )
 
     def _histogram_quantile(self, node: Call) -> DataFrame:
         q = node.args[0]
@@ -782,34 +819,78 @@ class PromQLEngine:
     def _binop(self, node: BinaryOp) -> DataFrame | float:
         lhs = self._compile(node.lhs)
         rhs = self._compile(node.rhs)
-        l_scalar, r_scalar = isinstance(lhs, float), isinstance(rhs, float)
+        l_float, r_float = isinstance(lhs, float), isinstance(rhs, float)
+        # scalar-TYPED frames (scalar(), pi(), time(), arithmetic over
+        # them) must take scalar semantics too: their empty-labels match
+        # key never equals a vector's, so vector matching would silently
+        # return zero rows
+        l_scalar = l_float or is_scalar_expr(node.lhs)
+        r_scalar = r_float or is_scalar_expr(node.rhs)
         if node.op in ("and", "or", "unless"):
             if l_scalar or r_scalar:
                 raise ValueError(f"set operator {node.op} requires vectors")
             return self._set_op(node, lhs, rhs)
         is_cmp = node.op in _CMP
         op_fn = _CMP[node.op] if is_cmp else _ARITH[node.op]
-        if l_scalar and r_scalar:
+        if is_cmp and l_scalar and r_scalar and not node.bool_mode:
+            raise ValueError("comparisons between scalars must use bool modifier")
+        if l_float and r_float:
             if is_cmp:
-                if not node.bool_mode:
-                    raise ValueError(
-                        "comparisons between scalars must use bool modifier"
-                    )
                 return float(_PY_CMP[node.op](lhs, rhs))
             return float(_PY_ARITH[node.op](lhs, rhs))
-        if l_scalar or r_scalar:
+        drop_name = F.map_filter("labels", lambda k, _: k != F.lit(NAME))
+        if l_float or r_float:
             vec, scalar, flipped = (
-                (rhs, lhs, True) if l_scalar else (lhs, rhs, False)
+                (rhs, lhs, True) if l_float else (lhs, rhs, False)
             )
             lcol = F.lit(scalar) if flipped else F.col("value")
             rcol = F.col("value") if flipped else F.lit(scalar)
-            if is_cmp and not node.bool_mode:
+            other_scalar = r_scalar if flipped else l_scalar
+            if is_cmp and not node.bool_mode and not other_scalar:
                 return vec.filter(op_fn(lcol, rcol))
             value = op_fn(lcol, rcol)
             if is_cmp:
                 value = value.cast("double")
+            labels = (
+                F.create_map().cast("map<string,string>")
+                if other_scalar
+                else drop_name
+            )
             return vec.select(
-                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                labels.alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        if l_scalar and r_scalar:
+            # scalar frame OP scalar frame: one row per evaluation on each
+            # side — join on the eval time, empty output labels
+            l2 = lhs.select("eval_ms", F.col("value").alias("__l"))
+            r2 = rhs.select("eval_ms", F.col("value").alias("__r"))
+            value = op_fn(F.col("__l"), F.col("__r"))
+            if is_cmp:
+                value = value.cast("double")  # bool_mode enforced above
+            return l2.join(r2, "eval_ms").select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                "eval_ms",
+                value.cast("double").alias("value"),
+            )
+        if l_scalar or r_scalar:
+            # scalar frame OP vector: Prometheus scalar-vector semantics —
+            # match on evaluation time ONLY (engine.go VectorscalarBinop)
+            vec, sc, flipped = (rhs, lhs, True) if l_scalar else (lhs, rhs, False)
+            scv = sc.select("eval_ms", F.col("value").alias("__sv"))
+            joined = vec.join(scv, "eval_ms")
+            lcol = F.col("__sv") if flipped else F.col("value")
+            rcol = F.col("value") if flipped else F.col("__sv")
+            if is_cmp and not node.bool_mode:
+                return joined.filter(op_fn(lcol, rcol)).select(
+                    "labels", "eval_ms", "value"
+                )
+            value = op_fn(lcol, rcol)
+            if is_cmp:
+                value = value.cast("double")
+            return joined.select(
+                drop_name.alias("labels"),
                 "eval_ms",
                 value.cast("double").alias("value"),
             )

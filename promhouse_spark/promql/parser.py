@@ -126,7 +126,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<WS>\s+)
     | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)(?:\d+(?:ms|s|m|h|d|w|y))*)
-    | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
+    | (?P<NUMBER>0[xX][0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)
     | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
     | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>:@])
     | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
@@ -329,7 +329,11 @@ class Parser:
             return e
         if t.kind == "NUMBER":
             self.next()
-            return NumberLiteral(float(int(t.text, 16)) if t.text.startswith("0x") else float(t.text))
+            return NumberLiteral(
+                float(int(t.text, 16))
+                if t.text[:2].lower() == "0x"
+                else float(t.text)
+            )
         if t.kind == "STRING":
             self.next()
             raw = t.text[1:-1]
@@ -338,6 +342,9 @@ class Parser:
             )
         if t.kind == "IDENT":
             name = self.next().text
+            if name.lower() in ("inf", "nan"):
+                # Prometheus lexes inf/nan (any case) as number literals
+                return NumberLiteral(float(name))
             if name in AGG_OPS:
                 return self._aggregation(name)
             if self.peek().text == "(":
@@ -370,12 +377,16 @@ class Parser:
         return Aggregation(op, first, by=by, without=without, param=param)
 
     def _call(self, func: str) -> Call:
+        # commas between arguments are REQUIRED (prometheus/promql/parser
+        # grammar) — a comma-optional loop would silently mis-parse a
+        # malformed call like f(a b) as two arguments
         self.expect("(")
         args = []
-        while self.peek().text != ")":
+        if self.peek().text != ")":
             args.append(self.parse_expr())
-            if self.peek().text == ",":
+            while self.peek().text == ",":
                 self.next()
+                args.append(self.parse_expr())
         self.expect(")")
         return Call(func, args)
 

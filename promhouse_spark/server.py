@@ -1,4 +1,4 @@
-"""Server entry point mirroring the reference CLI
+r"""Server entry point mirroring the reference CLI
 (``cmd/promhouse/main.go:157-162``):
 
     python -m promhouse_spark.server --listen-prom-addr 127.0.0.1:7781 \\

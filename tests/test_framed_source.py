@@ -101,3 +101,24 @@ def test_distributed_restore_into_storage(spark, framed_dir, tmp_path):
     # idempotent registry: restoring again adds samples but no series
     n_series2, _ = distributed_restore(store, framed_dir)
     assert n_series2 == 0
+
+
+def test_overwrite_mode_replaces_existing_parts(spark, framed_dir, tmp_path):
+    """mode('overwrite') must not leave the previous run's parts behind —
+    a re-run would otherwise silently double every sample in the dump."""
+    register_framed_source(spark)
+    df = spark.read.format("promframed").load(framed_dir)
+    out = str(tmp_path / "ow")
+    df.repartition(2).write.format("promframed").mode("append").save(out)
+    first = set(glob.glob(out + "/*.framed"))
+    assert first
+    df.repartition(1).write.format("promframed").mode("overwrite").save(out)
+    second = set(glob.glob(out + "/*.framed"))
+    assert not (first & second)  # old parts are gone
+    back = spark.read.format("promframed").load(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # append after overwrite still accumulates (no accidental clearing)
+    df.repartition(1).write.format("promframed").mode("append").save(out)
+    assert spark.read.format("promframed").load(out).count() == 2 * df.count()

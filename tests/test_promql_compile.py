@@ -412,3 +412,144 @@ def test_count_values_aggregation(eng):
     collide = _rows(eng, 'count_values("job", round(errors, 600)) by (job)')
     assert all(set(x.l.split('"')).__contains__("job") for x in collide)
     assert all(x.l.count('"job"') == 1 for x in collide)
+
+
+# ---- round 7: Prometheus-faithful floats, scalars, lexer ------------------
+
+
+def test_parse_number_literals():
+    # exponent, hex, Inf/NaN keywords (prometheus/promql lexer)
+    assert parse("1e3").value == 1000.0
+    assert parse("2.5e-2").value == 0.025
+    assert parse("0xFF").value == 255.0
+    assert parse("0X10").value == 16.0
+    assert math.isinf(parse("Inf").value)
+    assert math.isinf(parse("inf").value)
+    r = parse("-Inf")
+    assert isinstance(r, Unary) and math.isinf(r.expr.value)
+    assert math.isnan(parse("NaN").value)
+    assert math.isnan(parse("nan").value)
+
+
+def test_call_arguments_require_commas():
+    with pytest.raises(ValueError):
+        parse("clamp(m 0 1)")
+    with pytest.raises(ValueError):
+        parse("rate(m[5m] foo)")
+    # zero-arg and trailing-comma shapes
+    assert parse("pi()").func == "pi"
+    with pytest.raises(ValueError):
+        parse("clamp(m, 0, 1,)")
+
+
+def test_ieee_division_by_zero(eng):
+    # errors > 0 everywhere on the grid: x/0 = +Inf
+    r = _rows(eng, "errors / (errors - errors)")
+    assert r and all(math.isinf(x.value) and x.value > 0 for x in r)
+    # 0/0 = NaN
+    r = _rows(eng, "(errors - errors) / (errors - errors)")
+    assert r and all(math.isnan(x.value) for x in r)
+    # -x/0 = -Inf
+    r = _rows(eng, "(0 - errors) / (errors - errors)")
+    assert r and all(math.isinf(x.value) and x.value < 0 for x in r)
+    # x % 0 = NaN
+    r = _rows(eng, "errors % (errors - errors)")
+    assert r and all(math.isnan(x.value) for x in r)
+    # scalar-side division by zero takes the same IEEE path
+    r = _rows(eng, "errors / 0")
+    assert r and all(math.isinf(x.value) and x.value > 0 for x in r)
+
+
+def test_ieee_nan_comparisons(eng):
+    # NaN == NaN is FALSE (Spark's native semantics would say true)
+    r = _rows(
+        eng,
+        "((errors - errors) / (errors - errors)) "
+        "== bool ((errors - errors) / (errors - errors))",
+    )
+    assert r and all(x.value == 0.0 for x in r)
+    # NaN != NaN is TRUE
+    r = _rows(
+        eng,
+        "((errors - errors) / (errors - errors)) "
+        "!= bool ((errors - errors) / (errors - errors))",
+    )
+    assert r and all(x.value == 1.0 for x in r)
+
+
+def test_scalar_as_binop_operand(eng):
+    # scalar() as an operand joins on eval time only (VectorscalarBinop);
+    # empty-labels vector matching would return ZERO rows here
+    r = _rows(eng, "errors / scalar(sum(total))")
+    assert len(r) == 12  # 2 jobs x 6 evals
+    by = {(x.l, x.eval_ms): x.value for x in r}
+    # at t=300s: errors api=300, db=600; total sum=3000+6000=9000
+    assert by[('{"job":"api"}', 300_000)] == pytest.approx(300.0 / 9000.0)
+    assert by[('{"job":"db"}', 300_000)] == pytest.approx(600.0 / 9000.0)
+    # flipped operand order
+    r = _rows(eng, "scalar(sum(total)) / errors")
+    assert len(r) == 12
+    # scalar OP scalar (both compiled frames): empty labels, one row/eval
+    r = _rows(eng, "scalar(sum(errors)) / scalar(sum(total))")
+    assert len(r) == 6 and all(x.l == "{}" for x in r)
+    assert r[0].value == pytest.approx(900.0 / 9000.0)
+    # time() is scalar-typed too
+    r = _rows(eng, "errors - errors + time()")
+    assert len(r) == 12
+    assert all(x.value == pytest.approx(x.eval_ms / 1000.0) for x in r)
+
+
+def test_scalar_comparisons_require_bool(eng):
+    with pytest.raises(ValueError):
+        eng.eval("scalar(errors) > 2")
+    with pytest.raises(ValueError):
+        eng.eval("2 > scalar(total)")
+    with pytest.raises(ValueError):
+        eng.eval("pi() > time()")
+    r = _rows(eng, "pi() > bool 2")
+    assert len(r) == 6 and all(x.value == 1.0 and x.l == "{}" for x in r)
+
+
+def test_scalar_empty_input_emits_nan_rows(eng):
+    # zero matched series: one NaN row per grid step, not missing steps
+    r = _rows(eng, "scalar(no_such_metric)")
+    assert len(r) == 6
+    assert [x.eval_ms for x in r] == list(range(300_000, 600_001, 60_000))
+    assert all(math.isnan(x.value) for x in r)
+
+
+def test_last_over_time_keeps_metric_name(eng):
+    r = _rows(eng, "last_over_time(errors[1m])")
+    assert r and all('"__name__":"errors"' in x.l for x in r)
+    # ... which makes it set-operate against the bare selector
+    r2 = _rows(eng, "last_over_time(errors[1m]) or errors")
+    assert len(r2) == len(r)
+    # every other range function still drops the name
+    r3 = _rows(eng, "max_over_time(errors[1m])")
+    assert r3 and all("__name__" not in x.l for x in r3)
+
+
+def test_absent_over_time_compiled(eng):
+    r = _rows(eng, "absent_over_time(no_such_metric[5m])")
+    assert len(r) == 6 and all(x.value == 1.0 and x.l == "{}" for x in r)
+    r = _rows(eng, 'absent_over_time(no_such_metric{job="api"}[5m])')
+    assert all(x.l == '{"job":"api"}' for x in r) and len(r) == 6
+    assert _rows(eng, "absent_over_time(errors[5m])") == []
+    # subquery input works through the same machinery
+    r = _rows(eng, "absent_over_time(no_such_metric[4m:1m])")
+    assert len(r) == 6
+
+
+def test_topk_bottomk_nan_last(eng):
+    # vector mixing a finite series (api) and a NaN series (db):
+    # Prometheus's heap prefers any number over NaN in BOTH directions
+    q = (
+        '(errors{job="api"} - errors{job="api"} + 7) '
+        'or ((errors - errors) / (errors - errors))'
+    )
+    mixed = _rows(eng, q)
+    assert len(mixed) == 12  # api finite, db NaN
+    top = _rows(eng, f"topk(1, {q})")
+    assert len(top) == 6 and all(x.value == 7.0 for x in top)
+    bot = _rows(eng, f"bottomk(1, {q})")
+    assert len(bot) == 6 and all(x.value == 7.0 for x in bot)

@@ -55,11 +55,17 @@ def test_posix_class_divergence_documented(spark):
     divergence is symmetric (our two evaluators agree with each other, both
     differ from RE2) — callers migrating PromQL configs with POSIX classes
     must rewrite to ``\\p{Alpha}`` / ``[a-zA-Z]``."""
+    import warnings
+
     df = spark.createDataFrame([(0, {"x": "abc"})], "id long, labels map<string,string>")
     m = Matcher("x", MatchType.RE, "[[:alpha:]]+")
     rows = df.filter(matchers_to_column([m])).collect()
     assert len(rows) == 0  # RE2 would match 'abc'; Java does not
-    assert m.matches({"x": "abc"}) is False  # python evaluator agrees with Java
+    with warnings.catch_warnings():
+        # the "Possible nested set" FutureWarning IS the documented
+        # divergence this probe pins — Python sees a literal [[...]] class
+        warnings.simplefilter("ignore", FutureWarning)
+        assert m.matches({"x": "abc"}) is False  # python agrees with Java
     # the RE2-equivalent spelling works in both evaluators:
     m2 = Matcher("x", MatchType.RE, "[a-zA-Z]+")
     assert m2.matches({"x": "abc"})
