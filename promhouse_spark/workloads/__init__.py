@@ -27,6 +27,7 @@ from promhouse_spark.workloads import llmdata4 as _llmdata4
 from promhouse_spark.workloads import promql2 as _promql2
 from promhouse_spark.workloads import promql3 as _promql3
 from promhouse_spark.workloads import promql4 as _promql4
+from promhouse_spark.workloads import promql5 as _promql5
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 from promhouse_spark.workloads import tpch3 as _tpch3
@@ -43,6 +44,7 @@ _ALL_QUERIES = {
     **_promql2.QUERIES,
     **_promql3.QUERIES,
     **_promql4.QUERIES,
+    **_promql5.QUERIES,
     **_extra.QUERIES,
 }
 
@@ -128,6 +130,7 @@ ORACLES = {
     **_promql2.ORACLES,
     **_promql3.ORACLES,
     **_promql4.ORACLES,
+    **_promql5.ORACLES,
     **_extra.ORACLES,
 }
 

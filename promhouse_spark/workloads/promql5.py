@@ -1,0 +1,119 @@
+"""Compiled-PromQL workloads, round 7: the scalar-vector matching path,
+IEEE NaN float semantics, and compiled ``absent_over_time`` — the three
+behaviors the engine gained this round, each proven differentially against
+a DuckDB replay (the same model as workloads/promql4).
+
+Series model shared with promql4: one series per (user, event_type) over
+the events stream, labels {__name__: "events", user, type}.
+
+Inf stays out of registered outputs deliberately: the driver's float
+normalizer int-casts integral floats, which overflows on ±Inf — the
+±Inf/0-division semantics are pinned by tests/test_promql_compile.py
+instead. NaN normalizes cleanly on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.workloads.promql2 import _END_MS, _START_MS, _STEP_MS
+from promhouse_spark.workloads.promql3 import _SAMPLES_CTE, _vec_ctes
+from promhouse_spark.workloads.promql4 import _engine
+
+
+def ph_promql_scalar_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum by (type) (events) / scalar(sum(events))`` compiled from text:
+    each event type's share of the whole corpus per grid hour. scalar() as
+    a binary-op operand takes scalar-vector matching (join on evaluation
+    time ONLY — promql/engine.go VectorscalarBinop); empty-labels vector
+    matching would return zero rows here."""
+    eng = _engine(spark, sf_dir)
+    out = eng.eval("sum by (type) (events) / scalar(sum(events))")
+    return out.select(
+        F.element_at("labels", "type").alias("event_type"),
+        "eval_ms",
+        F.round("value", 4).alias("share"),
+    ).orderBy("event_type", "eval_ms")
+
+
+PH_PROMQL_SCALAR_DIV_SQL = f"""
+WITH {_SAMPLES_CTE},
+{_vec_ctes("utvec", "TRUE", "user_id, event_type")},
+num AS (
+  SELECT event_type, eval_ms, sum(value) AS v FROM utvec GROUP BY 1, 2
+),
+den AS (
+  SELECT eval_ms, sum(value) AS s FROM utvec GROUP BY 1
+)
+SELECT n.event_type, n.eval_ms, round(n.v / d.s, 4) AS share
+FROM num n JOIN den d USING (eval_ms)
+ORDER BY event_type, eval_ms
+"""
+
+
+def ph_promql_absent_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``absent_over_time(events{user="7", type="error"}[1h])`` compiled
+    from text: the grid hours whose trailing 1 h window (t-1h, t] holds NO
+    error event from user 7 — the per-series scrape-loss probe, served
+    straight from the PromQL front-end."""
+    eng = _engine(spark, sf_dir)
+    out = eng.eval('absent_over_time(events{user="7", type="error"}[1h])')
+    return out.select(
+        "eval_ms", F.col("value").cast("long").alias("absent")
+    ).orderBy("eval_ms")
+
+
+_ABS_RANGE_MS = 3600 * 1000
+
+PH_PROMQL_ABSENT_OT_SQL = f"""
+WITH {_SAMPLES_CTE},
+grid AS (
+  SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS eval_ms
+),
+present AS (
+  SELECT DISTINCT g.eval_ms
+  FROM grid g JOIN samples s
+    ON s.user_id = 7 AND s.event_type = 'error'
+   AND s.ts_ms > g.eval_ms - {_ABS_RANGE_MS} AND s.ts_ms <= g.eval_ms
+)
+SELECT g.eval_ms, CAST(1 AS BIGINT) AS absent
+FROM grid g ANTI JOIN present p USING (eval_ms)
+ORDER BY eval_ms
+"""
+
+
+def ph_promql_nan_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum by (type) (events) * 0 / 0`` compiled from text: 0/0 is IEEE
+    NaN per series and evaluation — PromQL float semantics, where Spark's
+    non-ANSI division would have produced NULL. The oracle emits literal
+    NaN for the same (type, eval) grid; both normalize to the same hash
+    token."""
+    eng = _engine(spark, sf_dir)
+    out = eng.eval("sum by (type) (events) * 0 / 0")
+    return out.select(
+        F.element_at("labels", "type").alias("event_type"),
+        "eval_ms",
+        "value",
+    ).orderBy("event_type", "eval_ms")
+
+
+PH_PROMQL_NAN_DIV_SQL = f"""
+WITH {_SAMPLES_CTE},
+{_vec_ctes("utvec", "TRUE", "user_id, event_type")}
+SELECT DISTINCT event_type, eval_ms, CAST('NaN' AS DOUBLE) AS value
+FROM utvec
+ORDER BY event_type, eval_ms
+"""
+
+
+QUERIES = {
+    "ph_promql_scalar_div": ph_promql_scalar_div,
+    "ph_promql_absent_ot": ph_promql_absent_ot,
+    "ph_promql_nan_div": ph_promql_nan_div,
+}
+
+ORACLES = {
+    "ph_promql_scalar_div": PH_PROMQL_SCALAR_DIV_SQL,
+    "ph_promql_absent_ot": PH_PROMQL_ABSENT_OT_SQL,
+    "ph_promql_nan_div": PH_PROMQL_NAN_DIV_SQL,
+}
