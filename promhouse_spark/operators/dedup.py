@@ -196,10 +196,25 @@ def minhash_lsh_candidates(
     sweet spot for single-shot latency: codegen/JIT cost grows with the
     aggregate-expression count (64 also hits a pathological JIT regime on
     repeat runs), while fewer hashes lose estimator resolution."""
-    rows = num_hashes // bands
     # persisted once, consumed three times (both join sides share the banded
     # lineage; the signature attach reuses it after the pair dedup)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
+    return minhash_lsh_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def minhash_lsh_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 48,
+    bands: int = 12,
+) -> DataFrame:
+    """The banding + candidate-join stage of :func:`minhash_lsh_candidates`,
+    taking an already-computed ``(id, signature array<long>)`` frame —
+    split out so a PERSISTED signature table can feed it: the xxhash64
+    signature computation is the only non-SQL-expressible step, so staging
+    the signatures lets a SQL oracle replay banding, candidate join, and
+    the agreement estimate over the identical longs."""
+    rows = num_hashes // bands
     # the band self-join moves only (id, band, bucket) — 24 bytes/row, not
     # the 48-long signature; at corpus scale the exchange is 20× slimmer and
     # the dedup shuffle never carries arrays
@@ -328,10 +343,23 @@ def simhash_near_duplicates(
     any pair within distance ``max_hamming`` agrees on at least one whole
     band — so band count scales with the requested radius (k=3 → the classic
     4×16-bit split) and recall stays complete, never all-to-all."""
+    fps = simhash(df, id_col, text_col, shingle_n).cache()
+    return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
+
+
+def simhash_pairs_from_fingerprints(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The banding + hamming stage of :func:`simhash_near_duplicates` over
+    an already-computed ``(id, simhash long)`` frame — split out so a
+    persisted fingerprint table can feed it (the xxhash64 fingerprint is
+    the only non-SQL step; pairing from the fingerprints is XOR+popcount
+    any engine can replay)."""
     n_bands = min(max_hamming + 1, 32)
     # band bit-boundaries: spread 64 bits as evenly as possible
     bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
-    fps = simhash(df, id_col, text_col, shingle_n).cache()
     banded = fps.select(
         id_col,
         "simhash",
@@ -1019,6 +1047,77 @@ def semantic_dedup_pairs(
     from promhouse_spark.operators.similarity import ivf_index
 
     assigned, _ = ivf_index(df, num_centroids, id_col, vec_col, seed)
+    return embedding_cosine_duplicates(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col="centroid_id",
+        threshold=threshold,
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as EXPLICIT column arithmetic: squared
+    L2 to each centroid via a sequential zip-fold, argmin with a
+    (distance, centroid_id) tie-break. Used instead of the MLlib
+    ``model.transform`` on the oracle-replayable path so a SQL engine
+    reading the same persisted centroids computes the identical argmin
+    from the identical doubles (MLlib's norm-trick distance differs in
+    final ulps, which is fine for clustering but not for a differential
+    gate). Map-side only; cost is k·dim multiply-adds per row."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centers
+        ]
+    )
+    # array_position takes the FIRST minimum → smallest centroid_id wins
+    # ties, matching the oracle's ORDER BY dist, centroid_id
+    idx = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out_col, idx)
+
+
+def semantic_dedup_pairs_staged(
+    df: DataFrame,
+    centroids_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """``semantic_dedup_pairs`` with the fitted centroids PERSISTED to
+    ``centroids_path`` (parquet: centroid_id, centroid array<double>) and
+    assignment done by :func:`assign_nearest_centroid` instead of the
+    MLlib transform. The k-means FIT stays Spark-side (not
+    SQL-expressible), but everything downstream of the fitted centroids —
+    assignment argmin + intra-cluster cosine — becomes replayable by any
+    SQL engine over the persisted table, which is how the driver's DuckDB
+    oracle hash-verifies SemDeDup end-to-end."""
+    from promhouse_spark.operators.similarity import ivf_index
+
+    # fit only; the returned lazy assignment frame is discarded unevaluated
+    _, centers = ivf_index(df, num_centroids, id_col, vec_col, seed)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(centroids_path)
+    assigned = assign_nearest_centroid(df, centers, vec_col)
     return embedding_cosine_duplicates(
         assigned,
         id_col=id_col,

@@ -253,14 +253,74 @@ ORDER BY id_a, id_b
 # ---- sketch-based operators: no SQL oracle (rows-only driver check) -------
 
 
+_STAGE_DIR = "/tmp/promhouse_oracle_staging"
+_MINHASH_STAGE = f"{_STAGE_DIR}/minhash_signatures.parquet"
+_SIMHASH_STAGE = f"{_STAGE_DIR}/simhash_fps.parquet"
+
+
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates, HASH-PAIRED: the xxhash64
+    signature computation (the only non-SQL-expressible step) persists to
+    a staging parquet the DuckDB oracle reads, then banding, the candidate
+    self-join, and the agreement estimate replay in SQL over the identical
+    longs. The staged signature table is also the production shape — at
+    100 TB you materialize signatures once and band from the table."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_candidates(docs).orderBy("doc_a", "doc_b")
+    sig = D.minhash_signatures(docs)
+    sig.write.mode("overwrite").parquet(_MINHASH_STAGE)
+    staged = spark.read.parquet(_MINHASH_STAGE)
+    return D.minhash_lsh_from_signatures(staged).orderBy("doc_a", "doc_b")
+
+
+DOC_MINHASH_LSH_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, signature FROM read_parquet('{_MINHASH_STAGE}/*.parquet')
+),
+banded AS (
+  SELECT doc_id, b.band,
+         list_slice(signature, b.band * 4 + 1, b.band * 4 + 4) AS chunk
+  FROM sig, LATERAL (SELECT unnest(range(0, 12)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_filter(range(1, 49),
+                 i -> sa.signature[i] = sb.signature[i])) / 48.0, 4)
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
 
 
 def doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, HASH-PAIRED the same way: the packed-counter
+    fingerprint fold persists to staging; the oracle computes hamming for
+    ALL pairs by XOR+popcount — equal to the banded path by the pigeonhole
+    completeness the banding guarantees (and tests/test_recall.py pins)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+    fps = D.simhash(docs)
+    fps.write.mode("overwrite").parquet(_SIMHASH_STAGE)
+    staged = spark.read.parquet(_SIMHASH_STAGE)
+    return D.simhash_pairs_from_fingerprints(staged, max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DOC_SIMHASH_DUPS_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, simhash FROM read_parquet('{_SIMHASH_STAGE}/*.parquet')
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY doc_a, doc_b
+"""
 
 
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +352,45 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="phs-ivf-")
         S.ivf_build(emb, path, num_centroids=16)
         _IVF_INDEX_CACHE[key] = path
-    return S.ivf_probe(spark, path, _query_vec(spark, sf_dir), k=10, nprobe=10)
+    # stage a copy of the index artifacts at the fixed path the DuckDB
+    # oracle reads (the k-means fit isn't SQL-expressible, but probe
+    # selection + list scan + cosine top-k over the persisted index ARE —
+    # the oracle replays them from these exact tables), then probe from
+    # the staged copy so query and oracle read identical bytes
+    spark.read.parquet(f"{path}/vectors").write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(f"{_IVF_STAGE}/vectors")
+    spark.read.parquet(f"{path}/centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{_IVF_STAGE}/centroids")
+    return S.ivf_probe(spark, _IVF_STAGE, _query_vec(spark, sf_dir), k=10, nprobe=10)
+
+
+_IVF_STAGE = "/tmp/promhouse_oracle_staging/ivf_index"
+
+EMB_IVF_ANN_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT centroid_id, centroid
+  FROM read_parquet('{_IVF_STAGE}/centroids/*.parquet')
+),
+probe AS (
+  SELECT centroid_id FROM cent, q
+  ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i]))),
+           centroid_id
+  LIMIT 10
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM read_parquet('{_IVF_STAGE}/vectors/*/*.parquet', hive_partitioning = true)
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+)
+SELECT vec_id, round(list_cosine_similarity(v, q.qv), 4) AS cosine
+FROM vecs, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 QUERIES = {
@@ -390,17 +488,26 @@ ORACLES = {
     "emb_knn_within_label": EMB_KNN_WITHIN_LABEL_SQL,
     "emb_knn_join_batch": EMB_KNN_JOIN_BATCH_SQL,
     "emb_lsh_ann_topk": EMB_LSH_ANN_SQL,
+    "doc_minhash_lsh": DOC_MINHASH_LSH_SQL,
+    "doc_simhash_dups": DOC_SIMHASH_DUPS_SQL,
+    "emb_ivf_ann_topk": EMB_IVF_ANN_SQL,
 }
 
 
+_MM_STAGE = f"{_STAGE_DIR}/multimodal_features.parquet"
+
+
 def doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end with REAL image decode (rows-only:
-    the netpbm parse is not SQL-expressible): each document is wrapped as a
-    valid 8×8 P6 netpbm asset (raster = md5-of-text bytes, synthesized
-    JVM-side), then Arrow-batched mapInPandas runs the actual netpbm
-    parser + feature extraction (operators/codecs.py) and the per-source
-    aggregate reads decoded channel statistics. Pinned against an
-    independent plain-Python decode in tests/test_llm_ops.py."""
+    """Multimodal pipeline end-to-end with REAL image decode: each document
+    is wrapped as a valid 8×8 P6 netpbm asset (raster = md5-of-text bytes,
+    synthesized JVM-side), then Arrow-batched mapInPandas runs the actual
+    netpbm parser + feature extraction (operators/codecs.py) and the
+    per-source aggregate reads decoded channel statistics. HASH-PAIRED via
+    the decoded-feature STAGING frame: the Python decode (not
+    SQL-expressible) lands in a staging parquet; the downstream arithmetic
+    — join + per-source aggregate — replays in DuckDB over the identical
+    doubles. Decode itself stays pinned against an independent plain-Python
+    decode in tests/test_llm_ops.py."""
     from promhouse_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
@@ -409,16 +516,38 @@ def doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = feats.join(
         docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
     )
+    per_asset = joined.select(
+        "asset_id",
+        "source",
+        "n_bytes",
+        F.element_at("feature", 6).alias("luma"),
+        F.element_at("feature", 7).alias("luma_std"),
+    )
+    per_asset.write.mode("overwrite").parquet(_MM_STAGE)
+    staged = spark.read.parquet(_MM_STAGE)
     return (
-        joined.groupBy("source")
+        staged.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_assets"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 6)), 4).alias("avg_luma"),
-            F.round(F.avg(F.element_at("feature", 7)), 4).alias("avg_luma_std"),
+            F.round(F.avg("luma"), 4).alias("avg_luma"),
+            F.round(F.avg("luma_std"), 4).alias("avg_luma_std"),
         )
         .orderBy("source")
     )
 
 
+DOC_MULTIMODAL_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(luma), 4) AS avg_luma,
+       round(avg(luma_std), 4) AS avg_luma_std
+FROM read_parquet('{_MM_STAGE}/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES.update({"doc_multimodal_features": doc_multimodal_features})
+ORACLES["doc_multimodal_features"] = DOC_MULTIMODAL_SQL

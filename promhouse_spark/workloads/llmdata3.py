@@ -209,7 +209,61 @@ def emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         S.pq_build(emb, path, m=8, k=16)
         _PQ_INDEX_CACHE[key] = path
-    return S.pq_probe(spark, path, emb, _query_vec(spark, sf_dir), topk=10)
+    # stage the codes + codebook at the fixed path the DuckDB oracle reads
+    # (the per-subspace k-means fits aren't SQL-expressible; the ADC scan,
+    # shortlist, and exact rerank over the persisted tables are), and probe
+    # from the staged copy so query and oracle read identical bytes
+    spark.read.parquet(f"{path}/codes").write.mode("overwrite").parquet(
+        f"{_PQ_STAGE}/codes"
+    )
+    spark.read.parquet(f"{path}/codebook").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{_PQ_STAGE}/codebook")
+    return S.pq_probe(spark, _PQ_STAGE, emb, _query_vec(spark, sf_dir), topk=10)
+
+
+_PQ_STAGE = "/tmp/promhouse_oracle_staging/pq_index"
+
+EMB_PQ_ANN_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+nq AS (
+  SELECT list_transform(qv,
+           x -> x / sqrt(list_sum(list_transform(qv, y -> y * y)))) AS v
+  FROM q
+),
+cb AS (
+  SELECT subspace, code, centroid
+  FROM read_parquet('{_PQ_STAGE}/codebook/*.parquet')
+),
+lut AS (
+  SELECT subspace, code,
+         list_sum(list_transform(range(1, len(centroid) + 1),
+           i -> (v[subspace * 8 + i] - centroid[i])
+              * (v[subspace * 8 + i] - centroid[i]))) AS d
+  FROM cb, nq
+),
+codes AS (
+  SELECT vec_id, codes FROM read_parquet('{_PQ_STAGE}/codes/*.parquet')
+),
+expanded AS (
+  SELECT vec_id, unnest(codes) AS code,
+         unnest(range(0, len(codes))) AS subspace
+  FROM codes
+),
+adc AS (
+  SELECT e.vec_id, sum(l.d) AS adc
+  FROM expanded e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+SELECT em.vec_id,
+       round(list_cosine_similarity(CAST(em.embedding AS DOUBLE[]), q.qv), 4)
+         AS cosine
+FROM embeddings em JOIN short USING (vec_id), q
+WHERE em.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 QUERIES = {
@@ -225,6 +279,7 @@ ORACLES = {
     "doc_substring_removal": DOC_SUBSTRING_REMOVAL_SQL,
     "doc_domain_resample": DOC_DOMAIN_RESAMPLE_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
+    "emb_pq_ann_topk": EMB_PQ_ANN_SQL,
 }
 
 

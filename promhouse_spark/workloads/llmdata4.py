@@ -99,23 +99,68 @@ ORACLES = {
 }
 
 
+_CENTROIDS_STAGE = "/tmp/promhouse_oracle_staging/semantic_centroids.parquet"
+
+
 def doc_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pairs over the embeddings corpus
-    (operators/dedup.py:semantic_dedup_pairs): MLlib k-means coarse
+    (operators/dedup.py:semantic_dedup_pairs_staged): MLlib k-means coarse
     quantizer as the label-free blocking stage, exact cosine within
     clusters only. Threshold 0.4 is corpus-relative: the synthetic
     embeddings are near-uniform with a ~0.51 cosine ceiling (no natural
     near-identical pairs), so 0.4 surfaces the true top of the similarity
-    distribution — production corpora use 0.95+. Rows-only driver check (a
-    k-means fit is not SQL-expressible); precision/recall gated in
-    tests/test_recall.py with PLANTED near-identical vectors against the
-    brute-force truth."""
-    from promhouse_spark.operators.dedup import semantic_dedup_pairs
+    distribution — production corpora use 0.95+.
+
+    HASH-PAIRED despite the non-SQL-expressible k-means fit: the query
+    persists the fitted centroids to a staging parquet and assigns
+    vectors by explicit argmin arithmetic, so the DuckDB oracle replays
+    assignment + intra-cluster cosine over the SAME centroid table (the
+    query always runs before its oracle in the harness). Recall further
+    gated in tests/test_recall.py with PLANTED near-identical vectors."""
+    from promhouse_spark.operators.dedup import semantic_dedup_pairs_staged
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(
-        emb, num_centroids=16, threshold=0.4
+    return semantic_dedup_pairs_staged(
+        emb, _CENTROIDS_STAGE, num_centroids=16, threshold=0.4
     ).orderBy("id_a", "id_b")
+
+
+DOC_SEMANTIC_DUPS_SQL = f"""
+WITH cent AS (
+  SELECT centroid_id, centroid
+  FROM read_parquet('{_CENTROIDS_STAGE}/*.parquet')
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(c.centroid) + 1),
+                       i -> (v[i] - c.centroid[i]) * (v[i] - c.centroid[i]))),
+                      c.centroid_id
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT e.vec_id, v, centroid_id,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM e JOIN assign USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) AS cosine
+  FROM base a JOIN base b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs
+WHERE cosine >= 0.4
+ORDER BY id_a, id_b
+"""
 
 
 _CHUNK = 20
@@ -177,6 +222,7 @@ ORDER BY doc_a, para_a, doc_b, para_b
 
 QUERIES["doc_semantic_dups"] = doc_semantic_dups
 QUERIES["doc_para_dups"] = doc_para_dups
+ORACLES["doc_semantic_dups"] = DOC_SEMANTIC_DUPS_SQL
 ORACLES["doc_para_dups"] = DOC_PARA_DUPS_SQL
 
 
