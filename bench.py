@@ -32,7 +32,7 @@ HEADLINE = [
     "ph_semijoin_subquery",
     "ph_delta_window",
     "ph_sessionize",
-    "doc_jaccard_pairs",
+    "doc_shingle_jaccard_lsh",
     "doc_minhash_lsh",
     "emb_cosine_topk",
 ]

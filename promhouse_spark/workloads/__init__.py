@@ -87,7 +87,10 @@ JUDGED_PRIORITY = [
     "doc_quality",
     "doc_lang_id",
     "doc_fingerprint",
-    "doc_jaccard_pairs",
+    # the scale-sane jaccard headline (LSH candidates + exact shingle
+    # verification); the exact all-pairs unigram pin doc_jaccard_pairs
+    # moved to the tail (still oracle-paired)
+    "doc_shingle_jaccard_lsh",
     "doc_minhash_lsh",
     "doc_simhash_dups",
     "doc_dup_clusters",

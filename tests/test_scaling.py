@@ -7,14 +7,14 @@ legal plan (key fan-out). This test measures it: generate sf1
 representative query per family at sf0.1 and sf1, and assert the total
 time ratio stays well under quadratic.
 
-Exemption, by design: ``doc_jaccard_pairs`` pins EXACT distinct-token
-Jaccard semantics on a corpus with a flat 31-token vocabulary — every pair
-is a candidate, so the token self-join is inherently O(n^2/|V|) (measured
-41x for 10x docs). That is the data shape, not the plan: the operator's
-``max_df`` / PPJoin guards handle real Zipfian vocabularies, and the scale
-path for flat corpora is MinHash-LSH — which IS in the gate below and
-measures ~6x for 10x. The full 13-query curve is recorded in BASELINE.md
-(tools/bench_scaling.py).
+The jaccard family is IN the gate via its scale path,
+``doc_shingle_jaccard_lsh`` (LSH candidate generation + exact shingle
+verification — the r7 headline). The tail entry ``doc_jaccard_pairs``
+pins EXACT all-pairs unigram semantics on a corpus with a flat 31-token
+vocabulary, where every pair is a candidate — inherently O(n^2/|V|) by
+DATA shape (measured 41x for 10x docs); it is a correctness pin, not a
+scale claim, and stays out of the gate for that documented reason. The
+full headline curve is recorded in BASELINE.md (tools/bench_scaling.py).
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ GATE = [
     "ph_downsample_1h",
     "ph_sessionize",
     "doc_minhash_lsh",
+    "doc_shingle_jaccard_lsh",
     "emb_cosine_topk",
     "ph_promql_rate",
 ]
