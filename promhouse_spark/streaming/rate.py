@@ -26,20 +26,18 @@ from pyspark.sql.streaming import StreamingQuery
 from promhouse_spark.schemas import FINGERPRINT, SAMPLES_SCHEMA, TIMESTAMP_MS, VALUE
 
 
-def sliding_rate(
+def explode_to_grid(
     samples_df: DataFrame,
-    range_ms: int = 300_000,
-    step_ms: int = 60_000,
-    counter: bool = True,
+    range_ms: int,
+    step_ms: int,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Extrapolated PromQL rate per (fingerprint, epoch-aligned grid
-    evaluation): promql/functions.go extrapolatedRate, evaluated wherever
-    the window holds ≥ 2 samples. Pure transformation — valid on batch and
-    streaming frames alike (no window functions, no per-series sort).
-
-    Output: (fingerprint, eval_time timestamp, eval_ms, increase, rate,
-    n_samples)."""
+    """The stateless sliding-window explode every streaming PromQL shape is
+    built on: each sample reaches the epoch-aligned grid evaluations t with
+    ts ≤ t < ts + range (the PromQL window ``(t - range, t]``), expansion
+    bounded by range/step, entirely map-side. Output: (fingerprint,
+    eval_ms, eval_time timestamp, ts, v), watermarked on ``eval_time`` when
+    the input is a stream."""
     ts = F.col(TIMESTAMP_MS)
     first = (F.ceil(ts / F.lit(step_ms)) * step_ms).cast("long")
     last = (F.floor((ts + F.lit(range_ms - 1)) / F.lit(step_ms)) * step_ms).cast("long")
@@ -54,6 +52,24 @@ def sliding_rate(
     ).withColumn("eval_time", F.timestamp_millis(F.col("eval_ms")))
     if samples_df.isStreaming:
         exploded = exploded.withWatermark("eval_time", watermark)
+    return exploded
+
+
+def sliding_rate(
+    samples_df: DataFrame,
+    range_ms: int = 300_000,
+    step_ms: int = 60_000,
+    counter: bool = True,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Extrapolated PromQL rate per (fingerprint, epoch-aligned grid
+    evaluation): promql/functions.go extrapolatedRate, evaluated wherever
+    the window holds ≥ 2 samples. Pure transformation — valid on batch and
+    streaming frames alike (no window functions, no per-series sort).
+
+    Output: (fingerprint, eval_time timestamp, eval_ms, increase, rate,
+    n_samples)."""
+    exploded = explode_to_grid(samples_df, range_ms, step_ms, watermark)
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("v")))
     )
