@@ -121,8 +121,18 @@ def create_app(storage: Storage):
             return parse_duration_ms(s)
 
     def _format_value(v: float) -> str:
-        # Go strconv.FormatFloat(v, 'f', -1, 64)-style shortest decimal
-        return repr(v) if v == v else "NaN"
+        # Go strconv.FormatFloat(v, 'f', -1, 64)-style shortest decimal,
+        # with Prometheus's spellings for the IEEE specials ("+Inf"/"-Inf"/
+        # "NaN" — web/api/v1 marshals sample values as these strings)
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "+Inf"
+        if v == float("-inf"):
+            return "-Inf"
+        if v == int(v) and abs(v) < 1e17:
+            return str(int(v))
+        return repr(v)
 
     def _evaluate(query: str, start_ms: int, end_ms: int, step_ms: int):
         from promhouse_spark.promql import PromQLEngine

@@ -302,8 +302,12 @@ class Parser:
                     expr = RangeSelector(expr, rng)
             elif t.text == "offset":
                 self.next()
+                sign = 1
+                if self.peek().text == "-":  # negative offset (Prometheus 2.x+)
+                    self.next()
+                    sign = -1
                 d = self.next()
-                off = parse_duration_ms(d.text)
+                off = sign * parse_duration_ms(d.text)
                 target = expr.selector if isinstance(expr, RangeSelector) else expr
                 if not isinstance(target, VectorSelector):
                     raise ValueError("offset requires a selector")

@@ -1,0 +1,315 @@
+"""Prometheus HTTP API conformance sweep: a promql-compliance-style query
+corpus (modeled on the families the public prometheus/compliance promql
+tester exercises) served end-to-end through /api/v1/query_range over a
+golden fixture, with per-family semantic spot checks against closed-form
+expected values. Known divergences are PINNED, not skipped — the corpus
+asserts each one's documented behavior, so the ARCHITECTURE.md conformance
+table stays true by test.
+
+Fixture: perfect counters requests_total{job=api|db} at 1 and 2 req/s
+(15 s scrapes, 10 min), a gauge temp{room=a|b} = 20/30 constant, and a
+request-duration histogram with le buckets 0.1/0.5/+Inf filling linearly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from promhouse_spark.edge.http import create_app
+from promhouse_spark.models import Label, Sample, TimeSeries
+from promhouse_spark.storage.parquet import SparkParquetStorage
+
+T0 = 1_767_225_600_000  # 2026-01-01T00:00:00Z, aligned to every step used
+START = T0 / 1000 + 300
+END = T0 / 1000 + 600
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    store = SparkParquetStorage(
+        spark, str(tmp_path_factory.mktemp("conformance-store"))
+    )
+    series = []
+    for job, mult in (("api", 1.0), ("db", 2.0)):
+        series.append(
+            TimeSeries(
+                labels=[Label("__name__", "requests_total"), Label("job", job)],
+                samples=[
+                    Sample(value=i * 15.0 * mult, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            )
+        )
+    for room, deg in (("a", 20.0), ("b", 30.0)):
+        series.append(
+            TimeSeries(
+                labels=[Label("__name__", "temp"), Label("room", room)],
+                samples=[
+                    Sample(value=deg, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            )
+        )
+    # histogram: at any instant, cumulative counts 10 (≤0.1), 40 (≤0.5), 50 (+Inf)
+    for le, cnt in (("0.1", 10.0), ("0.5", 40.0), ("+Inf", 50.0)):
+        series.append(
+            TimeSeries(
+                labels=[
+                    Label("__name__", "req_seconds_bucket"),
+                    Label("le", le),
+                ],
+                samples=[
+                    Sample(value=cnt, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            )
+        )
+    store.write(series)
+    app = create_app(store)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def _range(client, query, start=START, end=END, step="60"):
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={"query": query, "start": str(start), "end": str(end),
+                      "step": step},
+    )
+    return r.status_code, r.get_json()
+
+
+def _values(body):
+    """{frozen metric dict -> {t_sec: float}} with Prometheus string values
+    parsed back ('+Inf'/'-Inf'/'NaN' included)."""
+    out = {}
+    for s in body["data"]["result"]:
+        out[tuple(sorted(s["metric"].items()))] = {
+            t: float(v.replace("+Inf", "inf").replace("-Inf", "-inf"))
+            for t, v in s["values"]
+        }
+    return out
+
+
+def _ok(client, query, **kw):
+    code, body = _range(client, query, **kw)
+    assert code == 200 and body["status"] == "success", (query, body)
+    return _values(body)
+
+
+# ---- selectors ------------------------------------------------------------
+
+
+def test_selectors_family(client):
+    v = _ok(client, "requests_total")
+    assert len(v) == 2  # both jobs, name kept
+    assert any(("__name__", "requests_total") in k for k in v)
+    assert len(_ok(client, 'requests_total{job="api"}')) == 1
+    assert len(_ok(client, 'requests_total{job=~"a.*"}')) == 1
+    assert len(_ok(client, 'requests_total{job!~"a.*"}')) == 1
+    assert len(_ok(client, '{__name__="temp", room!=""}')) == 2
+    # offset shifts the counter timeline: value at t == raw at t-1m
+    base = _ok(client, 'requests_total{job="api"}')
+    off = _ok(client, 'requests_total{job="api"} offset 1m')
+    (bk, bvals), (ok_, ovals) = next(iter(base.items())), next(iter(off.items()))
+    assert ovals[START + 60] == bvals[START]
+    # negative offset looks ahead
+    noff = _ok(client, 'requests_total{job="api"} offset -1m')
+    nvals = next(iter(noff.values()))
+    assert nvals[START] == bvals[START + 60]
+    # @ pins every step to one evaluation
+    at = _ok(client, f'requests_total{{job="api"}} @ {T0 / 1000 + 300}')
+    avals = next(iter(at.values()))
+    assert set(avals.values()) == {bvals[START]}
+
+
+def test_rate_family(client):
+    v = _ok(client, "rate(requests_total[2m])")
+    for key, vals in v.items():
+        mult = 2.0 if ("job", "db") in key else 1.0
+        assert ("__name__", "requests_total") not in key  # name drops
+        for t, val in vals.items():
+            assert val == pytest.approx(mult)
+    inc = _ok(client, "increase(requests_total[2m])")
+    for key, vals in inc.items():
+        mult = 2.0 if ("job", "db") in key else 1.0
+        assert all(val == pytest.approx(120 * mult) for val in vals.values())
+    assert _ok(client, "irate(requests_total[2m])")
+    assert _ok(client, "delta(temp[2m])")
+    assert _ok(client, "idelta(requests_total[2m])")
+    assert _ok(client, "resets(requests_total[5m])")
+    assert _ok(client, "changes(requests_total[5m])")
+    d = _ok(client, "deriv(requests_total[2m])")
+    for key, vals in d.items():
+        mult = 2.0 if ("job", "db") in key else 1.0
+        assert all(val == pytest.approx(mult) for val in vals.values())
+    assert _ok(client, "predict_linear(requests_total[2m], 60)")
+
+
+def test_over_time_family(client):
+    avg = _ok(client, "avg_over_time(temp[2m])")
+    for key, vals in avg.items():
+        want = 20.0 if ("room", "a") in key else 30.0
+        assert all(v == want for v in vals.values())
+    for fn in ("min_over_time", "max_over_time", "last_over_time"):
+        v = _ok(client, f"{fn}(temp[2m])")
+        assert len(v) == 2
+    cnt = _ok(client, "count_over_time(temp[2m])")
+    assert all(v == 8.0 for vals in cnt.values() for v in vals.values())
+    s = _ok(client, "sum_over_time(temp[2m])")
+    assert any(v == 160.0 for vals in s.values() for v in vals.values())
+    q = _ok(client, "quantile_over_time(0.5, temp[2m])")
+    assert len(q) == 2
+    assert _ok(client, "stddev_over_time(temp[2m])")
+    assert _ok(client, "present_over_time(temp[2m])")
+    # last_over_time keeps the metric name (engine.go special case)
+    lk = _ok(client, "last_over_time(temp[2m])")
+    assert all(("__name__", "temp") in k for k in lk)
+
+
+def test_aggregation_family(client):
+    s = _ok(client, "sum(temp)")
+    assert list(s) == [()]
+    assert all(v == 50.0 for v in next(iter(s.values())).values())
+    by = _ok(client, "sum by (room) (temp)")
+    assert len(by) == 2
+    wo = _ok(client, "sum without (room) (temp)")
+    assert len(wo) == 1
+    for op in ("avg", "min", "max", "count", "group", "stddev", "stdvar"):
+        assert _ok(client, f"{op}(temp)")
+    tk = _ok(client, "topk(1, temp)")
+    assert list(tk) == [(("__name__", "temp"), ("room", "b"))]
+    bk = _ok(client, "bottomk(1, temp)")
+    assert list(bk) == [(("__name__", "temp"), ("room", "a"))]
+    q = _ok(client, "quantile(0.5, temp)")
+    assert all(v == 25.0 for v in next(iter(q.values())).values())
+    cv = _ok(client, 'count_values("deg", temp)')
+    assert len(cv) == 2
+
+
+def test_binop_family(client):
+    r = _ok(client, "temp + temp")
+    assert all(v in (40.0, 60.0) for vals in r.values() for v in vals.values())
+    r = _ok(client, "temp * 2")
+    assert all(v in (40.0, 60.0) for vals in r.values() for v in vals.values())
+    r = _ok(client, 'temp{room="a"} / on() group_left temp{room="a"}')
+    assert all(v == 1.0 for vals in r.values() for v in vals.values())
+    # comparison filter vs bool
+    f = _ok(client, "temp > 25")
+    assert len(f) == 1 and ("room", "b") in next(iter(f))
+    b = _ok(client, "temp > bool 25")
+    assert sorted(
+        v for vals in b.values() for v in set(vals.values())
+    ) == [0.0, 1.0]
+    # set operators
+    assert len(_ok(client, 'temp and temp{room="a"}')) == 1
+    assert len(_ok(client, 'temp unless temp{room="a"}')) == 1
+    assert len(_ok(client, 'temp{room="a"} or temp{room="b"}')) == 2
+    # scalar-vector
+    sv = _ok(client, "temp / scalar(sum(temp))")
+    assert all(
+        v in (pytest.approx(0.4), pytest.approx(0.6))
+        for vals in sv.values()
+        for v in vals.values()
+    )
+    # IEEE specials over the wire: x/0 serializes as "+Inf", 0/0 as "NaN"
+    inf = _ok(client, "temp / 0")
+    assert all(math.isinf(v) for vals in inf.values() for v in vals.values())
+    nan = _ok(client, "(temp - temp) / 0")
+    assert all(math.isnan(v) for vals in nan.values() for v in vals.values())
+
+
+def test_function_family(client):
+    assert _ok(client, "abs(0 - temp)")
+    assert _ok(client, "ceil(temp / 7)")
+    assert _ok(client, "floor(temp / 7)")
+    sq = _ok(client, "sqrt(temp * temp)")
+    assert all(
+        v in (pytest.approx(20.0), pytest.approx(30.0))
+        for vals in sq.values()
+        for v in vals.values()
+    )
+    for fn in ("exp", "ln", "log2", "log10", "sgn", "sin", "cos", "tan",
+               "asin", "acos", "atan", "sinh", "cosh", "tanh", "deg", "rad"):
+        arg = "temp / 100" if fn in ("asin", "acos") else "temp"
+        assert _ok(client, f"{fn}({arg})") is not None
+    cl = _ok(client, "clamp(temp, 22, 28)")
+    assert sorted(
+        {v for vals in cl.values() for v in vals.values()}
+    ) == [22.0, 28.0]
+    assert _ok(client, "clamp_min(temp, 25)")
+    assert _ok(client, "clamp_max(temp, 25)")
+    rd = _ok(client, "round(temp / 7)")
+    assert rd
+    lr = _ok(client, 'label_replace(temp, "r2", "$1", "room", "(.*)")')
+    assert all(("r2", "a") in k or ("r2", "b") in k for k in lr)
+    lj = _ok(client, 'label_join(temp, "rj", "-", "room", "room")')
+    assert all(any(x[0] == "rj" for x in k) for k in lj)
+    v = _ok(client, "vector(7)")
+    assert all(x == 7.0 for vals in v.values() for x in vals.values())
+    t = _ok(client, "time()")
+    assert all(ts == x for vals in t.values() for ts, x in vals.items())
+    assert _ok(client, "minute()")
+    assert _ok(client, "hour(temp * 0)")
+    sc = _ok(client, "scalar(sum(temp))")
+    assert all(x == 50.0 for vals in sc.values() for x in vals.values())
+
+
+def test_absent_family(client):
+    a = _ok(client, "absent(no_such)")
+    assert all(x == 1.0 for vals in a.values() for x in vals.values())
+    assert _ok(client, "absent(temp)") == {}
+    aot = _ok(client, 'absent_over_time(no_such{job="x"}[5m])')
+    assert list(aot) == [(("job", "x"),)]
+    assert _ok(client, "absent_over_time(temp[5m])") == {}
+
+
+def test_histogram_family(client):
+    q = _ok(client, "histogram_quantile(0.5, req_seconds_bucket)")
+    vals = next(iter(q.values()))
+    # rank 25 falls in the (0.1, 0.5] bucket: 0.1 + 0.4 * (25-10)/30 = 0.3
+    assert all(v == pytest.approx(0.3) for v in vals.values())
+    top = _ok(client, "histogram_quantile(0.99, req_seconds_bucket)")
+    # 0.99 quantile lands in +Inf bucket → highest finite bound
+    assert all(
+        v == pytest.approx(0.5) for vals in top.values() for v in vals.values()
+    )
+
+
+def test_subquery_family(client):
+    v = _ok(client, "max_over_time(rate(requests_total[2m])[4m:1m])")
+    for key, vals in v.items():
+        mult = 2.0 if ("job", "db") in key else 1.0
+        assert all(val == pytest.approx(mult) for val in vals.values())
+    assert _ok(client, "avg_over_time(temp[4m:30s])")
+
+
+def test_error_shapes(client):
+    for bad in ("sum(", "temp{", "no_such_fn(temp)", "topk(temp)",
+                "scalar(temp) > 1"):
+        code, body = _range(client, bad)
+        assert code == 400 and body["status"] == "error", bad
+        assert body["errorType"] == "bad_data"
+
+
+def test_documented_divergences(client):
+    """Each known divergence asserted AS DOCUMENTED in ARCHITECTURE.md —
+    if one gets fixed or regresses differently, this test flags the doc."""
+    # 1. RE2 POSIX classes take Java's nested-class-union parse:
+    #    [[:alpha:]] becomes the character set {[ : a l p h}, so room "a"
+    #    matches and room "b" does not — RE2 would match both. (Same
+    #    divergence family as tests/test_regex_dialect.py.)
+    code, body = _range(client, 'temp{room=~"[[:alpha:]]+"}')
+    assert code == 200
+    rooms = {s["metric"].get("room") for s in body["data"]["result"]}
+    assert rooms == {"a"}
+    # 2. @ start()/end() modifiers are not supported (literal timestamps are)
+    code, body = _range(client, "requests_total @ start()")
+    assert code == 400
+    # 3. holt_winters keeps its Prometheus-2.x name (3.x renamed it to
+    #    double_exponential_smoothing)
+    code, body = _range(client, "double_exponential_smoothing(temp[2m], 0.1, 0.3)")
+    assert code == 400
+    assert _range(client, "holt_winters(temp[2m], 0.1, 0.3)")[0] == 200
