@@ -268,13 +268,23 @@ class PromQLEngine:
             labels.alias("labels"), "eval_ms", F.col("value").cast("double").alias("value")
         )
 
+    def _at_ms(self, sel: VectorSelector) -> int | None:
+        """Resolve the @ modifier: literal timestamps pass through;
+        start()/end() resolve against the engine's query range."""
+        if sel.at_ms == "start":
+            return self.start_ms
+        if sel.at_ms == "end":
+            return self.end_ms
+        return sel.at_ms
+
     def _instant(self, sel: VectorSelector) -> DataFrame:
         samples, series = self._selected(sel)
-        if sel.at_ms is not None:
+        at = self._at_ms(sel)
+        if at is not None:
             # @ modifier: one evaluation at the pinned timestamp, its value
             # broadcast to every grid point (promql step-invariant @)
             iv = instant_vector(
-                samples, sel.at_ms, sel.at_ms, max(self.step_ms, 1),
+                samples, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
             )
             pinned = iv.select("fingerprint", "value").crossJoin(
@@ -401,6 +411,8 @@ class PromQLEngine:
         return agg.select("fingerprint", "eval_ms", value.alias("value"))
 
     def _range_call(self, func: str, node: Call) -> DataFrame:
+        if func == "double_exponential_smoothing":  # Prometheus 3.x name
+            func = "holt_winters"
         args0 = node.args[0] if node.args else None
         if (
             isinstance(args0, RangeSelector)
@@ -410,7 +422,7 @@ class PromQLEngine:
             # pinned timestamp, broadcast the result across the grid
             import dataclasses
 
-            at = args0.selector.at_ms
+            at = self._at_ms(args0.selector)
             sub = PromQLEngine(
                 self.samples, self.series, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
@@ -565,7 +577,8 @@ class PromQLEngine:
         func = node.func
         range_funcs = (
             {"rate", "increase", "delta", "irate", "idelta", "resets", "changes",
-             "deriv", "predict_linear", "quantile_over_time", "holt_winters"}
+             "deriv", "predict_linear", "quantile_over_time", "holt_winters",
+             "double_exponential_smoothing"}
             | set(_SIMPLE_OVER_TIME)
         )
         if func in range_funcs:
@@ -662,7 +675,31 @@ class PromQLEngine:
                 self._grid(),
                 (F.col("eval_ms") / 1000.0).alias("value"),
             )
-        if func in ("minute", "hour", "day_of_week", "day_of_month", "month", "year"):
+        if func == "timestamp":
+            # timestamp(v): each element's sample timestamp in seconds —
+            # for a plain selector that is the as-of matched sample's ts;
+            # for computed vectors Prometheus stamps the evaluation time
+            arg = node.args[0]
+            if isinstance(arg, VectorSelector) and arg.at_ms is None:
+                samples, series = self._selected(arg)
+                iv = instant_vector(
+                    samples, self.start_ms, self.end_ms, self.step_ms,
+                    self.lookback_ms,
+                ).select(
+                    "fingerprint", "eval_ms",
+                    (F.col("sample_ts_ms") / 1000.0).alias("value"),
+                )
+                return self._attach(iv, series, drop_name=True)
+            vec = self._compile(arg)
+            return vec.select(
+                F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+                "eval_ms",
+                (F.col("eval_ms") / 1000.0).alias("value"),
+            )
+        if func in (
+            "minute", "hour", "day_of_week", "day_of_month", "month", "year",
+            "day_of_year", "days_in_month",
+        ):
             # of the vector's values interpreted as epoch seconds;
             # zero-arg form operates on time() (PromQL semantics, UTC)
             vec = (
@@ -676,6 +713,8 @@ class PromQLEngine:
                 "day_of_month": F.dayofmonth(t),
                 "month": F.month(t),
                 "year": F.year(t),
+                "day_of_year": F.dayofyear(t),
+                "days_in_month": F.dayofmonth(F.last_day(t)),
             }[func]
             return vec.select(
                 F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),

@@ -45,7 +45,9 @@ class VectorSelector:
     name: str | None
     matchers: list[Matcher] = field(default_factory=list)
     offset_ms: int = 0
-    at_ms: int | None = None  # @ modifier: pin evaluation to a timestamp
+    # @ modifier: a pinned unix-ms timestamp, or the literal strings
+    # "start"/"end" (resolved against the query range at compile time)
+    at_ms: int | str | None = None
 
 
 @dataclass
@@ -315,12 +317,21 @@ class Parser:
             elif t.text == "@":
                 self.next()
                 ts = self.next()
-                if ts.kind != "NUMBER":
-                    raise ValueError(f"@ expects a unix timestamp, got {ts.text!r}")
                 target = expr.selector if isinstance(expr, RangeSelector) else expr
                 if not isinstance(target, VectorSelector):
                     raise ValueError("@ requires a selector")
-                target.at_ms = int(float(ts.text) * 1000)
+                if ts.kind == "IDENT" and ts.text in ("start", "end"):
+                    # @ start() / @ end(): resolved against the query range
+                    # at compile time (promql @ modifier preprocessing)
+                    self.expect("(")
+                    self.expect(")")
+                    target.at_ms = ts.text
+                elif ts.kind == "NUMBER":
+                    target.at_ms = int(float(ts.text) * 1000)
+                else:
+                    raise ValueError(
+                        f"@ expects a unix timestamp or start()/end(), got {ts.text!r}"
+                    )
             else:
                 return expr
 

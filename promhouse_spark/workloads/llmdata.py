@@ -344,7 +344,16 @@ def doc_shingle_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.write.mode("overwrite").parquet(_JACC_SIG_STAGE)
     staged = spark.read.parquet(_JACC_SIG_STAGE)
     cand = D.minhash_lsh_from_signatures(staged).select("doc_a", "doc_b")
-    sh = docs.select(
+    # shingle sets ONLY for candidate documents (semi-join first): the
+    # verification cost is bounded by |candidates|, and the join build side
+    # stays broadcast-small — materializing shingles for the whole corpus
+    # would make Spark broadcast a corpus-sized array column
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(D.shingles(F.split("text", " "), 3)).alias("s"),
     )

@@ -255,6 +255,23 @@ def test_function_family(client):
     assert _ok(client, "hour(temp * 0)")
     sc = _ok(client, "scalar(sum(temp))")
     assert all(x == 50.0 for vals in sc.values() for x in vals.values())
+    ts = _ok(client, "timestamp(temp)")
+    # selector timestamps are the as-of matched SAMPLE times (≤ eval time)
+    assert all(0 < t - x <= 300 or x == t
+               for vals in ts.values() for t, x in vals.items())
+    assert _ok(client, "day_of_year(temp * 0)")
+    assert _ok(client, "days_in_month(temp * 0)")
+
+
+def test_at_start_end_modifiers(client):
+    pinned = _ok(client, "requests_total @ start()")
+    base = _ok(client, "requests_total")
+    for key, vals in pinned.items():
+        want = base[key][START]
+        assert set(vals.values()) == {want}
+    pinned_end = _ok(client, "requests_total @ end()")
+    for key, vals in pinned_end.items():
+        assert set(vals.values()) == {base[key][END]}
 
 
 def test_absent_family(client):
@@ -305,11 +322,7 @@ def test_documented_divergences(client):
     assert code == 200
     rooms = {s["metric"].get("room") for s in body["data"]["result"]}
     assert rooms == {"a"}
-    # 2. @ start()/end() modifiers are not supported (literal timestamps are)
-    code, body = _range(client, "requests_total @ start()")
-    assert code == 400
-    # 3. holt_winters keeps its Prometheus-2.x name (3.x renamed it to
-    #    double_exponential_smoothing)
-    code, body = _range(client, "double_exponential_smoothing(temp[2m], 0.1, 0.3)")
-    assert code == 400
+    # 2. holt_winters is served under BOTH its 2.x name and the 3.x
+    #    double_exponential_smoothing alias (not a divergence anymore)
+    assert _range(client, "double_exponential_smoothing(temp[2m], 0.1, 0.3)")[0] == 200
     assert _range(client, "holt_winters(temp[2m], 0.1, 0.3)")[0] == 200
