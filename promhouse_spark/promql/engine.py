@@ -624,6 +624,17 @@ class PromQLEngine:
             return vec.orderBy(
                 F.col("value").asc() if func == "sort" else F.col("value").desc()
             )
+        if func in ("sort_by_label", "sort_by_label_desc"):
+            # Prometheus 3.x experimental: presentational ordering by the
+            # named labels (absent label sorts as "")
+            vec = self._compile(node.args[0])
+            keys = []
+            for a in node.args[1:]:
+                if not isinstance(a, StringLiteral):
+                    raise ValueError(f"{func} needs string label names")
+                c = F.coalesce(F.element_at("labels", F.lit(a.value)), F.lit(""))
+                keys.append(c.asc() if func == "sort_by_label" else c.desc())
+            return vec.orderBy(*keys) if keys else vec
         if func == "scalar":
             vec = self._compile(node.args[0])
             # scalar(v): the single series' value per eval; NaN when 0 or
@@ -809,6 +820,29 @@ class PromQLEngine:
                 vec, k, by=by, without=without,
                 bottom=node.op == "bottomk",
             ).drop("rank")
+        if node.op in ("limitk", "limit_ratio"):
+            # Prometheus 3.x experimental: limitk keeps k series per group
+            # (deterministic here: canonical-labels order), limit_ratio a
+            # deterministic hash-fraction of series (negative r = the
+            # complement, so r and r-1 partition the vector)
+            from promhouse_spark.functions.labels import labels_map_to_json
+
+            key = match_key(F.col("labels"), by, without)
+            canon = labels_map_to_json("labels")
+            if node.op == "limitk":
+                k = int(node.param.value)
+                w = W.partitionBy(F.col("eval_ms"), key).orderBy(canon)
+                return (
+                    vec.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= k)
+                    .drop("__rn")
+                )
+            r = self._compile(node.param)  # handles unary minus literals
+            if not isinstance(r, float):
+                raise ValueError("limit_ratio needs a scalar literal")
+            frac = F.pmod(F.xxhash64(canon), F.lit(1_000_000)) / 1_000_000.0
+            keep = frac < F.lit(r) if r >= 0 else frac >= F.lit(1.0 + r)
+            return vec.filter(keep)
         if node.op == "count_values":
             if not isinstance(node.param, StringLiteral):
                 raise ValueError("count_values needs a string label name")

@@ -98,9 +98,9 @@ class Unary:
 
 AGG_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "topk", "bottomk", "quantile", "count_values",
+    "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio",
 }
-_PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
+_PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio"}
 
 _DUR_UNITS = {
     "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,

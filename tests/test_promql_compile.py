@@ -553,3 +553,28 @@ def test_topk_bottomk_nan_last(eng):
     assert len(top) == 6 and all(x.value == 7.0 for x in top)
     bot = _rows(eng, f"bottomk(1, {q})")
     assert len(bot) == 6 and all(x.value == 7.0 for x in bot)
+
+
+def test_limitk_and_limit_ratio(eng):
+    lk = _rows(eng, "limitk(1, errors)")
+    assert len(lk) == 6  # one series per eval (single bare group)
+    both = _rows(eng, "limitk(5, errors)")
+    assert len(both) == 12  # k above cardinality keeps everything
+    by = _rows(eng, "limitk(1, errors) by (job)")
+    assert len(by) == 12  # one per (job) group per eval = all series here
+    # limit_ratio r and r-1 partition the vector deterministically
+    keep = _rows(eng, "limit_ratio(0.5, errors)")
+    rest = _rows(eng, "limit_ratio(-0.5, errors)")
+    assert len(keep) + len(rest) == 12
+    assert not ({(x.l, x.eval_ms) for x in keep} & {(x.l, x.eval_ms) for x in rest})
+    assert _rows(eng, "limit_ratio(1.0, errors)") == _rows(eng, "errors")
+
+
+def test_sort_by_label(eng):
+    rows = eng.eval('sort_by_label_desc(errors, "job")').collect()
+    jobs = [r["labels"]["job"] for r in rows if r["eval_ms"] == 300_000]
+    assert jobs == sorted(jobs, reverse=True)
+    rows = eng.eval('sort_by_label(errors, "job")').collect()
+    assert rows  # presentational; frame contents unchanged
+    with pytest.raises(ValueError):
+        eng.eval("sort_by_label(errors, 3)")

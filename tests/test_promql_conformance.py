@@ -187,6 +187,13 @@ def test_aggregation_family(client):
     assert all(v == 25.0 for v in next(iter(q.values())).values())
     cv = _ok(client, 'count_values("deg", temp)')
     assert len(cv) == 2
+    # Prometheus 3.x experimental aggregations
+    lk = _ok(client, "limitk(1, temp)")
+    assert len(lk) == 1
+    keep = _ok(client, "limit_ratio(0.5, temp)")
+    rest = _ok(client, "limit_ratio(-0.5, temp)")
+    assert len(keep) + len(rest) == 2 and not (set(keep) & set(rest))
+    assert _ok(client, 'sort_by_label(temp, "room")')
 
 
 def test_binop_family(client):
