@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from promhouse_spark.session import load_table
 from promhouse_spark.workloads.promql2 import _END_MS, _START_MS, _STEP_MS
 from promhouse_spark.workloads.promql3 import _SAMPLES_CTE, _vec_ctes
 from promhouse_spark.workloads.promql4 import _engine
@@ -106,14 +107,96 @@ ORDER BY event_type, eval_ms
 """
 
 
+_RULE_LOOKBACK_MS = 6 * 3600 * 1000
+
+
+def ph_rule_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-rule machinery pinned end-to-end (the batch twin of
+    streaming/rules.py, differential-tested against the engine in
+    tests/test_streaming_rules.py): rule ``sum by (type) (events)``
+    compiled → per-series instant evaluation (last sample in the 6 h
+    staleness window per epoch-aligned hour) → label-dimension sum →
+    ``__name__`` stamped with the record name. The oracle replays the
+    identical window/last/sum/stamp chain in SQL."""
+    from promhouse_spark.streaming.rules import (
+        compile_streaming_rule,
+        recorded_frame,
+        rule_series_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    samples = ev.select(
+        fp.alias("fingerprint"),
+        F.unix_millis("ts").alias("timestamp_ms"),
+        "value",
+    )
+    series = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .select(
+            fp.alias("fingerprint"),
+            F.create_map(
+                F.lit("__name__"), F.lit("events"),
+                F.lit("user"), F.col("user_id").cast("string"),
+                F.lit("type"), F.col("event_type"),
+            ).alias("labels"),
+        )
+    )
+    rule = compile_streaming_rule(
+        "type:events:sum", "sum by (type) (events)", lookback_ms=_RULE_LOOKBACK_MS
+    )
+    per = rule_series_frame(samples, series, rule, step_ms=_STEP_MS)
+    rec = recorded_frame(per, series, rule)
+    return rec.select(
+        F.element_at("labels", "__name__").alias("record_name"),
+        F.element_at("labels", "type").alias("event_type"),
+        "timestamp_ms",
+        F.round("value", 4).alias("value"),
+    ).orderBy("event_type", "timestamp_ms")
+
+
+PH_RULE_RECORD_SQL = f"""
+WITH {_SAMPLES_CTE},
+bounds AS (
+  SELECT CAST(ceil(min(ts_ms) / {_STEP_MS}.0) AS BIGINT) * {_STEP_MS} AS lo,
+         CAST(floor((max(ts_ms) + {_RULE_LOOKBACK_MS} - 1) / {_STEP_MS}.0) AS BIGINT)
+           * {_STEP_MS} AS hi
+  FROM samples
+),
+grid AS (
+  SELECT unnest(generate_series(bounds.lo, bounds.hi, {_STEP_MS})) AS eval_ms
+  FROM bounds
+),
+lastv AS (
+  SELECT user_id, event_type, eval_ms, value FROM (
+    SELECT s.user_id, s.event_type, g.eval_ms, s.value,
+           row_number() OVER (
+             PARTITION BY s.user_id, s.event_type, g.eval_ms
+             ORDER BY s.ts_ms DESC, s.value DESC
+           ) AS rn
+    FROM samples s JOIN grid g
+      ON s.ts_ms <= g.eval_ms AND s.ts_ms > g.eval_ms - {_RULE_LOOKBACK_MS}
+  ) WHERE rn = 1
+)
+SELECT 'type:events:sum' AS record_name, event_type,
+       eval_ms AS timestamp_ms, round(sum(value), 4) AS value
+FROM lastv
+GROUP BY event_type, eval_ms
+ORDER BY event_type, timestamp_ms
+"""
+
+
 QUERIES = {
     "ph_promql_scalar_div": ph_promql_scalar_div,
     "ph_promql_absent_ot": ph_promql_absent_ot,
     "ph_promql_nan_div": ph_promql_nan_div,
+    "ph_rule_record": ph_rule_record,
 }
 
 ORACLES = {
     "ph_promql_scalar_div": PH_PROMQL_SCALAR_DIV_SQL,
     "ph_promql_absent_ot": PH_PROMQL_ABSENT_OT_SQL,
     "ph_promql_nan_div": PH_PROMQL_NAN_DIV_SQL,
+    "ph_rule_record": PH_RULE_RECORD_SQL,
 }
