@@ -87,7 +87,12 @@ def compile_streaming_rule(
     ValueError for shapes that need more than one stateful aggregation
     (vector matching, subqueries, nested aggregations) — those stay on the
     batch ``evaluate_rules`` path."""
-    node = parse(expr)
+    return compile_rule_node(record, parse(expr), lookback_ms)
+
+
+def compile_rule_node(record: str, node, lookback_ms: int = 300_000) -> StreamingRule:
+    """Node-level form of :func:`compile_streaming_rule` (the alert
+    compiler hands over the threshold expression's left subtree)."""
     agg_op = by = without = None
     if isinstance(node, Aggregation):
         if node.op not in _AGG_OPS:
@@ -159,13 +164,14 @@ def rule_series_frame(
     )
 
 
-def recorded_frame(
+def aggregated_frame(
     finalized: DataFrame, series_df: DataFrame, rule: StreamingRule
 ) -> DataFrame:
-    """Label-dimension stage over finalized per-series rows: attach the
-    registry labels, apply the rule's by/without aggregation, stamp
-    ``__name__ = record``. Batch-side (runs inside foreachBatch, where
-    each micro-batch holds complete evaluations)."""
+    """Label-dimension stage over finalized per-series rows, BEFORE the
+    record naming: attach the registry labels, apply the rule's
+    by/without aggregation. Output (labels, eval_ms, value) — the frame
+    alert thresholds filter (streaming/alerts.py) and recorded_frame
+    stamps."""
     attached = finalized.join(
         series_df.select(FINGERPRINT, "labels"), FINGERPRINT
     )
@@ -174,6 +180,17 @@ def recorded_frame(
         vec = agg_by(vec, rule.agg_op, by=rule.by, without=rule.without).drop(
             "n_series"
         )
+    return vec
+
+
+def recorded_frame(
+    finalized: DataFrame, series_df: DataFrame, rule: StreamingRule
+) -> DataFrame:
+    """Label-dimension stage over finalized per-series rows: attach the
+    registry labels, apply the rule's by/without aggregation, stamp
+    ``__name__ = record``. Batch-side (runs inside foreachBatch, where
+    each micro-batch holds complete evaluations)."""
+    vec = aggregated_frame(finalized, series_df, rule)
     named = F.map_concat(
         F.map_filter("labels", lambda k, _: k != F.lit(NAME)),
         F.create_map(F.lit(NAME), F.lit(rule.record)),
