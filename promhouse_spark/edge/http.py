@@ -27,11 +27,22 @@ from promhouse_spark.storage.base import Storage
 log = logging.getLogger(__name__)
 
 
-def create_app(storage: Storage):
+def create_app(storage: Storage, rule_groups: list[dict] | None = None):
+    """``rule_groups`` (optional) registers Prometheus-shaped rule groups
+    served read-only at /api/v1/rules and evaluated on demand at
+    /api/v1/alerts::
+
+        [{"name": "g", "interval_ms": 60000, "rules": [
+            {"record": "job:x:sum", "expr": "sum by (job) (x)"},
+            {"alert": "HighX", "expr": "sum by (job) (x) > 5",
+             "for": "2m", "labels": {"severity": "page"}},
+        ]}]
+    """
     from flask import Flask, Response, request
 
     app = Flask("promhouse_spark")
     counters = {"written_samples": 0, "written_time_series": 0, "read_queries": 0}
+    rule_groups = rule_groups or []
 
     @app.post("/write")
     def write():
@@ -284,6 +295,124 @@ def create_app(storage: Storage):
             key=lambda d: sorted(d.items()),
         )
         return {"status": "success", "data": data}
+
+    # -- Prometheus HTTP API v1: rules + alerts ------------------------------
+
+    def _alert_status(rule: dict):
+        """Evaluate one alerting rule's CURRENT state on demand: a grid
+        ending at the newest stored sample, long enough to establish the
+        for-duration; active = the latest evaluation fires, state =
+        pending|firing by run length (promql/alerts.py semantics)."""
+        from promhouse_spark.promql import PromQLEngine
+        from promhouse_spark.promql.alerts import alert_intervals_promql
+        from promhouse_spark.promql.parser import parse_duration_ms
+        from pyspark.sql import functions as F
+
+        for_ms = (
+            parse_duration_ms(rule["for"]) if rule.get("for") else 0
+        )
+        step_ms = int(rule.get("interval_ms", 60_000))
+        newest = (
+            storage.samples_df().agg(F.max("timestamp_ms")).first()[0]
+        )
+        if newest is None:
+            return for_ms, []
+        end = (newest // step_ms) * step_ms
+        start = end - max(for_ms, 0) - 4 * step_ms
+        eng = PromQLEngine.from_storage(storage, start, end, step_ms)
+        # intervals regardless of length — pending runs matter here too
+        runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
+        alerts = []
+        for r in runs:
+            if r["end_ms"] != end:
+                continue  # not active at the newest evaluation
+            state = "firing" if r["end_ms"] - r["start_ms"] >= for_ms else "pending"
+            labels = dict(r["labels"] or {})
+            labels.pop("__name__", None)
+            labels["alertname"] = rule["alert"]
+            labels.update(rule.get("labels", {}))
+            alerts.append(
+                {
+                    "labels": labels,
+                    "annotations": rule.get("annotations", {}),
+                    "state": state,
+                    "activeAt": r["start_ms"] / 1000.0,
+                    "value": "1",
+                }
+            )
+        return for_ms, alerts
+
+    @app.get("/api/v1/rules")
+    def rules_endpoint():
+        want = request.values.get("type")  # alert | record | None
+        groups = []
+        for g in rule_groups:
+            rendered = []
+            for rule in g.get("rules", []):
+                if "record" in rule:
+                    if want == "alert":
+                        continue
+                    rendered.append(
+                        {
+                            "type": "recording",
+                            "name": rule["record"],
+                            "query": rule["expr"],
+                            "health": "ok",
+                            "labels": rule.get("labels", {}),
+                        }
+                    )
+                else:
+                    if want == "record":
+                        continue
+                    try:
+                        for_ms, alerts = _alert_status(rule)
+                    except ValueError as e:
+                        return _promql_error(e)
+                    state = (
+                        "firing"
+                        if any(a["state"] == "firing" for a in alerts)
+                        else "pending"
+                        if alerts
+                        else "inactive"
+                    )
+                    rendered.append(
+                        {
+                            "type": "alerting",
+                            "name": rule["alert"],
+                            "query": rule["expr"],
+                            "duration": for_ms / 1000.0,
+                            "state": state,
+                            "alerts": alerts,
+                            "health": "ok",
+                            "labels": rule.get("labels", {}),
+                            "annotations": rule.get("annotations", {}),
+                        }
+                    )
+            groups.append(
+                {
+                    "name": g.get("name", ""),
+                    "file": g.get("file", ""),
+                    "interval": int(g.get("interval_ms", 60_000)) / 1000.0,
+                    "rules": rendered,
+                }
+            )
+        return {"status": "success", "data": {"groups": groups}}
+
+    @app.get("/api/v1/alerts")
+    def alerts_endpoint():
+        out = []
+        for g in rule_groups:
+            for rule in g.get("rules", []):
+                if "alert" not in rule:
+                    continue
+                try:
+                    _for, alerts = _alert_status(
+                        {**rule, "interval_ms": g.get("interval_ms", 60_000)}
+                    )
+                except ValueError as e:
+                    return _promql_error(e)
+                out.extend(alerts)
+        return {"status": "success", "data": {"alerts": out}}
 
     @app.get("/health")
     def health():

@@ -463,6 +463,30 @@ class PromQLEngine:
             if not isinstance(q_param, NumberLiteral):
                 raise ValueError("quantile_over_time needs a literal quantile")
             out = g.agg(F.percentile("v", F.lit(q_param.value)).alias("value"))
+        elif func == "mad_over_time":
+            # median absolute deviation (Prometheus experimental):
+            # median(|v_i − median(v)|), both medians with the φ·(n−1)
+            # linear interpolation PromQL's quantile uses. The inner median
+            # must finish before the deviations exist, so the window folds
+            # through a sorted array (the holt_winters pattern) and both
+            # interpolations are array expressions post-aggregation.
+            def arr_q(a, q=0.5):
+                n = F.size(a)
+                rank = F.lit(q) * (n - 1).cast("double")
+                lo = F.floor(rank).cast("int")
+                hi = F.ceil(rank).cast("int")
+                return F.element_at(a, lo + 1) + (
+                    F.element_at(a, hi + 1) - F.element_at(a, lo + 1)
+                ) * (rank - lo.cast("double"))
+
+            gathered = g.agg(F.array_sort(F.collect_list("v")).alias("a"))
+            med = arr_q(F.col("a"))
+            dev = F.array_sort(
+                F.transform(F.col("a"), lambda x: F.abs(x - med))
+            )
+            out = gathered.select(
+                "fingerprint", "eval_ms", arr_q(dev).alias("value")
+            )
         elif func in ("irate", "idelta"):
             w = W.partitionBy("fingerprint", "eval_ms").orderBy(
                 F.desc("ts"), F.desc("v")
@@ -578,7 +602,7 @@ class PromQLEngine:
         range_funcs = (
             {"rate", "increase", "delta", "irate", "idelta", "resets", "changes",
              "deriv", "predict_linear", "quantile_over_time", "holt_winters",
-             "double_exponential_smoothing"}
+             "double_exponential_smoothing", "mad_over_time"}
             | set(_SIMPLE_OVER_TIME)
         )
         if func in range_funcs:

@@ -578,3 +578,13 @@ def test_sort_by_label(eng):
     assert rows  # presentational; frame contents unchanged
     with pytest.raises(ValueError):
         eng.eval("sort_by_label(errors, 3)")
+
+
+def test_mad_over_time(eng):
+    # errors{job="api"} samples in a 2m window at t are linear (15 s apart,
+    # slope 15): window (t-120s, t] holds 8 samples v, v+15, ..., v+105.
+    # median = (v+45 + v+60)/2 interpolated = v+52.5; |dev| sorted =
+    # [7.5, 7.5, 22.5, 22.5, 37.5, 37.5, 52.5, 52.5] -> median 30.0
+    r = _rows(eng, 'mad_over_time(errors{job="api"}[2m])')
+    assert len(r) == 6
+    assert all(x.value == pytest.approx(30.0) for x in r)

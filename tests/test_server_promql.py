@@ -234,3 +234,75 @@ def test_promql_over_rollup_tier(spark, tmp_path):
     s2 = SparkParquetStorage(spark, str(tmp_path / "bare"))
     with pytest.raises(ValueError):
         PromQLEngine.from_storage(s2, 0, 1, 1, tier="rollup")
+
+
+@pytest.fixture(scope="module")
+def rules_client(spark):
+    store = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-rules-api-"))
+    store.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "m"), Label("job", "a")],
+                samples=[
+                    # 10 until t=300s, then 100 to the end: the alert is
+                    # ACTIVE at the newest evaluation
+                    Sample(
+                        value=100.0 if i * 15_000 >= 300_000 else 10.0,
+                        timestamp_ms=T0 + i * 15_000,
+                    )
+                    for i in range(41)
+                ],
+            )
+        ]
+    )
+    groups = [
+        {
+            "name": "g1",
+            "interval_ms": 60_000,
+            "rules": [
+                {"record": "job:m:sum", "expr": "sum by (job) (m)"},
+                {
+                    "alert": "HighM",
+                    "expr": "sum by (job) (m) > 50",
+                    "for": "2m",
+                    "labels": {"severity": "page"},
+                },
+                {
+                    "alert": "NeverM",
+                    "expr": "sum by (job) (m) > 1e6",
+                    "for": "1m",
+                },
+            ],
+        }
+    ]
+    app = create_app(store, rule_groups=groups)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_rules_endpoint(rules_client):
+    body = rules_client.get("/api/v1/rules").get_json()
+    assert body["status"] == "success"
+    (g,) = body["data"]["groups"]
+    assert g["name"] == "g1" and g["interval"] == 60.0
+    by_name = {r["name"]: r for r in g["rules"]}
+    rec = by_name["job:m:sum"]
+    assert rec["type"] == "recording" and rec["health"] == "ok"
+    alert = by_name["HighM"]
+    assert alert["type"] == "alerting" and alert["duration"] == 120.0
+    assert alert["state"] == "firing"
+    assert by_name["NeverM"]["state"] == "inactive"
+    # type filter
+    only_alerts = rules_client.get("/api/v1/rules?type=alert").get_json()
+    names = {r["name"] for r in only_alerts["data"]["groups"][0]["rules"]}
+    assert names == {"HighM", "NeverM"}
+
+
+def test_alerts_endpoint(rules_client):
+    body = rules_client.get("/api/v1/alerts").get_json()
+    assert body["status"] == "success"
+    (a,) = body["data"]["alerts"]
+    assert a["state"] == "firing"
+    assert a["labels"] == {"alertname": "HighM", "job": "a", "severity": "page"}
+    # activeAt = the first firing evaluation (t = 300 s)
+    assert a["activeAt"] == pytest.approx(T0 / 1000 + 300)
