@@ -208,7 +208,17 @@ class PromQLEngine:
 
     def eval(self, src: str | object) -> DataFrame:
         node = parse(src) if isinstance(src, str) else src
-        out = self._compile(node)
+        try:
+            out = self._compile(node)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, AttributeError, TypeError) as e:
+            # compile is pure plan construction — any of these here is a
+            # malformed expression, and the HTTP edge must see ValueError
+            # (→ 400 bad_data), never a 500
+            raise ValueError(
+                f"invalid PromQL expression: {type(e).__name__}: {e}"
+            ) from e
         if isinstance(out, float):
             return self._scalar_frame(out)
         return out
@@ -597,8 +607,41 @@ class PromQLEngine:
             return self._binop(node)
         raise ValueError(f"cannot compile {type(node).__name__}")
 
+    # function arity (min, max); None max = unbounded
+    _ARITY = {
+        "pi": (0, 0), "time": (0, 0),
+        "minute": (0, 1), "hour": (0, 1), "day_of_week": (0, 1),
+        "day_of_month": (0, 1), "month": (0, 1), "year": (0, 1),
+        "day_of_year": (0, 1), "days_in_month": (0, 1),
+        "clamp": (3, 3), "clamp_min": (2, 2), "clamp_max": (2, 2),
+        "round": (1, 2), "histogram_quantile": (2, 2),
+        "label_replace": (5, 5), "label_join": (3, None),
+        "sort_by_label": (1, None), "sort_by_label_desc": (1, None),
+        "quantile_over_time": (2, 2), "predict_linear": (2, 2),
+        "holt_winters": (3, 3), "double_exponential_smoothing": (3, 3),
+        "scalar": (1, 1), "vector": (1, 1), "absent": (1, 1),
+        "absent_over_time": (1, 1), "timestamp": (1, 1),
+        "sort": (1, 1), "sort_desc": (1, 1),
+    }
+
+    def _vec(self, node) -> DataFrame:
+        """Compile an argument that must be an instant vector; a
+        scalar-typed result is a PromQL type error, not a crash."""
+        out = self._compile(node)
+        if isinstance(out, float):
+            raise ValueError("expected an instant vector argument, got a scalar")
+        return out
+
     def _call(self, node: Call) -> DataFrame:
         func = node.func
+        lo, hi = self._ARITY.get(func, (1, 1))
+        n = len(node.args)
+        if n < lo or (hi is not None and n > hi):
+            raise ValueError(
+                f"{func} expects "
+                + (f"{lo}" if hi == lo else f"{lo}..{hi if hi is not None else 'n'}")
+                + f" argument(s), got {n}"
+            )
         range_funcs = (
             {"rate", "increase", "delta", "irate", "idelta", "resets", "changes",
              "deriv", "predict_linear", "quantile_over_time", "holt_winters",
@@ -608,7 +651,7 @@ class PromQLEngine:
         if func in range_funcs:
             return self._range_call(func, node)
         if func in _VALUE_FUNCS:
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             return vec.select(
                 F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
                 "eval_ms",
@@ -619,7 +662,7 @@ class PromQLEngine:
                 clamp, clamp_max, clamp_min,
             )
 
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             lits = [a.value for a in node.args[1:]]
             v = F.col("value")
             if func == "clamp":
@@ -634,7 +677,7 @@ class PromQLEngine:
                 value.cast("double").alias("value"),
             )
         if func == "round":
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             to = node.args[1].value if len(node.args) > 1 else 1.0
             value = F.round(F.col("value") / F.lit(to)) * F.lit(to)
             return vec.select(
@@ -644,14 +687,14 @@ class PromQLEngine:
             )
         if func in ("sort", "sort_desc"):
             # ordering is presentational; the frame is unchanged
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             return vec.orderBy(
                 F.col("value").asc() if func == "sort" else F.col("value").desc()
             )
         if func in ("sort_by_label", "sort_by_label_desc"):
             # Prometheus 3.x experimental: presentational ordering by the
             # named labels (absent label sorts as "")
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             keys = []
             for a in node.args[1:]:
                 if not isinstance(a, StringLiteral):
@@ -660,7 +703,7 @@ class PromQLEngine:
                 keys.append(c.asc() if func == "sort_by_label" else c.desc())
             return vec.orderBy(*keys) if keys else vec
         if func == "scalar":
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             # scalar(v): the single series' value per eval; NaN when 0 or
             # >1. Left-join from the full grid so evaluations with ZERO
             # input series still emit a NaN row (Prometheus returns NaN at
@@ -677,13 +720,20 @@ class PromQLEngine:
                 .alias("value"),
             )
         if func == "vector":
-            return self._scalar_frame(self._compile(node.args[0]))
+            # vector(s): scalar → one empty-labels series; a scalar-typed
+            # FRAME (vector(scalar(x))) is already that shape
+            if not is_scalar_expr(node.args[0]):
+                raise ValueError("vector() expects a scalar argument")
+            inner = self._compile(node.args[0])
+            if isinstance(inner, float):
+                return self._scalar_frame(inner)
+            return inner
         if func == "histogram_quantile":
             return self._histogram_quantile(node)
         if func in ("label_replace", "label_join"):
             from promhouse_spark.functions import labels as L
 
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             strs = []
             for a in node.args[1:]:
                 if not isinstance(a, StringLiteral):
@@ -725,7 +775,7 @@ class PromQLEngine:
                     (F.col("sample_ts_ms") / 1000.0).alias("value"),
                 )
                 return self._attach(iv, series, drop_name=True)
-            vec = self._compile(arg)
+            vec = self._vec(arg)
             return vec.select(
                 F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
                 "eval_ms",
@@ -738,7 +788,7 @@ class PromQLEngine:
             # of the vector's values interpreted as epoch seconds;
             # zero-arg form operates on time() (PromQL semantics, UTC)
             vec = (
-                self._compile(node.args[0]) if node.args else self._call(Call("time", []))
+                self._vec(node.args[0]) if node.args else self._call(Call("time", []))
             )
             t = F.timestamp_seconds(F.col("value"))
             value = {
@@ -757,7 +807,7 @@ class PromQLEngine:
                 value.cast("double").alias("value"),
             )
         if func == "absent":
-            vec = self._compile(node.args[0])
+            vec = self._vec(node.args[0])
             return self._absent_complement(vec.select("eval_ms"), node.args[0])
         if func == "absent_over_time":
             # same grid-complement machinery as absent, over the sliding
@@ -800,7 +850,7 @@ class PromQLEngine:
         q = node.args[0]
         if not isinstance(q, NumberLiteral):
             raise ValueError("histogram_quantile needs a literal quantile")
-        vec = self._compile(node.args[1])
+        vec = self._vec(node.args[1])
         # group per eval by labels minus le (and __name__); le "+Inf" → inf
         key = match_key(F.col("labels"), ignoring=["le"])
         le = F.when(

@@ -588,3 +588,40 @@ def test_mad_over_time(eng):
     r = _rows(eng, 'mad_over_time(errors{job="api"}[2m])')
     assert len(r) == 6
     assert all(x.value == pytest.approx(30.0) for x in r)
+
+
+def test_compile_only_raises_valueerror(eng):
+    """The COMPILER fronts /api/v1/query*: malformed-but-parseable
+    expressions (bad arity, scalar where vector expected, non-literal
+    parameters) must raise ValueError — anything else 500s the API."""
+    import random
+
+    cases = [
+        "clamp(m, 1)", "clamp(m)", "clamp_min(m)", "round()", "rate()",
+        "histogram_quantile(0.5)", "label_replace(m)", "label_join(m)",
+        "rate(m)", "scalar()", "vector()", "abs()", "topk(1)", "absent()",
+        "quantile_over_time(errors[5m])", "predict_linear(errors[5m])",
+        "holt_winters(errors[5m])", "timestamp()", "sum()", "vector(errors)",
+        "scalar(5)", "minute(1, 2)", "clamp(1, 2, 3)", "sort_by_label(errors)",
+        "absent_over_time(errors)", "mad_over_time(errors)",
+        "clamp(errors, errors, errors)", "topk(errors, errors)",
+        "quantile(errors, errors)", "count_values(3, errors)",
+        "limit_ratio(errors, errors)", "pi(2)", "time(errors)",
+    ]
+    rng = random.Random(20260814)
+    alphabet = 'abm(){}[]<>=!~+-*/%^,:@ "0123456789msh._'
+    for _ in range(800):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25))))
+    for q in cases:
+        try:
+            eng.eval(q)
+        except ValueError:
+            pass
+    # the scalar→vector promotion still composes: vector() yields one
+    # empty-labels series per eval (and being vector-TYPED, it takes
+    # vector matching — `vector(1) + m` is empty in Prometheus too)
+    r = _rows(eng, "vector(scalar(sum(errors)))")
+    assert len(r) == 6 and all(x.l == "{}" for x in r)
+    assert _rows(eng, "vector(scalar(sum(errors))) + errors") == []
+    r = _rows(eng, "errors + on() group_left vector(scalar(sum(total)))")
+    assert len(r) == 12
