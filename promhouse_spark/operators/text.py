@@ -373,3 +373,72 @@ def bpe_train(
         vocab.unpersist()
         vocab = nxt
     return merges, vocab
+
+
+# ---- learned quality classifier (model-based curation filtering) ----------
+
+
+def quality_features(text_col="text", n_chars_col="n_chars") -> list:
+    """The feature vector for model-based quality scoring, as EXACT column
+    expressions a SQL engine reproduces bit-for-bit from the same rows:
+    scaled length, scaled token count, type-token ratio, and English
+    stopword density — all integer-derived rationals, no floating noise.
+    Order is the model's coefficient order."""
+    nc = F.col(n_chars_col) if isinstance(n_chars_col, str) else n_chars_col
+    return [
+        (nc / F.lit(1000.0)),
+        (token_count(text_col) / F.lit(100.0)),
+        (distinct_token_count(text_col) / token_count(text_col)),
+        (
+            stopword_count(text_col, LANG_STOPWORDS["en"])
+            / token_count(text_col)
+        ),
+    ]
+
+
+def train_quality_model(
+    df: DataFrame,
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+    max_iter: int = 25,
+    reg_param: float = 0.1,
+) -> tuple[float, list[float]]:
+    """Fit a logistic regression that LEARNS the cheap heuristic quality
+    gate (quality_flag) from the corpus — the model-based stand-in
+    production pipelines use where the teacher is human/LLM labels. The
+    fit is MLlib (distributed, deterministic LBFGS); scoring is plain
+    column arithmetic over :func:`quality_features`, so a persisted
+    (intercept, weights) row set makes the scorer replayable by any SQL
+    engine. Returns (intercept, [w_0..w_3])."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = quality_features(text_col, n_chars_col)
+    data = df.select(
+        quality_flag(text_col, n_chars_col).cast("double").alias("label"),
+        array_to_vector(
+            F.array(*[f.cast("double") for f in feats])
+        ).alias("features"),
+    )
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=True
+    ).fit(data)
+    return float(model.intercept), [float(w) for w in model.coefficients]
+
+
+def quality_score(
+    intercept: float,
+    weights: list[float],
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+) -> tuple:
+    """(linear_term, probability) columns for the fitted model — the linear
+    term is the replayable decision value (p >= 0.5 ⇔ linear >= 0, exact
+    on both engines; the sigmoid itself can differ in the final ulp of
+    exp)."""
+    feats = quality_features(text_col, n_chars_col)
+    linear = F.lit(float(intercept))
+    for w, f in zip(weights, feats):
+        linear = linear + F.lit(float(w)) * f
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-linear))
+    return linear, prob

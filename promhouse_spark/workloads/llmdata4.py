@@ -488,3 +488,77 @@ ORDER BY source
 
 QUERIES["doc_curation_pipeline3"] = doc_curation_pipeline3
 ORACLES["doc_curation_pipeline3"] = DOC_CURATION3_SQL
+
+
+# ---- model-based quality scoring (round 7) ---------------------------------
+
+_QM_STAGE = "/tmp/promhouse_oracle_staging/quality_model.parquet"
+_EN_STOP_SQL = "('the','a','of','and','to','in','is')"
+
+
+def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/text.py:train_quality_model):
+    a logistic regression learns the heuristic quality gate from the
+    corpus, its (intercept, weights) persist to a staging parquet, and
+    every document is scored with plain column arithmetic — the
+    fasttext-style learned filter production curation pipelines run,
+    reduced to its replayable linear core. HASH-PAIRED: the oracle reads
+    the staged coefficients and recomputes the identical linear term from
+    the identical integer-derived features; the quality decision compares
+    the LINEAR term to 0 (exactly reproducible), and the reported average
+    probability rounds at 4 dp."""
+    from promhouse_spark.operators.text import quality_score, train_quality_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    intercept, weights = train_quality_model(docs)
+    rows = [(-1, intercept)] + [(i, w) for i, w in enumerate(weights)]
+    spark.createDataFrame(rows, "idx int, weight double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_QM_STAGE)
+    linear, prob = quality_score(intercept, weights)
+    return (
+        docs.select("source", linear.alias("lin"), prob.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("avg_score"),
+            F.sum((F.col("lin") >= 0).cast("long")).cast("long").alias("n_pred_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_QUALITY_MODEL_SQL = f"""
+WITH w AS (SELECT idx, weight FROM read_parquet('{_QM_STAGE}/*.parquet')),
+feat AS (
+  SELECT source,
+         n_chars / 1000.0 AS f0,
+         len(string_split(text, ' ')) / 100.0 AS f1,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS f2,
+         length(list_filter(string_split(text, ' '), t -> t IN {_EN_STOP_SQL}))
+           * 1.0 / len(string_split(text, ' ')) AS f3
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         (SELECT weight FROM w WHERE idx = -1)
+         + (SELECT weight FROM w WHERE idx = 0) * f0
+         + (SELECT weight FROM w WHERE idx = 1) * f1
+         + (SELECT weight FROM w WHERE idx = 2) * f2
+         + (SELECT weight FROM w WHERE idx = 3) * f3 AS lin
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(1.0 / (1.0 + exp(-lin))), 4) AS avg_score,
+       CAST(sum(CASE WHEN lin >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_quality
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["doc_quality_model"] = doc_quality_model
+ORACLES["doc_quality_model"] = DOC_QUALITY_MODEL_SQL
