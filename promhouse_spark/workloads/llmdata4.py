@@ -87,6 +87,13 @@ vocab{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY step"
 
 
+def _bpe_vocab_ctes(k: int) -> str:
+    """The WITH-clause prefix of the BPE oracle (vocab0..vocab{k}) — shared
+    by the merge-list oracle above and the tokenize oracle below."""
+    full = _bpe_oracle_sql(k)
+    return full[: full.rindex("\nSELECT CAST(1 AS BIGINT)")]
+
+
 DOC_BPE_MERGES_SQL = _bpe_oracle_sql(_BPE_K)
 
 
@@ -562,3 +569,60 @@ ORDER BY source
 
 QUERIES["doc_quality_model"] = doc_quality_model
 ORACLES["doc_quality_model"] = DOC_QUALITY_MODEL_SQL
+
+
+# ---- tokenize with the trained BPE (round 7) --------------------------------
+
+
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counting under the TRAINED tokenizer: apply the 8
+    learned merges (operators/text.py:bpe_train's final vocab = word →
+    merged symbol array) to every corpus word via one vocabulary join —
+    the segmentation is per-WORD, so the corpus pass is a broadcast-sized
+    join against the Zipf-bounded vocab, never a per-token Python loop.
+    Output per source: whitespace words, BPE tokens, and the exact
+    tokens-per-word ratio in 1e-6 fixed point. The oracle replays the
+    full K-unrolled merge training AND the tokenize join in SQL."""
+    from promhouse_spark.operators.text import bpe_train, tokens
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_train(docs, "text", n_merges=_BPE_K)
+    words = docs.select("source", F.explode(tokens("text")).alias("w"))
+    joined = words.join(
+        F.broadcast(vocab.select("w", F.size("syms").cast("long").alias("n_syms"))),
+        "w",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            _idiv(F.col("n_bpe_tokens") * F.lit(1_000_000), F.col("n_words")).alias(
+                "tokens_per_word_e6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_BPE_TOKENIZE_SQL = _bpe_vocab_ctes(_BPE_K) + f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       (CAST(sum(len(v.syms)) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS tokens_per_word_e6
+FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) d
+JOIN vocab{_BPE_K} v ON v.w = d.w
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES["doc_bpe_tokenize"] = doc_bpe_tokenize
+ORACLES["doc_bpe_tokenize"] = DOC_BPE_TOKENIZE_SQL
