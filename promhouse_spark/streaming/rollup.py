@@ -128,3 +128,73 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
     fs.rename(spark, rollup_path, old)
     fs.rename(spark, tmp, rollup_path)
     fs.delete(spark, old)
+
+
+# ---- aggregation pushdown: *_over_time served EXACTLY from partials --------
+
+_PUSHDOWN = {
+    "sum_over_time": lambda: F.sum("sum_value").alias("value"),
+    "count_over_time": lambda: F.sum("n").cast("double").alias("value"),
+    "min_over_time": lambda: F.min("min_value").alias("value"),
+    "max_over_time": lambda: F.max("max_value").alias("value"),
+    "avg_over_time": lambda: (F.sum("sum_value") / F.sum("n")).alias("value"),
+    "last_over_time": lambda: F.max_by(
+        "last_value", F.struct("last_ts", "last_value")
+    ).alias("value"),
+}
+
+
+def rollup_range_agg(
+    partials: DataFrame,
+    rollup_step_ms: int,
+    func: str,
+    range_ms: int,
+    step_ms: int,
+) -> DataFrame:
+    """PromQL ``func(m[range])`` answered EXACTLY from the continuous
+    rollup — the aggregation-pushdown / materialized-view-matching path:
+    sum/count/min/max/avg/last_over_time are decomposable, so when the
+    evaluation grid and range align to whole rollup windows
+    (``range_ms`` and ``step_ms`` both multiples of ``rollup_step_ms``),
+    merging the covered windows' partials gives the same answer as
+    scanning the raw samples — which at 100 TB is the difference between
+    reading the fact table and reading a table smaller by the downsample
+    ratio.
+
+    Window convention: the rollup buckets samples into ``[w, w+R)``, so
+    the served evaluation window is ``[t-range, t)`` (closed-open) where
+    raw PromQL uses ``(t-range, t]`` — identical unless a sample sits on
+    an exact bucket boundary instant (the differential test pins this).
+
+    Output: (fingerprint, eval_ms, value) — the engine's instant-vector
+    sample shape, ready for label attach / vector ops."""
+    if func not in _PUSHDOWN:
+        raise ValueError(
+            f"{func} is not decomposable over rollup partials "
+            f"(supported: {sorted(_PUSHDOWN)})"
+        )
+    if range_ms % rollup_step_ms or step_ms % rollup_step_ms:
+        raise ValueError(
+            "exact pushdown needs range and step aligned to the rollup "
+            f"window ({rollup_step_ms} ms)"
+        )
+    merged = merge_rollup(partials)
+    # stamp each rollup window at its END; a window contributes to grid
+    # evaluation t iff end ∈ (t-range, t] ⇔ window ⊆ [t-range, t) — the
+    # same sliding-window explode shape as streaming/rate.py, map-side
+    end = (F.col("window_start_ms") + F.lit(rollup_step_ms)).alias("ts")
+    first = (F.ceil(F.col("ts") / F.lit(step_ms)) * step_ms).cast("long")
+    last = (
+        F.floor((F.col("ts") + F.lit(range_ms - 1)) / F.lit(step_ms)) * step_ms
+    ).cast("long")
+    evs = F.when(first <= last, F.sequence(first, last, F.lit(step_ms))).otherwise(
+        F.array().cast("array<long>")
+    )
+    exploded = merged.select(
+        FINGERPRINT, end, "n", "sum_value", "min_value", "max_value",
+        "last_value", "last_ts",
+    ).select(
+        FINGERPRINT, F.explode(evs).alias("eval_ms"),
+        "n", "sum_value", "min_value", "max_value", "last_value", "last_ts",
+    )
+    return exploded.groupBy(FINGERPRINT, "eval_ms").agg(_PUSHDOWN[func]())

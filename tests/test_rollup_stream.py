@@ -69,3 +69,63 @@ def test_streaming_rollup_end_to_end(spark, tmp_path):
     # compaction collapses partials without changing the merged view
     compact_rollup(spark, rollup)
     assert _rollup_map(read_rollup(spark, rollup)) == got
+
+
+def test_rollup_range_agg_pushdown_matches_raw_engine(spark):
+    """The aggregation-pushdown path: *_over_time served from rollup
+    partials must equal the compiled engine over the RAW samples whenever
+    grid and range align to whole rollup windows (samples placed off the
+    bucket boundaries so the two window conventions coincide)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.streaming.rollup import downsample_partial, rollup_range_agg
+
+    T0 = 1_767_225_600_000
+    R = 60_000  # rollup window
+    rows = []
+    rng_vals = [3.1, 7.4, 2.2, 9.9, 5.5, 1.0, 8.8, 4.4]
+    for fp in (1, 2):
+        for i in range(40):
+            # offsets 7s/37s inside each 60s bucket — never on a boundary
+            for off in (7_000, 37_000):
+                rows.append(
+                    (fp, T0 + i * R + off, rng_vals[(i + fp + off // 1000) % 8] * fp)
+                )
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ms long, value double"
+    )
+    # two partial batches exercise the associative merge
+    p1 = downsample_partial(df.filter("timestamp_ms % 2 = 0"), R)
+    p2 = downsample_partial(df.filter("timestamp_ms % 2 = 1"), R)
+    partials = p1.unionByName(p2)
+
+    series = spark.createDataFrame(
+        [Row(fingerprint=f, labels={"__name__": "m", "f": str(f)}) for f in (1, 2)],
+        "fingerprint long, labels map<string,string>",
+    )
+    start, end, step, rng = T0 + 600_000, T0 + 1_800_000, 300_000, 600_000
+    eng = PromQLEngine(df, series, start, end, step)
+    for func in (
+        "sum_over_time", "count_over_time", "min_over_time",
+        "max_over_time", "avg_over_time", "last_over_time",
+    ):
+        got = {
+            (r["fingerprint"], r["eval_ms"]): r["value"]
+            for r in rollup_range_agg(partials, R, func, rng, step)
+            .filter(f"eval_ms between {start} and {end}")
+            .collect()
+        }
+        want = {
+            (int(r["labels"]["f"]), r["eval_ms"]): r["value"]
+            for r in eng.eval(f"{func}(m[10m])").collect()
+        }
+        assert set(got) == set(want), func
+        for k, v in want.items():
+            assert got[k] == _pytest.approx(v), (func, k)
+    # misalignment and non-decomposable functions are rejected, not wrong
+    with _pytest.raises(ValueError):
+        rollup_range_agg(partials, R, "rate", rng, step)
+    with _pytest.raises(ValueError):
+        rollup_range_agg(partials, R, "sum_over_time", rng + 1, step)
