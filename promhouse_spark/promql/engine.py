@@ -159,6 +159,10 @@ class PromQLEngine:
         self.end_ms = end_ms
         self.step_ms = step_ms
         self.lookback_ms = lookback_ms
+        # set by from_storage(tier="rollup"): (partials frame, rollup step)
+        # — enables exact aggregation pushdown for decomposable
+        # *_over_time range functions (streaming/rollup.rollup_range_agg)
+        self._rollup: tuple[DataFrame, int] | None = None
 
     # -- public ------------------------------------------------------------
 
@@ -204,7 +208,10 @@ class PromQLEngine:
             samples = storage.samples_df()
         else:
             raise ValueError(f"unknown tier: {tier}")
-        return cls(samples, series, start_ms, end_ms, step_ms, lookback_ms)
+        eng = cls(samples, series, start_ms, end_ms, step_ms, lookback_ms)
+        if tier == "rollup":
+            eng._rollup = (partials, storage._rollup_step_ms)
+        return eng
 
     def eval(self, src: str | object) -> DataFrame:
         node = parse(src) if isinstance(src, str) else src
@@ -420,9 +427,57 @@ class PromQLEngine:
             value = value / F.lit(rng / 1000.0)
         return agg.select("fingerprint", "eval_ms", value.alias("value"))
 
+    _ROLLUP_PUSHDOWN = {
+        "sum_over_time", "count_over_time", "min_over_time",
+        "max_over_time", "avg_over_time", "last_over_time",
+    }
+
+    def _try_rollup_pushdown(self, func: str, node: Call) -> DataFrame | None:
+        """Exact aggregation pushdown on the rollup tier: a decomposable
+        *_over_time whose range and grid align to whole rollup windows is
+        answered from the partials (streaming/rollup.rollup_range_agg) —
+        never touching even the pseudo-sample frame. Returns None when the
+        shape doesn't qualify (the caller falls back to the general
+        evaluation, which stays correct at rollup resolution)."""
+        if self._rollup is None or func not in self._ROLLUP_PUSHDOWN:
+            return None
+        args0 = node.args[0] if len(node.args) == 1 else None
+        if (
+            not isinstance(args0, RangeSelector)
+            or args0.selector.at_ms is not None
+            or args0.selector.offset_ms
+        ):
+            return None
+        partials, rstep = self._rollup
+        if (
+            args0.range_ms % rstep
+            or self.step_ms % rstep
+            or self.start_ms % self.step_ms
+        ):
+            return None
+        from promhouse_spark.streaming.rollup import rollup_range_agg
+
+        matchers = list(args0.selector.matchers)
+        if args0.selector.name is not None:
+            matchers.append(Matcher(NAME, "=", args0.selector.name))
+        cond = F.lit(True)
+        for m in matchers:
+            cond = cond & matcher_condition(F.col("labels"), m)
+        series = self.series.filter(cond)
+        sub = partials.join(series.select("fingerprint"), "fingerprint", "left_semi")
+        out = rollup_range_agg(
+            sub, rstep, func, args0.range_ms, self.step_ms
+        ).filter(
+            (F.col("eval_ms") >= self.start_ms) & (F.col("eval_ms") <= self.end_ms)
+        )
+        return self._attach(out, series, drop_name=func != "last_over_time")
+
     def _range_call(self, func: str, node: Call) -> DataFrame:
         if func == "double_exponential_smoothing":  # Prometheus 3.x name
             func = "holt_winters"
+        pushed = self._try_rollup_pushdown(func, node)
+        if pushed is not None:
+            return pushed
         args0 = node.args[0] if node.args else None
         if (
             isinstance(args0, RangeSelector)

@@ -306,3 +306,52 @@ def test_alerts_endpoint(rules_client):
     assert a["labels"] == {"alertname": "HighM", "job": "a", "severity": "page"}
     # activeAt = the first firing evaluation (t = 300 s)
     assert a["activeAt"] == pytest.approx(T0 / 1000 + 300)
+
+
+def test_rollup_tier_pushdown_is_exact(spark, tmp_path):
+    """Decomposable *_over_time on the rollup tier now pushes down to the
+    partials and is EXACT versus the raw engine (not a last-value
+    approximation); non-decomposable functions still evaluate at rollup
+    resolution instead of erroring."""
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.streaming.rollup import downsample_partial
+
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+    store.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "g"), Label("job", "x")],
+                samples=[
+                    # off-boundary timestamps; values vary inside windows
+                    Sample(value=float((7 * i) % 13), timestamp_ms=T0 + i * 60_000 + 7_000)
+                    for i in range(20)
+                ],
+            )
+        ]
+    )
+    rollup = str(tmp_path / "rollup")
+    downsample_partial(store.samples_df(), step_ms=300_000).write.mode(
+        "append"
+    ).parquet(rollup)
+    store.attach_rollup(rollup, step_ms=300_000)
+
+    grid = dict(start_ms=T0 + 600_000, end_ms=T0 + 1_200_000, step_ms=300_000)
+    raw = PromQLEngine.from_storage(store, **grid)
+    rolled = PromQLEngine.from_storage(store, **grid, tier="rollup")
+    for q in (
+        "avg_over_time(g[10m])",
+        "sum_over_time(g[10m])",
+        "min_over_time(g[10m])",
+        "max_over_time(g[10m])",
+        "count_over_time(g[10m])",
+    ):
+        want = {r.eval_ms: r.value for r in raw.eval(q).collect()}
+        got = {r.eval_ms: r.value for r in rolled.eval(q).collect()}
+        assert got == want and want, q
+    # the pushed plan reads the partials, not the samples fact table
+    plan = rolled.explain("avg_over_time(g[10m])", mode="simple")
+    assert "rollup" in plan and "/samples" not in plan
+    # misaligned range falls back to rollup-resolution evaluation (no error)
+    assert rolled.eval("avg_over_time(g[7m])").collect()
+    # non-decomposable stays on the general path
+    assert rolled.eval("rate(g[10m])").collect() is not None
