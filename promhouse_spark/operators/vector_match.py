@@ -101,6 +101,7 @@ _ARITH: dict[str, Callable[[Column, Column], Column]] = {
     "/": ieee_div,
     "%": ieee_mod,
     "^": lambda l, r: F.pow(l, r),
+    "atan2": F.atan2,  # a binary OPERATOR in PromQL (not a function)
 }
 _CMP: dict[str, Callable[[Column, Column], Column]] = {
     op: _ieee_cmp(op) for op in ("==", "!=", ">", "<", ">=", "<=")

@@ -75,6 +75,7 @@ _ARITH = {
     "/": ieee_div,
     "%": ieee_mod,
     "^": lambda l, r: F.pow(l, r),
+    "atan2": F.atan2,
 }
 _CMP = _VM_CMP  # IEEE NaN comparison semantics, shared with binop
 
@@ -1124,6 +1125,7 @@ _PY_ARITH = {
     "/": lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan,
     "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
     "^": lambda a, b: a ** b,
+    "atan2": math.atan2,
 }
 _PY_CMP = {
     "==": lambda a, b: a == b,

@@ -138,7 +138,7 @@ _TOKEN_RE = re.compile(
 
 KEYWORDS = {
     "by", "without", "on", "ignoring", "group_left", "group_right",
-    "offset", "bool", "and", "or", "unless",
+    "offset", "bool", "and", "or", "unless", "atan2",
 }
 
 
@@ -172,7 +172,7 @@ _PRECEDENCE = [
     {"and", "unless"},
     {"==", "!=", ">", "<", ">=", "<="},
     {"+", "-"},
-    {"*", "/", "%"},
+    {"*", "/", "%", "atan2"},  # atan2 is a BINARY OPERATOR in PromQL
 ]
 _RIGHT_ASSOC = {"^"}
 SET_OPS = {"and", "or", "unless"}

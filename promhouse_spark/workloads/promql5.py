@@ -200,3 +200,55 @@ ORACLES = {
     "ph_promql_nan_div": PH_PROMQL_NAN_DIV_SQL,
     "ph_rule_record": PH_RULE_RECORD_SQL,
 }
+
+
+_ROLL_R_MS = 3600 * 1000        # 1 h rollup windows
+_ROLL_RANGE_MS = 4 * 3600 * 1000  # avg_over_time range (4 whole windows)
+
+
+def ph_rollup_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation pushdown pinned through the driver gate:
+    ``avg_over_time(events[4h])`` answered EXACTLY from hourly rollup
+    partials (streaming/rollup.rollup_range_agg) — sum-of-sums over
+    count-of-counts per sliding window, never a raw-sample scan. The
+    oracle computes the identical closed-open-window average directly
+    over the samples, proving the partial-merge path is exact."""
+    from promhouse_spark.streaming.rollup import downsample_partial, rollup_range_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    samples = ev.select(
+        fp.alias("fingerprint"),
+        F.unix_millis("ts").alias("timestamp_ms"),
+        "value",
+    )
+    partials = downsample_partial(samples, _ROLL_R_MS)
+    out = rollup_range_agg(
+        partials, _ROLL_R_MS, "avg_over_time", _ROLL_RANGE_MS, _STEP_MS
+    ).filter(
+        (F.col("eval_ms") >= _START_MS) & (F.col("eval_ms") <= _END_MS)
+    )
+    parts = F.split("fingerprint", ":")
+    return out.select(
+        parts[0].cast("long").alias("user_id"),
+        parts[1].alias("event_type"),
+        "eval_ms",
+        F.round("value", 4).alias("avg_v"),
+    ).orderBy("user_id", "event_type", "eval_ms")
+
+
+PH_ROLLUP_PUSHDOWN_SQL = f"""
+WITH {_SAMPLES_CTE},
+grid AS (
+  SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS eval_ms
+)
+SELECT s.user_id, s.event_type, g.eval_ms, round(avg(s.value), 4) AS avg_v
+FROM samples s JOIN grid g
+  ON s.ts_ms >= g.eval_ms - {_ROLL_RANGE_MS} AND s.ts_ms < g.eval_ms
+GROUP BY 1, 2, 3
+ORDER BY user_id, event_type, eval_ms
+"""
+
+
+QUERIES["ph_rollup_pushdown"] = ph_rollup_pushdown
+ORACLES["ph_rollup_pushdown"] = PH_ROLLUP_PUSHDOWN_SQL

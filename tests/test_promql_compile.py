@@ -625,3 +625,15 @@ def test_compile_only_raises_valueerror(eng):
     assert _rows(eng, "vector(scalar(sum(errors))) + errors") == []
     r = _rows(eng, "errors + on() group_left vector(scalar(sum(total)))")
     assert len(r) == 12
+
+
+def test_atan2_binary_operator(eng):
+    # atan2 is a binary OPERATOR in PromQL with */% precedence
+    r = _rows(eng, "errors atan2 errors")
+    assert len(r) == 12 and all(x.value == pytest.approx(math.pi / 4) for x in r)
+    r = _rows(eng, "(errors - errors) atan2 (0 - errors)")
+    assert all(x.value == pytest.approx(math.pi) for x in r)  # atan2(0, -x)
+    s = _rows(eng, "errors atan2 scalar(sum(total) * 0 + 0) + 0")
+    assert all(x.value == pytest.approx(math.pi / 2) for x in s)
+    prec = parse("a atan2 b + c")  # + binds looser: (a atan2 b) + c
+    assert prec.op == "+" and prec.lhs.op == "atan2"
