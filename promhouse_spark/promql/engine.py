@@ -107,6 +107,12 @@ _SIMPLE_OVER_TIME = {
     "stddev_over_time": lambda v, ts: F.stddev_pop(v),
     "stdvar_over_time": lambda v, ts: F.var_pop(v),
     "present_over_time": lambda v, ts: F.lit(1.0),
+    # Prometheus 3.x experimental ts_of_* family: the SAMPLE TIMESTAMP (in
+    # seconds) of the window's last/max/min point; value ties break toward
+    # the later timestamp, deterministically
+    "ts_of_last_over_time": lambda v, ts: F.max(ts) / 1000.0,
+    "ts_of_max_over_time": lambda v, ts: F.max_by(ts, F.struct(v, ts)) / 1000.0,
+    "ts_of_min_over_time": lambda v, ts: F.min_by(ts, F.struct(v, -ts)) / 1000.0,
 }
 
 # instant-vector math functions (value map; metric name drops)

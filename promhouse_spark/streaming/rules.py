@@ -238,3 +238,48 @@ def start_streaming_rule(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def start_streaming_rule_group(
+    spark: SparkSession,
+    samples_path: str,
+    series_df: DataFrame,
+    group: dict,
+    out_root: str,
+    checkpoint_root: str,
+    step_ms: int = 60_000,
+    lookback_ms: int = 300_000,
+    watermark: str = "10 minutes",
+    trigger_seconds: int = 5,
+) -> dict[str, StreamingQuery]:
+    """Run a whole Prometheus-shaped rule group continuously — the same
+    group dict edge/http.create_app serves at /api/v1/rules. Each
+    recording rule becomes its own streaming query (independent
+    checkpoints under ``checkpoint_root/<record>``, outputs under
+    ``out_root/<record>``), so one slow rule never stalls the others and
+    each restarts from its own offset. Alerting rules are skipped here —
+    streaming/alerts.start_streaming_alert runs those. Returns
+    {record_name: query}."""
+    import os
+
+    queries: dict[str, StreamingQuery] = {}
+    interval = int(group.get("interval_ms", step_ms))
+    for rule in group.get("rules", []):
+        if "record" not in rule:
+            continue
+        record = rule["record"]
+        safe = record.replace(":", "_").replace("/", "_")
+        queries[record] = start_streaming_rule(
+            spark,
+            samples_path,
+            series_df,
+            record,
+            rule["expr"],
+            os.path.join(out_root, safe),
+            os.path.join(checkpoint_root, safe),
+            step_ms=interval,
+            lookback_ms=lookback_ms,
+            watermark=watermark,
+            trigger_seconds=trigger_seconds,
+        )
+    return queries

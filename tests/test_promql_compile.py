@@ -637,3 +637,16 @@ def test_atan2_binary_operator(eng):
     assert all(x.value == pytest.approx(math.pi / 2) for x in s)
     prec = parse("a atan2 b + c")  # + binds looser: (a atan2 b) + c
     assert prec.op == "+" and prec.lhs.op == "atan2"
+
+
+def test_ts_of_over_time_family(eng):
+    # samples every 15 s: the window's last sample ts is the eval itself
+    r = _rows(eng, 'ts_of_last_over_time(errors{job="api"}[2m])')
+    assert all(x.value == pytest.approx(x.eval_ms / 1000.0) for x in r)
+    # linear counters: the max sits at the window end, the min at its start
+    mx = _rows(eng, 'ts_of_max_over_time(errors{job="api"}[2m])')
+    assert all(x.value == pytest.approx(x.eval_ms / 1000.0) for x in mx)
+    mn = _rows(eng, 'ts_of_min_over_time(errors{job="api"}[2m])')
+    assert all(
+        x.value == pytest.approx((x.eval_ms - 105_000) / 1000.0) for x in mn
+    )

@@ -164,3 +164,46 @@ def test_streaming_rule_end_to_end(spark, tmp_path):
         assert v == pytest.approx(want[t]), t
     # a steady-state evaluation whose window spans BOTH micro-batches
     assert got[T0 + 360_000] == pytest.approx(360.0)
+
+
+def test_streaming_rule_group(spark, tmp_path):
+    """A whole rule group runs as independent queries; each record's
+    output carries its own __name__ and matches the batch pipeline."""
+    from promhouse_spark.streaming.rules import start_streaming_rule_group
+
+    src = str(tmp_path / "samples")
+    out = str(tmp_path / "rec")
+    ck = str(tmp_path / "ck")
+    series = _series(spark)
+    rows = _counter_rows(1.0, 1, 41) + _counter_rows(2.0, 2, 41)
+    flush = [(1, T0 + 3 * 3600 * 1000, 0.0), (1, T0 + 3 * 3600 * 1000 + 1, 0.0)]
+    spark.createDataFrame(rows + flush, SAMPLES_SCHEMA).write.parquet(src)
+    group = {
+        "name": "g",
+        "interval_ms": 60_000,
+        "rules": [
+            {"record": "job:m:increase2m", "expr": "sum by (job) (increase(m[2m]))"},
+            {"record": "job:m:max5m", "expr": "max_over_time(m[5m])"},
+            {"alert": "skipped", "expr": "sum(m) > 1"},  # alerting: not here
+        ],
+    }
+    qs = start_streaming_rule_group(spark, src, series, group, out, ck,
+                                    trigger_seconds=1)
+    try:
+        assert set(qs) == {"job:m:increase2m", "job:m:max5m"}
+        for q in qs.values():
+            q.processAllAvailable()
+    finally:
+        for q in qs.values():
+            q.stop()
+    inc = spark.read.parquet(out + "/job_m_increase2m")
+    assert inc.count() > 0
+    assert all(
+        r["labels"]["__name__"] == "job:m:increase2m" for r in inc.collect()
+    )
+    got = {r["timestamp_ms"]: r["value"] for r in inc.collect()}
+    assert got[T0 + 360_000] == pytest.approx(360.0)
+    mx = spark.read.parquet(out + "/job_m_max5m")
+    assert mx.count() > 0 and all(
+        r["labels"]["__name__"] == "job:m:max5m" for r in mx.collect()
+    )
