@@ -6,10 +6,11 @@ resampling, PII scrubbing, char-trigram LM fluency scoring (CCNet-shaped),
 BPE merge-step pair counts, tf·idf keyword extraction, deterministic
 sequence packing, and the product-quantization ANN serving path.
 
-Every SQL-expressible query is paired with a DuckDB oracle below; the PQ
-probe is sketch-based (codebook from distributed k-means) and registered
-rows-only — its recall and exact-rerank properties are gated in
-tests/test_recall.py instead.
+Every query here is paired with a DuckDB oracle. The PQ and IVF-PQ
+probes (k-means codebooks) pair via STAGED index artifacts: the fits stay
+Spark-side, the oracle replays probe selection, (residual) ADC scoring,
+shortlist, and exact rerank over the persisted tables; recall and
+exact-rerank properties are additionally gated in tests/test_recall.py.
 """
 
 from __future__ import annotations
@@ -576,3 +577,108 @@ ORDER BY shard, bin
 
 QUERIES["doc_curation_pipeline2"] = doc_curation_pipeline2
 ORACLES["doc_curation_pipeline2"] = DOC_CURATION2_SQL
+
+
+# ---- IVF-PQ ANN (round 7): the composed billion-scale shape, hash-paired ---
+
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_IVFPQ_STAGE = "/tmp/promhouse_oracle_staging/ivfpq_index"
+_IVFPQ_NPROBE = 8
+
+
+def emb_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IVFx,PQy shape): coarse k-means prunes to nprobe
+    inverted lists, PQ codes on the RESIDUAL v − centroid score them via
+    per-centroid LUT folds, shortlist rerank is exact cosine
+    (operators/similarity.py:ivfpq_build/ivfpq_probe). HASH-PAIRED via the
+    staged index artifacts: the k-means fits stay Spark-side, but probe
+    selection, residual ADC scoring, the shortlist, and the exact rerank
+    all replay in SQL over the identical centroid/codebook/code tables."""
+    import os
+    import shutil
+    import tempfile
+    import atexit
+
+    from promhouse_spark.workloads.llmdata import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _IVFPQ_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="phs-ivfpq-")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        S.ivfpq_build(emb, path, num_centroids=16, m=8, k=16)
+        _IVFPQ_INDEX_CACHE[key] = path
+    spark.read.parquet(f"{path}/codes").write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(f"{_IVFPQ_STAGE}/codes")
+    for side in ("centroids", "codebook"):
+        spark.read.parquet(f"{path}/{side}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{_IVFPQ_STAGE}/{side}")
+    return S.ivfpq_probe(
+        spark, _IVFPQ_STAGE, emb, _query_vec(spark, sf_dir),
+        topk=10, nprobe=_IVFPQ_NPROBE,
+    )
+
+
+EMB_IVFPQ_ANN_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+nq AS (
+  SELECT list_transform(qv,
+           x -> x / sqrt(list_sum(list_transform(qv, y -> y * y)))) AS v
+  FROM q
+),
+cent AS (
+  SELECT centroid_id, centroid
+  FROM read_parquet('{_IVFPQ_STAGE}/centroids/*.parquet')
+),
+probe AS (
+  SELECT centroid_id, centroid FROM cent, nq
+  ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))),
+           centroid_id
+  LIMIT {_IVFPQ_NPROBE}
+),
+cb AS (
+  SELECT subspace, code, centroid AS cbc
+  FROM read_parquet('{_IVFPQ_STAGE}/codebook/*.parquet')
+),
+lut AS (
+  SELECT p.centroid_id AS cid, cb.subspace, cb.code,
+         list_sum(list_transform(range(1, len(cbc) + 1),
+           i -> ((v[cb.subspace * 8 + i] - p.centroid[cb.subspace * 8 + i]) - cbc[i])
+              * ((v[cb.subspace * 8 + i] - p.centroid[cb.subspace * 8 + i]) - cbc[i])))
+           AS d
+  FROM cb, probe p, nq
+),
+codes AS (
+  SELECT vec_id, centroid_id, codes
+  FROM read_parquet('{_IVFPQ_STAGE}/codes/*/*.parquet', hive_partitioning = true)
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+),
+expanded AS (
+  SELECT vec_id, centroid_id, unnest(codes) AS code,
+         unnest(range(0, len(codes))) AS subspace
+  FROM codes
+),
+adc AS (
+  SELECT e.vec_id, sum(l.d) AS adc
+  FROM expanded e
+  JOIN lut l ON l.cid = e.centroid_id
+            AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+SELECT em.vec_id,
+       round(list_cosine_similarity(CAST(em.embedding AS DOUBLE[]), q.qv), 4)
+         AS cosine
+FROM embeddings em JOIN short USING (vec_id), q
+WHERE em.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+QUERIES["emb_ivfpq_ann_topk"] = emb_ivfpq_ann_topk
+ORACLES["emb_ivfpq_ann_topk"] = EMB_IVFPQ_ANN_SQL
