@@ -145,8 +145,32 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             return str(int(v))
         return repr(v)
 
+    class _Unsupported(ValueError):
+        # ValueError subclass so endpoints that only catch ValueError
+        # degrade to a clear 400 instead of a 500; the PromQL endpoints
+        # catch it first and answer 501 unavailable
+        pass
+
+    def _require_frames():
+        # memory/blackhole storages satisfy the remote read/write protocol
+        # but expose no DataFrames — PromQL evaluation needs the frame
+        # surface, and the API must say so rather than 500
+        if not hasattr(storage, "registry_df") or not hasattr(storage, "samples_df"):
+            raise _Unsupported(
+                f"storage backend {type(storage).__name__} does not expose "
+                "DataFrames; PromQL endpoints need a frame-backed storage"
+            )
+
+    def _unsupported(e: Exception):
+        return (
+            {"status": "error", "errorType": "unavailable", "error": str(e)},
+            501,
+        )
+
     def _evaluate(query: str, start_ms: int, end_ms: int, step_ms: int):
         from promhouse_spark.promql import PromQLEngine
+
+        _require_frames()
 
         lookback = int(request.values.get("lookback_delta_ms", 300_000))
         eng = PromQLEngine.from_storage(
@@ -184,6 +208,8 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             return _promql_error(e)
         try:
             result = _evaluate(query, start_ms, end_ms, step_ms)
+        except _Unsupported as e:  # ValueError subclass: catch first
+            return _unsupported(e)
         except ValueError as e:
             return _promql_error(e)
         counters["read_queries"] += 1
@@ -205,6 +231,8 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             return _promql_error(e)
         try:
             series = _evaluate(query, t_ms, t_ms, 1_000)
+        except _Unsupported as e:  # ValueError subclass: catch first
+            return _unsupported(e)
         except ValueError as e:
             return _promql_error(e)
         counters["read_queries"] += 1
@@ -223,6 +251,7 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     def _series_frame():
         from pyspark.sql import functions as F
 
+        _require_frames()
         return storage.registry_df().select(F.col("labels"))
 
     def _apply_match(df):
@@ -346,6 +375,14 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     def rules_endpoint():
         want = request.values.get("type")  # alert | record | None
         groups = []
+        has_alerts = any(
+            "alert" in r for g2 in rule_groups for r in g2.get("rules", [])
+        )
+        if has_alerts:
+            try:
+                _require_frames()
+            except _Unsupported as e:
+                return _unsupported(e)
         for g in rule_groups:
             rendered = []
             for rule in g.get("rules", []):
@@ -401,6 +438,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     @app.get("/api/v1/alerts")
     def alerts_endpoint():
         out = []
+        if any("alert" in r for g2 in rule_groups for r in g2.get("rules", [])):
+            try:
+                _require_frames()
+            except _Unsupported as e:
+                return _unsupported(e)
         for g in rule_groups:
             for rule in g.get("rules", []):
                 if "alert" not in rule:

@@ -439,3 +439,35 @@ def test_repr_renderers():
     assert repr(m) == '{job=~"a.+"}'
     q = Query(5, 9, (m, Matcher("x", MatchType.NEQ, "y")))
     assert repr(q) == '[5,9,[{job=~"a.+"},{x!="y"}]]'
+
+
+def test_promql_endpoints_on_frameless_storage_answer_501():
+    """PromQL endpoints on a storage without a DataFrame surface (the
+    blackhole protocol sink) must answer 501 unavailable, never 500."""
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.storage.blackhole import BlackholeStorage
+
+    app = create_app(
+        BlackholeStorage(),
+        rule_groups=[{"name": "g", "rules": [
+            {"alert": "A", "expr": "sum(m) > 1"},
+            {"record": "r", "expr": "sum(m)"},
+        ]}],
+    )
+    app.config["TESTING"] = True
+    c = app.test_client()
+    for path, qs in (
+        ("/api/v1/query_range", {"query": "m", "start": "0", "end": "60", "step": "60"}),
+        ("/api/v1/query", {"query": "m"}),
+        ("/api/v1/alerts", {}),
+        ("/api/v1/rules", {}),
+    ):
+        r = c.get(path, query_string=qs)
+        assert r.status_code == 501, (path, r.status_code)
+        assert r.get_json()["errorType"] == "unavailable"
+    # labels/series degrade to a clear client error, never a 500
+    for path in ("/api/v1/labels", "/api/v1/series"):
+        r = c.get(path)
+        assert r.status_code in (400, 501), path
+    # the remote read/write protocol itself still works on this storage
+    assert c.get("/health").status_code == 200
