@@ -339,7 +339,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-_JACC_SIG_STAGE = f"{_STAGE_DIR}/jaccard_shingle_signatures.parquet"
+# the SAME signature table serves both the banded-candidate query and the
+# verified-jaccard headline (identical params) — one materialization per
+# (app, corpus), the production share-the-signatures shape
+_JACC_SIG_STAGE = _MINHASH_STAGE
 
 
 def doc_shingle_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
