@@ -355,3 +355,44 @@ def test_rollup_tier_pushdown_is_exact(spark, tmp_path):
     assert rolled.eval("avg_over_time(g[7m])").collect()
     # non-decomposable stays on the general path
     assert rolled.eval("rate(g[10m])").collect() is not None
+
+
+def test_promql_over_jdbc_backend(spark):
+    """The PromQL engine is backend-agnostic: served evaluation over the
+    JDBC storage (ClickHouse-shape twin on embedded Derby) must equal the
+    parquet backend on the same writes — from_storage only needs the
+    frame surface."""
+    import uuid
+
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.storage.jdbc import DERBY_DRIVER, JdbcStorage, derby_memory_url
+
+    series = [
+        TimeSeries(
+            labels=[Label("__name__", "m"), Label("job", j)],
+            samples=[
+                Sample(value=i * 15.0 * mult, timestamp_ms=T0 + i * 15_000)
+                for i in range(41)
+            ],
+        )
+        for j, mult in (("api", 1.0), ("db", 2.0))
+    ]
+    jd = JdbcStorage(
+        spark, derby_memory_url(f"promql{uuid.uuid4().hex[:8]}"), driver=DERBY_DRIVER
+    )
+    jd.write(series)
+    pq = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-promql-pq-"))
+    pq.write(series)
+    grid = dict(start_ms=T0 + 300_000, end_ms=T0 + 600_000, step_ms=60_000)
+    for q in ("sum by (job) (rate(m[2m]))", 'm{job="api"}', "topk(1, m)"):
+        got = {
+            (tuple(sorted(r["labels"].items())), r["eval_ms"]): r["value"]
+            for r in PromQLEngine.from_storage(jd, **grid).eval(q).collect()
+        }
+        want = {
+            (tuple(sorted(r["labels"].items())), r["eval_ms"]): r["value"]
+            for r in PromQLEngine.from_storage(pq, **grid).eval(q).collect()
+        }
+        assert got.keys() == want.keys() and want, q
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v), (q, k)
