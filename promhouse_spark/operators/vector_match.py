@@ -62,16 +62,25 @@ def ieee_div(l: Column, r: Column) -> Column:
     the sign of x, 0/0 and NaN/0 are NaN — where Spark's non-ANSI `/`
     yields NULL. The NaN guard comes FIRST because Spark orders NaN above
     every number, so a bare `l > 0` would send NaN/0 to +Inf."""
-    return F.when(r != 0, l / r).otherwise(
-        F.when(F.isnan(l) | (l == 0), F.lit(_NAN))
+    # NULL operands stay NULL (a `r != 0` test is NULL for NULL r and
+    # would otherwise fall into the ±Inf branch)
+    return (
+        F.when(l.isNull() | r.isNull(), F.lit(None).cast("double"))
+        .when(r != 0, l / r)
+        .when(F.isnan(l) | (l == 0), F.lit(_NAN))
         .when(l > 0, F.lit(_INF))
         .otherwise(F.lit(-_INF))
     )
 
 
 def ieee_mod(l: Column, r: Column) -> Column:
-    """Go math.Mod: x % 0 is NaN (Spark `%` gives NULL)."""
-    return F.when(r != 0, l % r).otherwise(F.lit(_NAN))
+    """Go math.Mod: x % 0 is NaN (Spark `%` gives NULL); NULL operands
+    stay NULL."""
+    return (
+        F.when(l.isNull() | r.isNull(), F.lit(None).cast("double"))
+        .when(r != 0, l % r)
+        .otherwise(F.lit(_NAN))
+    )
 
 
 def _ieee_cmp(op: str) -> Callable[[Column, Column], Column]:
