@@ -139,8 +139,11 @@ class _AlertState:
                 run = self.runs.get(key)
                 if run is not None and ev == run[1] + self.step_ms:
                     since = run[0]
-                elif run is not None and ev == run[1]:
-                    continue  # replayed evaluation (idempotent)
+                elif run is not None and ev <= run[1]:
+                    # replayed evaluation (a restart re-delivers the last
+                    # micro-batch): at-or-behind the run head is a no-op,
+                    # NOT a gap — treating it as one would split the run
+                    continue
                 else:
                     if run is not None:  # gap within one batch's rows
                         events.append(

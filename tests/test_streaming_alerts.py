@@ -135,3 +135,24 @@ def test_streaming_alert_matches_batch_intervals(spark, tmp_path):
     # resolution was emitted once the next evaluation finalized
     resolved = events.filter("state = 'resolved'").collect()
     assert any(r["eval_ms"] == T0 + 360_000 for r in resolved)
+
+
+def test_alert_state_replay_is_idempotent():
+    """foreachBatch re-delivers the last micro-batch on restart: replayed
+    (older or equal) evaluations must not split or duplicate a run."""
+    alert = compile_streaming_alert("A", "sum by (job) (m) > 50", for_ms=120_000)
+    st = _AlertState(alert, step_ms=60_000)
+    lbl = {"job": "a"}
+    rows = [
+        {"labels": lbl, "eval_ms": t, "value": 100.0}
+        for t in (180_000, 240_000, 300_000)
+    ]
+    first = st.step(list(rows))
+    # the whole batch replays: no new events, run state unchanged
+    replay = st.step(list(rows))
+    assert replay == []
+    assert st.runs[_k(lbl)][0] == 180_000 and st.runs[_k(lbl)][1] == 300_000
+    # continuation after the replay extends the SAME run
+    cont = st.step([{"labels": lbl, "eval_ms": 360_000, "value": 100.0}])
+    assert [(x[2], x[3], x[4]) for x in cont] == [(360_000, 180_000, "firing")]
+    assert first  # silence unused warning
