@@ -491,5 +491,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     return app
 
 
-def serve(storage: Storage, host: str = "127.0.0.1", port: int = 7781) -> None:
-    create_app(storage).run(host=host, port=port, threaded=True)
+def serve(
+    storage: Storage,
+    host: str = "127.0.0.1",
+    port: int = 7781,
+    rule_groups: list[dict] | None = None,
+) -> None:
+    create_app(storage, rule_groups=rule_groups).run(
+        host=host, port=port, threaded=True
+    )

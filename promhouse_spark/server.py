@@ -68,7 +68,61 @@ def build_parser() -> argparse.ArgumentParser:
         help="Root path for the parquet backend",
     )
     p.add_argument("--log.level", dest="log_level", default="warn", help="Log level")
+    p.add_argument(
+        "--rules-file",
+        dest="rules_file",
+        default=None,
+        help="Prometheus rules file (YAML or JSON) served at /api/v1/rules "
+        "and evaluated at /api/v1/alerts",
+    )
+    p.add_argument(
+        "--check-rules",
+        dest="check_rules",
+        action="store_true",
+        help="Validate --rules-file (every expression must compile) and "
+        "exit — the promtool-check workflow",
+    )
     return p
+
+
+def load_rule_groups(path: str) -> list[dict]:
+    """Load a Prometheus-shaped rules file (YAML or JSON) into the group
+    dicts edge/http.create_app serves, VALIDATING every expression through
+    the PromQL parser (a rule that cannot compile should fail at load, not
+    at first evaluation). Intervals parse as durations to interval_ms."""
+    import json
+
+    from promhouse_spark.promql.parser import parse, parse_duration_ms
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        import yaml
+
+        doc = yaml.safe_load(text)
+    groups = []
+    for g in (doc or {}).get("groups", []):
+        out = {"name": g.get("name", ""), "rules": []}
+        if g.get("interval"):
+            out["interval_ms"] = parse_duration_ms(str(g["interval"]))
+        for rule in g.get("rules", []):
+            kind = "record" if "record" in rule else "alert"
+            if kind == "alert" and "alert" not in rule:
+                raise ValueError(f"rule without record/alert in group {out['name']!r}")
+            try:
+                parse(rule["expr"])
+            except (KeyError, ValueError) as e:
+                raise ValueError(
+                    f"rule {rule.get(kind, '?')!r} in group {out['name']!r}: "
+                    f"bad expr: {e}"
+                ) from e
+            if rule.get("for"):
+                parse_duration_ms(str(rule["for"]))  # validate
+            out["rules"].append(dict(rule))
+        groups.append(out)
+    return groups
 
 
 def parse_addr(addr: str) -> tuple[str, int]:
@@ -121,6 +175,11 @@ def build_storage(args: argparse.Namespace, spark=None):
 def main(argv: Sequence[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level.upper())
+    rule_groups = load_rule_groups(args.rules_file) if args.rules_file else None
+    if args.check_rules:
+        n = sum(len(g["rules"]) for g in (rule_groups or []))
+        print(f"OK: {len(rule_groups or [])} group(s), {n} rule(s) compile")
+        return
     storage = build_storage(args)
     spark = getattr(storage, "spark", None)
     if spark is not None:
@@ -132,7 +191,7 @@ def main(argv: Sequence[str] | None = None) -> None:
 
     from promhouse_spark.edge.http import create_app, serve
 
-    app = create_app(storage)
+    app = create_app(storage, rule_groups=rule_groups)
     debug = Flask("promhouse-debug")
     debug.add_url_rule("/healthz", "healthz", lambda: ("ok\n", 200))
     # the debug server re-exports the API app's metrics endpoint, like the
@@ -147,7 +206,7 @@ def main(argv: Sequence[str] | None = None) -> None:
         target=lambda: debug.run(host=dh, port=dp, threaded=True), daemon=True
     ).start()
     ph, pp = parse_addr(args.listen_prom_addr)
-    serve(storage, host=ph, port=pp)
+    serve(storage, host=ph, port=pp, rule_groups=rule_groups)
 
 
 if __name__ == "__main__":

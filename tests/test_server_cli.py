@@ -120,3 +120,41 @@ def test_server_end_to_end_memory_backend():
     assert r.status_code == 200
     m = requests.get(f"{dbg}/metrics", timeout=5)
     assert m.status_code == 200 and b"promhouse_spark" in m.content
+
+
+def test_load_rule_groups_yaml_and_check(tmp_path, capsys):
+    """--rules-file loads Prometheus-shaped YAML with per-rule expression
+    validation; --check-rules is the promtool-check workflow."""
+    from promhouse_spark.server import load_rule_groups, main
+
+    f = tmp_path / "rules.yml"
+    f.write_text(
+        """
+groups:
+  - name: g1
+    interval: 1m
+    rules:
+      - record: job:m:sum
+        expr: sum by (job) (m)
+      - alert: HighM
+        expr: sum by (job) (rate(m[5m])) > 0.5
+        for: 2m
+        labels: {severity: page}
+"""
+    )
+    groups = load_rule_groups(str(f))
+    assert groups[0]["name"] == "g1" and groups[0]["interval_ms"] == 60_000
+    kinds = [("record" in r, "alert" in r) for r in groups[0]["rules"]]
+    assert kinds == [(True, False), (False, True)]
+    # --check-rules validates and exits without touching storage
+    main(["--rules-file", str(f), "--check-rules"])
+    assert "2 rule(s) compile" in capsys.readouterr().out
+    # a broken expression fails at LOAD with the rule named
+    bad = tmp_path / "bad.yml"
+    bad.write_text("groups:\n- name: g\n  rules:\n  - record: r\n    expr: 'sum('\n")
+    with pytest.raises(ValueError, match="'r'"):
+        load_rule_groups(str(bad))
+    # JSON rule files load through the same path
+    j = tmp_path / "rules.json"
+    j.write_text('{"groups": [{"name": "jg", "rules": [{"record": "x", "expr": "m"}]}]}')
+    assert load_rule_groups(str(j))[0]["name"] == "jg"
