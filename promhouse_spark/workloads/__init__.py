@@ -108,9 +108,9 @@ JUDGED_PRIORITY = [
     "doc_substring_dups",
     "doc_domain_resample",
     "doc_pii_scrub",
-    # SemDeDup is oracle-less (k-means fit): it must sit in the judged
-    # prefix, whose driver check tolerates no_oracle entries — the tail
-    # gate (test_oracle_tail) requires a DuckDB oracle of every member
+    # hash-paired since r7 via staged centroids (see the staged-artifact
+    # pattern in workloads/llmdata.py); stays in the judged prefix as the
+    # SemDeDup representative
     "doc_semantic_dups",
     # --- representative TPC-H shapes (one per family; rest in the tail) ---
     "q1_pricing_summary",
