@@ -1038,8 +1038,14 @@ class PromQLEngine:
         if node.op in ("and", "or", "unless"):
             if l_scalar or r_scalar:
                 raise ValueError(f"set operator {node.op} requires vectors")
+            if node.card != "one_to_one" or node.bool_mode:
+                raise ValueError(
+                    f"set operator {node.op} takes no group_left/group_right/bool"
+                )
             return self._set_op(node, lhs, rhs)
         is_cmp = node.op in _CMP
+        if node.bool_mode and not is_cmp:
+            raise ValueError("bool modifier is only valid on comparisons")
         op_fn = _CMP[node.op] if is_cmp else _ARITH[node.op]
         if is_cmp and l_scalar and r_scalar and not node.bool_mode:
             raise ValueError("comparisons between scalars must use bool modifier")

@@ -312,10 +312,26 @@ def test_subquery_family(client):
 
 def test_error_shapes(client):
     for bad in ("sum(", "temp{", "no_such_fn(temp)", "topk(temp)",
-                "scalar(temp) > 1"):
+                "scalar(temp) > 1", "temp + bool temp",
+                "temp and on(room) group_left temp"):
         code, body = _range(client, bad)
         assert code == 400 and body["status"] == "error", bad
         assert body["errorType"] == "bad_data"
+
+
+def test_newer_function_surface(client):
+    # atan2 operator
+    a = _ok(client, "temp atan2 temp")
+    assert all(v == pytest.approx(math.pi / 4)
+               for vals in a.values() for v in vals.values())
+    # constant series: MAD is 0 everywhere
+    mad = _ok(client, "mad_over_time(temp[2m])")
+    assert all(v == 0.0 for vals in mad.values() for v in vals.values())
+    # ts_of_* return sample timestamps within the window
+    ts = _ok(client, "ts_of_last_over_time(temp[2m])")
+    assert all(t - x < 120 for vals in ts.values() for t, x in vals.items())
+    assert _ok(client, "ts_of_max_over_time(temp[2m])")
+    assert _ok(client, "ts_of_min_over_time(temp[2m])")
 
 
 def test_documented_divergences(client):
