@@ -194,6 +194,110 @@ def audio_features(decoded: dict) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# YUV4MPEG2 (y4m) raw video — the uncompressed interchange format ffmpeg
+# emits (`ffmpeg -i x.mp4 out.y4m`): an ASCII stream header
+# "YUV4MPEG2 W<w> H<h> F<num>:<den> ... \n" followed by per-frame
+# "FRAME\n" markers and raw planar YUV. Decodable with the stdlib alone,
+# so the VIDEO decode path is real, like netpbm and WAV.
+# ---------------------------------------------------------------------------
+
+_Y4M_CHROMA_FACTORS = {"420": 4, "422": 2, "444": 1, "mono": 0}
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Parse a YUV4MPEG2 stream into per-frame LUMA planes (the Y plane is
+    what features and motion estimation read; chroma is parsed for sizing
+    and skipped). Returns kind/width/height/fps/n_frames plus ``frames``:
+    uint8 ndarray (n_frames, height, width)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    chroma = "420"
+    for tok in payload[:nl].split()[1:]:
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            n, d = val.split(":")
+            fps_num, fps_den = int(n), int(d)
+        elif tag == "C":
+            # tags like C420, C420jpeg, C420mpeg2, C444, Cmono
+            chroma = "".join(c for c in val if c.isdigit()) or "mono"
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    if chroma not in _Y4M_CHROMA_FACTORS:
+        raise ValueError(f"unsupported y4m chroma subsampling C{chroma}")
+    y_size = width * height
+    factor = _Y4M_CHROMA_FACTORS[chroma]
+    frame_size = y_size + (2 * y_size // factor if factor else 0)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        start = fnl + 1
+        if start + frame_size > len(payload):
+            raise ValueError("truncated y4m frame")
+        y = np.frombuffer(payload[start : start + y_size], dtype=np.uint8)
+        frames.append(y.reshape(height, width))
+        pos = start + frame_size
+    return {
+        "kind": "video",
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": len(frames),
+        "frames": np.stack(frames) if frames else np.zeros((0, height, width), np.uint8),
+    }
+
+
+def encode_y4m(
+    luma_frames: np.ndarray, fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """Inverse for tests/synthesis: uint8 (n, h, w) luma → a valid C420
+    stream with neutral (128) chroma planes."""
+    n, h, w = luma_frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(luma_frames[i].astype(np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def video_features(decoded: dict) -> list[float]:
+    """8-float vector: geometry + fps + luma level + inter-frame motion
+    (mean absolute luma delta between consecutive frames — the classic
+    cheap motion proxy)."""
+    fr = decoded["frames"].astype(np.float64)
+    n = decoded["n_frames"]
+    fps = decoded["fps_num"] / max(decoded["fps_den"], 1)
+    motion = (
+        float(np.mean(np.abs(np.diff(fr, axis=0)))) if n > 1 else 0.0
+    )
+    return [
+        float(decoded["width"]),
+        float(decoded["height"]),
+        float(n),
+        float(fps),
+        float(n / fps * 1000.0) if fps else 0.0,  # duration ms
+        float(fr.mean()) if n else 0.0,
+        float(fr.std()) if n else 0.0,
+        motion,
+    ]
+
+
+# ---------------------------------------------------------------------------
 # magic-byte sniffing
 # ---------------------------------------------------------------------------
 
@@ -211,6 +315,8 @@ def sniff(payload: bytes) -> str:
     compressed codec name | 'unknown'."""
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     # ISO-BMFF: the first box is <4-byte size>"ftyp" — the size varies, so
@@ -229,6 +335,8 @@ def decode_features(payload: bytes) -> list[float]:
     kind = sniff(payload)
     if kind == "pnm":
         return image_features(decode_pnm(payload))
+    if kind == "y4m":
+        return video_features(decode_y4m(payload))
     if kind == "wav":
         return audio_features(decode_wav(payload))
     if kind in ("jpeg", "png", "gif", "mp3", "mp4"):

@@ -163,6 +163,94 @@ def synthesize_pnm_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+Y4M_W, Y4M_H, Y4M_FRAMES, Y4M_FPS = 8, 8, 4, 4
+
+
+def synthesize_y4m_assets(docs: DataFrame) -> DataFrame:
+    """Wrap each document as a REAL YUV4MPEG2 video asset (the raw format
+    ffmpeg emits): 4 frames of 8×8 luma whose bytes derive
+    deterministically from the text (an md5 chain — frame i's plane is
+    md5(text||i) hex repeated to 64 bytes), neutral C420 chroma. Built
+    entirely with JVM built-ins, so synthesis runs at scan speed and the
+    downstream sampling stage exercises the real y4m parser per row."""
+    y_len = Y4M_W * Y4M_H
+    reps = y_len // 32 + 1
+    header = F.lit(
+        f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F{Y4M_FPS}:1 Ip A1:1 C420\n".encode()
+    )
+    chroma = F.lit(bytes([128]) * (2 * (Y4M_W // 2) * (Y4M_H // 2)))
+    parts = [header]
+    for i in range(Y4M_FRAMES):
+        luma = F.substring(
+            F.repeat(F.md5(F.concat(F.col("text"), F.lit(str(i)))), reps),
+            1,
+            y_len,
+        )
+        parts += [F.lit(b"FRAME\n"), F.encode(luma, "utf-8"), chroma]
+    duration = int(Y4M_FRAMES / Y4M_FPS * 1000)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(*parts).alias("payload"),
+        F.struct(
+            F.lit(Y4M_W).cast("int").alias("width"),
+            F.lit(Y4M_H).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(duration).cast("long").alias("duration_ms"),
+            F.lit("y4m").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("luma_std", T.DoubleType(), True),
+        # exact integer luma sum (width·height uint8 values): downstream
+        # averages/deltas can stay in integer fixed point, which is what
+        # makes the differential oracle bit-exact
+        T.StructField("sum_luma", T.LongType(), True),
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
+    """REAL frame sampling: decode each video payload (y4m) inside an
+    Arrow-batched ``mapInPandas`` stage and emit one row per sampled frame
+    (every ``every_ms`` along the timeline) with its luma statistics —
+    the schema/partitioning/batch shape a production frame sampler has,
+    running an actual decoder. Payloads never touch the driver."""
+    import numpy as np
+
+    videos = assets.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("asset_id", "frame_idx", "frame_ts_ms", "mean_luma",
+                    "luma_std", "sum_luma")}
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                dec = codecs.decode_y4m(bytes(payload))
+                fps = dec["fps_num"] / max(dec["fps_den"], 1)
+                step = max(1, round(every_ms * fps / 1000.0))
+                for idx in range(0, dec["n_frames"], int(step)):
+                    plane = dec["frames"][idx].astype(np.float64)
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(int(idx * 1000 / fps))
+                    out["mean_luma"].append(float(plane.mean()))
+                    out["luma_std"].append(float(plane.std()))
+                    out["sum_luma"].append(int(plane.sum()))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter for tests/demos: wrap document texts as fake binary assets
     (utf-8 payloads, image metadata derived from length)."""

@@ -626,3 +626,92 @@ ORDER BY d.source
 
 QUERIES["doc_bpe_tokenize"] = doc_bpe_tokenize
 ORACLES["doc_bpe_tokenize"] = DOC_BPE_TOKENIZE_SQL
+
+
+# ---- real video frame sampling (round 7) ------------------------------------
+
+_VIDEO_STAGE = "/tmp/promhouse_oracle_staging/video_frames.parquet"
+
+
+def doc_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline end-to-end with a REAL raw-video decode: each
+    document wraps as a valid YUV4MPEG2 asset (the format ffmpeg emits),
+    Arrow-batched mapInPandas runs the actual y4m parser and samples
+    frames every 250 ms (operators/multimodal.py:sample_video_frames),
+    and the per-source rollup reads luma level + the inter-frame motion
+    proxy (mean |Δ mean-luma| between consecutive sampled frames).
+    HASH-PAIRED via the sampled-frame staging table: the decode stays
+    Python; per-asset lag, the motion average, and the rollup replay in
+    DuckDB over identical doubles."""
+    from promhouse_spark.operators import multimodal as M
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_y4m_assets(docs)
+    frames = M.sample_video_frames(assets, every_ms=250)
+    per_frame = frames.join(
+        docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
+    ).select("asset_id", "source", "frame_idx", "frame_ts_ms", "sum_luma")
+    per_frame.write.mode("overwrite").parquet(_VIDEO_STAGE)
+    staged = spark.read.parquet(_VIDEO_STAGE)
+    # EXACT integer fixed point throughout: sum_luma is an integer sum of
+    # width*height uint8 values, so averages and deltas never leave BIGINT
+    # arithmetic and the 1e-6 fixed-point results are engine-bit-identical
+    # (a 4-dp double rounding flapped on exact midpoints here — luma means
+    # are 1/64-grained rationals that LAND on .00005 boundaries)
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    px = M.Y4M_W * M.Y4M_H
+    w = W.partitionBy("asset_id").orderBy("frame_idx")
+    d = staged.withColumn(
+        "dl", F.abs(F.col("sum_luma") - F.lag("sum_luma").over(w))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count_distinct("asset_id").cast("long").alias("n_videos"),
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("sum_luma").cast("long").alias("__sl"),
+            F.sum("dl").cast("long").alias("__sd"),
+            F.count("dl").cast("long").alias("__nd"),
+        )
+        .select(
+            "source",
+            "n_videos",
+            "n_frames",
+            _idiv(F.col("__sl") * F.lit(1_000_000), F.col("n_frames") * px).alias(
+                "avg_luma_e6"
+            ),
+            _idiv(F.col("__sd") * F.lit(1_000_000), F.col("__nd") * px).alias(
+                "motion_e6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_VIDEO_MOTION_SQL = f"""
+WITH f AS (
+  SELECT * FROM read_parquet('{_VIDEO_STAGE}/*.parquet')
+),
+d AS (
+  SELECT source, asset_id, sum_luma,
+         abs(sum_luma - lag(sum_luma) OVER (
+           PARTITION BY asset_id ORDER BY frame_idx)) AS dl
+  FROM f
+)
+SELECT source,
+       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_videos,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       (CAST(sum(sum_luma) AS BIGINT) * 1000000)
+         // (CAST(count(*) AS BIGINT) * 64) AS avg_luma_e6,
+       (CAST(sum(dl) AS BIGINT) * 1000000)
+         // (CAST(count(dl) AS BIGINT) * 64) AS motion_e6
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["doc_video_motion"] = doc_video_motion
+ORACLES["doc_video_motion"] = DOC_VIDEO_MOTION_SQL

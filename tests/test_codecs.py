@@ -183,3 +183,81 @@ def test_resize_block_property(w, h, ow, oh, seed):
     assert out["pixels"].shape == (oh, ow, 3)
     # every output pixel is within the source's value range (it's an average)
     assert out["pixels"].min() >= px.min() and out["pixels"].max() <= px.max()
+
+
+# ---- YUV4MPEG2 (round 7) ----------------------------------------------------
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from promhouse_spark.operators.codecs import decode_y4m, encode_y4m, sniff
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    payload = encode_y4m(frames, fps_num=30, fps_den=1)
+    assert sniff(payload) == "y4m"
+    dec = decode_y4m(payload)
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (8, 6, 5)
+    assert dec["fps_num"] == 30
+    assert (dec["frames"] == frames).all()
+
+
+def test_y4m_decode_against_independent_parse():
+    """Hand-built stream with C420jpeg chroma tag and two frames —
+    decoded planes must equal the bytes placed at hand-computed offsets."""
+    import numpy as np
+
+    from promhouse_spark.operators.codecs import decode_y4m, video_features
+
+    w, h = 4, 2
+    y0 = bytes(range(8))
+    y1 = bytes(range(100, 108))
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    payload = (
+        b"YUV4MPEG2 W4 H2 F10:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + y0 + chroma
+        + b"FRAME\n" + y1 + chroma
+    )
+    dec = decode_y4m(payload)
+    assert dec["frames"][0].tobytes() == y0
+    assert dec["frames"][1].tobytes() == y1
+    feats = video_features(dec)
+    assert feats[:5] == [4.0, 2.0, 2.0, 10.0, 200.0]  # w,h,n,fps,duration_ms
+    assert feats[7] == 100.0  # motion: every pixel differs by exactly 100
+    # truncated stream and bad marker are errors, not garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_y4m(payload[:-3])
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F10:1\nXRAME\n" + y0 + chroma)
+
+
+def test_sample_video_frames_matches_driver_decode(spark):
+    """The mapInPandas frame sampler must emit exactly what a driver-side
+    decode of the same payloads computes."""
+    import numpy as np
+
+    from promhouse_spark.operators import multimodal as M
+    from promhouse_spark.operators.codecs import decode_y4m
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", 3) for i in range(6)],
+        "doc_id long, text string, n_chars long",
+    )
+    assets = M.synthesize_y4m_assets(docs)
+    got = {
+        (r["asset_id"], r["frame_idx"]): (r["frame_ts_ms"], r["sum_luma"])
+        for r in M.sample_video_frames(assets, every_ms=250).collect()
+    }
+    rows = assets.select("asset_id", "payload").collect()
+    want = {}
+    for r in rows:
+        dec = decode_y4m(bytes(r["payload"]))
+        for idx in range(0, dec["n_frames"], 1):  # 250 ms at 4 fps = every frame
+            want[(r["asset_id"], idx)] = (
+                idx * 250,
+                int(dec["frames"][idx].astype(np.int64).sum()),
+            )
+    assert got == want and len(got) == 6 * M.Y4M_FRAMES
