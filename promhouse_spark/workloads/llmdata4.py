@@ -715,3 +715,64 @@ ORDER BY source
 
 QUERIES["doc_video_motion"] = doc_video_motion
 ORACLES["doc_video_motion"] = DOC_VIDEO_MOTION_SQL
+
+
+# ---- real audio decode pipeline (round 7) ------------------------------------
+
+_AUDIO_STAGE = "/tmp/promhouse_oracle_staging/audio_stats.parquet"
+
+
+def doc_audio_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end with the REAL stdlib WAV decode: each
+    document wraps as a valid RIFF/WAVE 8-bit PCM asset, Arrow-batched
+    mapInPandas parses it and emits exact integer level statistics
+    (operators/multimodal.py:audio_stats), and the per-source rollup
+    reports the mean absolute PCM deviation in 1e-6 fixed point —
+    bit-exact on both engines because 8-bit PCM decodes to k/128 floats
+    that reconstruct their byte values exactly. Completes the modality
+    triple: image (doc_multimodal_features), video (doc_video_motion),
+    audio here, each with a real decoder and a hash-paired oracle over
+    its staged decode output."""
+    from promhouse_spark.operators import multimodal as M
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_wav_assets(docs)
+    stats = M.audio_stats(assets).join(
+        docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
+    ).select("asset_id", "source", "n_samples", "sum_abs_dev")
+    stats.write.mode("overwrite").parquet(_AUDIO_STAGE)
+    staged = spark.read.parquet(_AUDIO_STAGE)
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("sum_abs_dev").cast("long").alias("__dev"),
+        )
+        .select(
+            "source",
+            "n_assets",
+            "total_samples",
+            _idiv(F.col("__dev") * F.lit(1_000_000), F.col("total_samples")).alias(
+                "mean_abs_dev_e6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_AUDIO_LEVEL_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+       (CAST(sum(sum_abs_dev) AS BIGINT) * 1000000)
+         // CAST(sum(n_samples) AS BIGINT) AS mean_abs_dev_e6
+FROM read_parquet('{_AUDIO_STAGE}/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["doc_audio_level"] = doc_audio_level
+ORACLES["doc_audio_level"] = DOC_AUDIO_LEVEL_SQL

@@ -261,3 +261,35 @@ def test_sample_video_frames_matches_driver_decode(spark):
                 int(dec["frames"][idx].astype(np.int64).sum()),
             )
     assert got == want and len(got) == 6 * M.Y4M_FRAMES
+
+
+def test_synthesized_wav_assets_decode_with_stdlib(spark):
+    """The JVM-synthesized WAV payloads are valid for Python's stdlib wave
+    module, and audio_stats equals a driver-side decode of the same
+    payloads (exact integers)."""
+    import numpy as np
+
+    from promhouse_spark.operators import multimodal as M
+    from promhouse_spark.operators.codecs import decode_wav, sniff
+
+    docs = spark.createDataFrame(
+        [(i, f"speech sample {i}", 5) for i in range(5)],
+        "doc_id long, text string, n_chars long",
+    )
+    assets = M.synthesize_wav_assets(docs)
+    got = {
+        r["asset_id"]: (r["sample_rate"], r["n_samples"], r["sum_abs_dev"])
+        for r in M.audio_stats(assets).collect()
+    }
+    for r in assets.select("asset_id", "payload").collect():
+        payload = bytes(r["payload"])
+        assert sniff(payload) == "wav"
+        dec = decode_wav(payload)
+        mono = dec["samples"].mean(axis=1)
+        want = (
+            dec["sample_rate"],
+            dec["n_frames"],
+            int(np.rint(np.abs(mono * 128.0)).sum()),
+        )
+        assert got[r["asset_id"]] == want
+    assert len(got) == 5
