@@ -35,20 +35,20 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    ctes = ["""words AS (
+def _bpe_oracle_sql(k: int, source: str = "documents") -> str:
+    ctes = [f"""words AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT unnest(string_split(text, ' ')) AS w FROM {source}
   ) GROUP BY w
 ),
-vocab0 AS (
+vocab0 AS MATERIALIZED (
   SELECT w, cnt,
          list_transform(range(1, len(w)+1), i -> w[i:i]) || ['</w>'] AS syms
   FROM words
 )"""]
     for i in range(1, k + 1):
         p = i - 1
-        ctes.append(f"""pairs{i} AS (
+        ctes.append(f"""pairs{i} AS MATERIALIZED (
   SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS cnt
   FROM (
     SELECT unnest(list_transform(range(1, len(syms)), j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p, cnt
@@ -58,7 +58,7 @@ vocab0 AS (
 top{i} AS (
   SELECT l, r, cnt FROM pairs{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
-vocab{i} AS (
+vocab{i} AS MATERIALIZED (
   -- greedy left-to-right merge, positionally: q merges iff (q, q+1)
   -- matches (l, r) and q sits at an odd offset within its run of
   -- consecutive matches (runs exist only when l = r); positions consumed
@@ -87,10 +87,11 @@ vocab{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY step"
 
 
-def _bpe_vocab_ctes(k: int) -> str:
+def _bpe_vocab_ctes(k: int, source: str = "documents") -> str:
     """The WITH-clause prefix of the BPE oracle (vocab0..vocab{k}) — shared
-    by the merge-list oracle above and the tokenize oracle below."""
-    full = _bpe_oracle_sql(k)
+    by the merge-list oracle, the tokenize oracle, and the capstone (which
+    trains on a FILTERED corpus CTE via ``source``)."""
+    full = _bpe_oracle_sql(k, source)
     return full[: full.rindex("\nSELECT CAST(1 AS BIGINT)")]
 
 
@@ -776,3 +777,173 @@ ORDER BY source
 
 QUERIES["doc_audio_level"] = doc_audio_level
 ORACLES["doc_audio_level"] = DOC_AUDIO_LEVEL_SQL
+
+
+# ---- curation capstone v4 (round 7) -----------------------------------------
+
+_CAP4_SIG_STAGE = "/tmp/promhouse_oracle_staging/cap4_signatures.parquet"
+
+
+def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation capstone — this round's operators composed into ONE
+    chain: the LEARNED quality gate (logistic regression over exact
+    features, decision on the staged linear term) filters the corpus →
+    LSH-candidate + exact-shingle-verified near-dup removal drops the
+    higher id of each pair → BPE trains on the SURVIVORS and tokenizes
+    them → per-source rollup (input docs, quality survivors, dedup
+    survivors, exact fixed-point tokens-per-word). The oracle replays the
+    whole chain: staged model weights gate in SQL, staged signatures band
+    in SQL, exact shingle verification in SQL, and the K-unrolled BPE CTE
+    trains on the FILTERED corpus CTE."""
+    from promhouse_spark.operators import dedup as D
+    from promhouse_spark.operators.text import (
+        bpe_train,
+        quality_score,
+        tokens,
+        train_quality_model,
+    )
+    from promhouse_spark.workloads.promql3 import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    intercept, weights = train_quality_model(docs)
+    spark.createDataFrame(
+        [(-1, intercept)] + [(i, w) for i, w in enumerate(weights)],
+        "idx int, weight double",
+    ).coalesce(1).write.mode("overwrite").parquet(_QM_STAGE)
+    linear, _ = quality_score(intercept, weights)
+    kept = docs.filter(linear >= 0).select("doc_id", "source", "text")
+
+    sig = D.minhash_signatures(kept)
+    sig.write.mode("overwrite").parquet(_CAP4_SIG_STAGE)
+    staged_sig = spark.read.parquet(_CAP4_SIG_STAGE)
+    cand = D.minhash_lsh_from_signatures(staged_sig).select("doc_a", "doc_b")
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = kept.join(ids, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(D.shingles(F.split("text", " "), 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    ver = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.round(inter / union, 4) >= 0.8)
+    )
+    drops = ver.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = kept.join(drops, "doc_id", "left_anti")
+
+    _merges, vocab = bpe_train(final, "text", n_merges=_BPE_K)
+    words = final.select("source", F.explode(tokens("text")).alias("wd"))
+    tok = (
+        words.join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("wd"), F.size("syms").cast("long").alias("n_syms"))
+            ),
+            "wd",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe"),
+        )
+    )
+    n_in = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    n_q = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_quality"))
+    n_f = final.groupBy("source").agg(F.count("*").cast("long").alias("n_final"))
+    return (
+        n_in.join(n_q, "source", "left")
+        .join(n_f, "source", "left")
+        .join(tok, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+            F.coalesce(
+                _idiv(F.col("n_bpe") * F.lit(1_000_000), F.col("n_words")),
+                F.lit(0),
+            ).cast("long").alias("tokens_per_word_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+_CAP4_LIN_SQL = """
+  (SELECT weight FROM w WHERE idx = -1)
+  + (SELECT weight FROM w WHERE idx = 0) * (n_chars / 1000.0)
+  + (SELECT weight FROM w WHERE idx = 1) * (len(string_split(text, ' ')) / 100.0)
+  + (SELECT weight FROM w WHERE idx = 2)
+      * (len(list_distinct(string_split(text, ' '))) * 1.0
+         / len(string_split(text, ' ')))
+  + (SELECT weight FROM w WHERE idx = 3)
+      * (length(list_filter(string_split(text, ' '), t -> t IN {stop}))
+         * 1.0 / len(string_split(text, ' ')))
+""".format(stop=_EN_STOP_SQL)
+
+DOC_CURATION4_SQL = (
+    f"""WITH w AS (SELECT idx, weight FROM read_parquet('{_QM_STAGE}/*.parquet')),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  WHERE ({_CAP4_LIN_SQL}) >= 0
+),
+sig AS (
+  SELECT doc_id, signature FROM read_parquet('{_CAP4_SIG_STAGE}/*.parquet')
+),
+banded AS (
+  SELECT doc_id, b.band,
+         list_slice(signature, b.band * 4 + 1, b.band * 4 + 4) AS chunk
+  FROM sig, LATERAL (SELECT unnest(range(0, 12)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)
+),
+drops AS MATERIALIZED (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) >= 0.8
+),
+docs2 AS MATERIALIZED (
+  SELECT k.* FROM kept k ANTI JOIN drops d ON k.doc_id = d.doc_id
+),
+"""
+    + _bpe_vocab_ctes(_BPE_K, "docs2")[len("WITH ") :]
+    + f""",
+tok AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS wd FROM docs2) d
+  JOIN vocab{_BPE_K} v ON v.w = d.wd
+  GROUP BY d.source
+),
+nin AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+nq AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY source),
+nf AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM docs2 GROUP BY source)
+SELECT nin.source, nin.n_docs,
+       CAST(coalesce(nq.n, 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(nf.n, 0) AS BIGINT) AS n_final,
+       CAST(coalesce((t.n_bpe * 1000000) // t.n_words, 0) AS BIGINT)
+         AS tokens_per_word_e6
+FROM nin
+LEFT JOIN nq USING (source)
+LEFT JOIN nf USING (source)
+LEFT JOIN tok t USING (source)
+ORDER BY nin.source
+"""
+)
+
+
+QUERIES["doc_curation_pipeline4"] = doc_curation_pipeline4
+ORACLES["doc_curation_pipeline4"] = DOC_CURATION4_SQL
