@@ -347,7 +347,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         if newest is None:
             return for_ms, []
         end = (newest // step_ms) * step_ms
-        start = end - max(for_ms, 0) - 4 * step_ms
+        # keep (end - start) a multiple of step_ms: the engine's grid is
+        # sequence(start, end, step), so a for-duration that is not a
+        # multiple of the eval interval would otherwise shift the grid off
+        # `end` and every run would look inactive
+        for_steps = -(-max(for_ms, 0) // step_ms)  # ceil
+        start = end - (for_steps + 4) * step_ms
         eng = PromQLEngine.from_storage(storage, start, end, step_ms)
         # intervals regardless of length — pending runs matter here too
         runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
@@ -402,7 +407,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
                     if want == "record":
                         continue
                     try:
-                        for_ms, alerts = _alert_status(rule)
+                        # same eval interval as /api/v1/alerts — the two
+                        # endpoints must agree on a rule's state
+                        for_ms, alerts = _alert_status(
+                            {**rule, "interval_ms": g.get("interval_ms", 60_000)}
+                        )
                     except ValueError as e:
                         return _promql_error(e)
                     state = (

@@ -59,17 +59,21 @@ _NAN = float("nan")
 
 def ieee_div(l: Column, r: Column) -> Column:
     """IEEE-754 division exactly as PromQL (Go float64 `/`): x/0 is ±Inf by
-    the sign of x, 0/0 and NaN/0 are NaN — where Spark's non-ANSI `/`
-    yields NULL. The NaN guard comes FIRST because Spark orders NaN above
-    every number, so a bare `l > 0` would send NaN/0 to +Inf."""
+    the signs of BOTH operands (x/-0.0 flips the sign of the infinity),
+    0/0 and NaN/0 are NaN — where Spark's non-ANSI `/` yields NULL. The
+    NaN guard comes FIRST because Spark orders NaN above every number, so
+    a bare `l > 0` would send NaN/0 to +Inf."""
     # NULL operands stay NULL (a `r != 0` test is NULL for NULL r and
-    # would otherwise fall into the ±Inf branch)
+    # would otherwise fall into the ±Inf branch). Spark compares
+    # -0.0 == 0.0 as true, so the divisor's zero sign is recovered from
+    # its string form ("-0.0"), which Spark preserves.
+    neg_zero = r.cast("string").startswith("-")
+    inf = F.when(neg_zero, F.lit(-_INF)).otherwise(F.lit(_INF))
     return (
         F.when(l.isNull() | r.isNull(), F.lit(None).cast("double"))
         .when(r != 0, l / r)
         .when(F.isnan(l) | (l == 0), F.lit(_NAN))
-        .when(l > 0, F.lit(_INF))
-        .otherwise(F.lit(-_INF))
+        .otherwise(F.signum(l) * inf)
     )
 
 

@@ -485,24 +485,34 @@ class PromQLEngine:
         pushed = self._try_rollup_pushdown(func, node)
         if pushed is not None:
             return pushed
-        args0 = node.args[0] if node.args else None
+        # the range selector is args[0] for most functions but args[1] for
+        # quantile_over_time — locate it by type so @ is honored everywhere
+        rs_idx = next(
+            (
+                i
+                for i, a in enumerate(node.args)
+                if isinstance(a, RangeSelector)
+            ),
+            None,
+        )
         if (
-            isinstance(args0, RangeSelector)
-            and args0.selector.at_ms is not None
+            rs_idx is not None
+            and node.args[rs_idx].selector.at_ms is not None
         ):
             # @ on a range selector: evaluate the function ONCE at the
             # pinned timestamp, broadcast the result across the grid
             import dataclasses
 
-            at = self._at_ms(args0.selector)
+            rs = node.args[rs_idx]
+            at = self._at_ms(rs.selector)
             sub = PromQLEngine(
                 self.samples, self.series, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
             )
-            sel = dataclasses.replace(args0.selector, at_ms=None)
-            pinned = sub._range_call(
-                func, Call(node.func, [RangeSelector(sel, args0.range_ms), *node.args[1:]])
-            )
+            sel = dataclasses.replace(rs.selector, at_ms=None)
+            new_args = list(node.args)
+            new_args[rs_idx] = RangeSelector(sel, rs.range_ms)
+            pinned = sub._range_call(func, Call(node.func, new_args))
             spark = self.samples.sparkSession
             return pinned.select("labels", "value").crossJoin(
                 spark.range(1).select(self._grid())
@@ -824,17 +834,35 @@ class PromQLEngine:
             )
         if func == "timestamp":
             # timestamp(v): each element's sample timestamp in seconds —
-            # for a plain selector that is the as-of matched sample's ts;
+            # for a plain selector that is the as-of matched sample's RAW
+            # ts (engine.go rangeEvalTimestampFunctionOverVectorSelector:
+            # offset shifts the lookup, not the reported timestamp, and @
+            # pins the lookup but still reports the sample's own ts);
             # for computed vectors Prometheus stamps the evaluation time
             arg = node.args[0]
-            if isinstance(arg, VectorSelector) and arg.at_ms is None:
+            if isinstance(arg, VectorSelector):
                 samples, series = self._selected(arg)
+                # _selected shifted timestamps by +offset for the as-of
+                # match; report the unshifted sample timestamp
+                raw_ts = F.col("sample_ts_ms") - F.lit(arg.offset_ms or 0)
+                at = self._at_ms(arg)
+                if at is not None:
+                    iv = instant_vector(
+                        samples, at, at, max(self.step_ms, 1),
+                        self.lookback_ms,
+                    )
+                    pinned = iv.select(
+                        "fingerprint", (raw_ts / 1000.0).alias("value")
+                    ).crossJoin(
+                        iv.sparkSession.range(1).select(self._grid())
+                    )
+                    return self._attach(pinned, series, drop_name=True)
                 iv = instant_vector(
                     samples, self.start_ms, self.end_ms, self.step_ms,
                     self.lookback_ms,
                 ).select(
                     "fingerprint", "eval_ms",
-                    (F.col("sample_ts_ms") / 1000.0).alias("value"),
+                    (raw_ts / 1000.0).alias("value"),
                 )
                 return self._attach(iv, series, drop_name=True)
             vec = self._vec(arg)
@@ -1130,13 +1158,43 @@ class PromQLEngine:
         return l.drop("__key").unionByName(extra)
 
 
+def _ieee_scalar_div(a: float, b: float) -> float:
+    """Go float64 `/` for scalar literals: x/0 is ±Inf by the signs of
+    BOTH operands (x/-0.0 flips), 0/0 and NaN/0 are NaN — Python raises
+    ZeroDivisionError for either zero divisor."""
+    if b != 0:
+        return a / b
+    if math.isnan(a) or a == 0:
+        return math.nan
+    return math.copysign(1.0, a) * math.copysign(1.0, b) * math.inf
+
+
+def _ieee_pow(a: float, b: float) -> float:
+    """Go math.Pow semantics for scalar-literal `^`: Python's `**` raises
+    ZeroDivisionError for 0^-1 (IEEE: ±Inf), returns complex for a
+    negative base with fractional exponent (IEEE: NaN), and raises
+    OverflowError where IEEE saturates to ±Inf."""
+    try:
+        r = a ** b
+    except ZeroDivisionError:
+        # 0 ^ negative: +Inf, except -0 ^ negative-odd-integer = -Inf
+        odd = float(b).is_integer() and abs(b) % 2 == 1
+        return -math.inf if odd and math.copysign(1.0, a) < 0 else math.inf
+    except OverflowError:
+        odd = float(b).is_integer() and abs(b) % 2 == 1
+        return -math.inf if a < 0 and odd else math.inf
+    if isinstance(r, complex):
+        return math.nan
+    return float(r)
+
+
 _PY_ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan,
+    "/": _ieee_scalar_div,
     "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
-    "^": lambda a, b: a ** b,
+    "^": _ieee_pow,
     "atan2": math.atan2,
 }
 _PY_CMP = {

@@ -650,3 +650,56 @@ def test_ts_of_over_time_family(eng):
     assert all(
         x.value == pytest.approx((x.eval_ms - 105_000) / 1000.0) for x in mn
     )
+
+
+def test_scalar_literal_pow_ieee(eng):
+    # Go math.Pow semantics for literal ^: Python ** would raise
+    # ZeroDivisionError (-> HTTP 500) or return a complex number
+    r = _rows(eng, "0 ^ -1")
+    assert r and all(math.isinf(x.value) and x.value > 0 for x in r)
+    r = _rows(eng, "-1 ^ 0.5")  # unary minus binds after ^: -(1^0.5) = -1
+    assert r and all(x.value == -1.0 for x in r)
+    r = _rows(eng, "(0 - 1) ^ 0.5")  # negative base, fractional exp: NaN
+    assert r and all(math.isnan(x.value) for x in r)
+    r = _rows(eng, "(0 - 2) ^ 3")
+    assert r and all(x.value == -8.0 for x in r)
+    r = _rows(eng, "1e300 ^ 2")  # overflow saturates to +Inf
+    assert r and all(math.isinf(x.value) and x.value > 0 for x in r)
+
+
+def test_timestamp_offset_and_at(eng):
+    # timestamp() reports the RAW sample ts: offset shifts the lookup only
+    r = _rows(eng, 'timestamp(errors{job="api"} offset 1m)')
+    assert r and all(
+        x.value == pytest.approx((x.eval_ms - 60_000) / 1000.0) for x in r
+    )
+    # @-pinned selector: the pinned sample's own ts, constant on the grid
+    r = _rows(eng, 'timestamp(errors{job="api"} @ 300)')
+    assert len(r) == 6 and all(x.value == pytest.approx(300.0) for x in r)
+
+
+def test_at_on_quantile_over_time_range(eng):
+    # the range selector is args[1] here — @ must still pin the window
+    r = _rows(eng, 'quantile_over_time(0.5, errors{job="api"}[1m] @ 300)')
+    # window (240s, 300s]: samples 255, 270, 285, 300 -> median 277.5
+    assert len(r) == 6
+    assert all(x.value == pytest.approx(277.5) for x in r)
+
+
+def test_division_by_negative_zero(spark):
+    # 1 / -0.0 is -Inf (sign of BOTH operands); Spark compares -0.0 == 0.0
+    from promhouse_spark.operators.vector_match import ieee_div, ieee_mod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, -0.0), (-2.0, -0.0), (0.0, -0.0), (1.0, 0.0)],
+        "l double, r double",
+    )
+    out = df.select("l", "r", ieee_div(F.col("l"), F.col("r")).alias("d"),
+                    ieee_mod(F.col("l"), F.col("r")).alias("m")).collect()
+    got = {(x.l, str(x.r)): x.d for x in out}
+    assert got[(1.0, "-0.0")] == -math.inf
+    assert got[(-2.0, "-0.0")] == math.inf
+    assert math.isnan(got[(0.0, "-0.0")])
+    assert got[(1.0, "0.0")] == math.inf
+    assert all(math.isnan(x.m) for x in out)  # x % +-0 = NaN

@@ -272,6 +272,15 @@ def rules_client(spark):
                     "expr": "sum by (job) (m) > 1e6",
                     "for": "1m",
                 },
+                {
+                    # regression: a for-duration that is NOT a multiple of
+                    # the eval interval (90 s vs 60 s) must not shift the
+                    # evaluation grid off the newest step (the alert always
+                    # fires, so state must be "firing", never "inactive")
+                    "alert": "OddFor",
+                    "expr": "sum by (job) (m) > 5",
+                    "for": "90s",
+                },
             ],
         }
     ]
@@ -292,20 +301,25 @@ def test_rules_endpoint(rules_client):
     assert alert["type"] == "alerting" and alert["duration"] == 120.0
     assert alert["state"] == "firing"
     assert by_name["NeverM"]["state"] == "inactive"
+    assert by_name["OddFor"]["state"] == "firing"
     # type filter
     only_alerts = rules_client.get("/api/v1/rules?type=alert").get_json()
     names = {r["name"] for r in only_alerts["data"]["groups"][0]["rules"]}
-    assert names == {"HighM", "NeverM"}
+    assert names == {"HighM", "NeverM", "OddFor"}
 
 
 def test_alerts_endpoint(rules_client):
     body = rules_client.get("/api/v1/alerts").get_json()
     assert body["status"] == "success"
-    (a,) = body["data"]["alerts"]
+    by_name = {a["labels"]["alertname"]: a for a in body["data"]["alerts"]}
+    a = by_name["HighM"]
     assert a["state"] == "firing"
     assert a["labels"] == {"alertname": "HighM", "job": "a", "severity": "page"}
     # activeAt = the first firing evaluation (t = 300 s)
     assert a["activeAt"] == pytest.approx(T0 / 1000 + 300)
+    # /api/v1/alerts and /api/v1/rules must agree on every alert's state
+    assert by_name["OddFor"]["state"] == "firing"
+    assert "NeverM" not in by_name
 
 
 def test_rollup_tier_pushdown_is_exact(spark, tmp_path):
