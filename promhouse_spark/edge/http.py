@@ -18,13 +18,40 @@ test clients and any production WSGI server.
 from __future__ import annotations
 
 import logging
+import math
 import re
+from decimal import Decimal
 
 from promhouse_spark.edge import prompb, snappy_codec
 from promhouse_spark.models import MatchType
 from promhouse_spark.storage.base import Storage
 
 log = logging.getLogger(__name__)
+
+
+def _format_value(v: float) -> str:
+    """Go strconv.FormatFloat(v, 'f', -1, 64)-style shortest decimal, with
+    Prometheus's spellings for the IEEE specials ("+Inf"/"-Inf"/"NaN" —
+    web/api/v1 marshals sample values as these strings). Never scientific
+    notation: 0.00001 renders "0.00001", 1e17 "100000000000000000"."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    if v == 0:
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
+    if v == int(v) and abs(v) < 2**53:
+        # integral doubles in the exact-int range print as plain integers
+        return str(int(v))
+    # shortest round-trip digits (repr) re-rendered without an exponent:
+    # repr(0.00001) is "1e-05" but Go 'f' says "0.00001"; repr(1e300) is
+    # "1e+300" and Go prints the 1-followed-by-300-zeros fixed form of the
+    # SHORTEST digits, not the double's exact 17+-digit expansion
+    out = format(Decimal(repr(v)), "f")
+    return out[:-2] if out.endswith(".0") else out
+
 
 
 def create_app(storage: Storage, rule_groups: list[dict] | None = None):
@@ -130,20 +157,6 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             from promhouse_spark.promql.parser import parse_duration_ms
 
             return parse_duration_ms(s)
-
-    def _format_value(v: float) -> str:
-        # Go strconv.FormatFloat(v, 'f', -1, 64)-style shortest decimal,
-        # with Prometheus's spellings for the IEEE specials ("+Inf"/"-Inf"/
-        # "NaN" — web/api/v1 marshals sample values as these strings)
-        if v != v:
-            return "NaN"
-        if v == float("inf"):
-            return "+Inf"
-        if v == float("-inf"):
-            return "-Inf"
-        if v == int(v) and abs(v) < 1e17:
-            return str(int(v))
-        return repr(v)
 
     class _Unsupported(ValueError):
         # ValueError subclass so endpoints that only catch ValueError

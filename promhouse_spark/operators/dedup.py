@@ -1062,33 +1062,21 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment as EXPLICIT column arithmetic: squared
-    L2 to each centroid via a sequential zip-fold, argmin with a
-    (distance, centroid_id) tie-break. Used instead of the MLlib
-    ``model.transform`` on the oracle-replayable path so a SQL engine
-    reading the same persisted centroids computes the identical argmin
-    from the identical doubles (MLlib's norm-trick distance differs in
-    final ulps, which is fine for clustering but not for a differential
-    gate). Map-side only; cost is k·dim multiply-adds per row."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centers
-        ]
-    )
-    # array_position takes the FIRST minimum → smallest centroid_id wins
-    # ties, matching the oracle's ORDER BY dist, centroid_id
-    idx = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn(out_col, idx)
+    """Nearest-centroid assignment as EXPLICIT column arithmetic (not the
+    MLlib ``model.transform``) so a SQL engine reading the same persisted
+    centroids computes the identical argmin from the identical doubles
+    (MLlib's norm-trick distance differs in final ulps, which is fine for
+    clustering but not for a differential gate). Delegates to
+    similarity.ivf_assign — the same sequential zip-fold squared-L2 with
+    the same smallest-centroid_id tie-break (its struct-min compares
+    (distance, cid)), matching the oracle's ORDER BY dist, centroid_id.
+    Map-side only; cost is k·dim multiply-adds per row."""
+    from promhouse_spark.operators.similarity import ivf_assign
+
+    out = ivf_assign(df, centers, vec_col)
+    if out_col != "centroid_id":
+        out = out.withColumnRenamed("centroid_id", out_col)
+    return out
 
 
 def semantic_dedup_pairs_staged(

@@ -96,11 +96,39 @@ def is_scalar_expr(node) -> bool:
         return is_scalar_expr(node.lhs) and is_scalar_expr(node.rhs)
     return False
 
+def _lit_float(node, what: str) -> float:
+    """Resolve a literal numeric argument to its float value. The parser
+    keeps `-1` as Unary('-', NumberLiteral(1)), so reading `.value`
+    directly would reject valid expressions like clamp(m, -1, 1)."""
+    if isinstance(node, NumberLiteral):
+        return float(node.value)
+    if isinstance(node, Unary):
+        inner = _lit_float(node.expr, what)
+        return -inner if node.op == "-" else inner
+    raise ValueError(f"{what} must be a scalar literal")
+
+
+def _is_lit(node) -> bool:
+    try:
+        _lit_float(node, "")
+        return True
+    except ValueError:
+        return False
+
+
 # range-vector aggregations with a direct Spark aggregate
 _SIMPLE_OVER_TIME = {
     "avg_over_time": lambda v, ts: F.avg(v),
+    # Spark's min orders NaN above every number, which happens to MATCH
+    # Go's fold (`f.F < min || IsNaN(min)`): NaN never wins unless every
+    # sample is NaN
     "min_over_time": lambda v, ts: F.min(v),
-    "max_over_time": lambda v, ts: F.max(v),
+    # ... but Spark's max would let NaN displace a numeric maximum, where
+    # Go's `f.F > max || IsNaN(max)` never does — mask NaN out and fall
+    # back to NaN only for an all-NaN window
+    "max_over_time": lambda v, ts: F.coalesce(
+        F.max(F.when(~F.isnan(v), v)), F.lit(float("nan"))
+    ),
     "sum_over_time": lambda v, ts: F.sum(v),
     "count_over_time": lambda v, ts: F.count(v).cast("double"),
     "last_over_time": lambda v, ts: F.max_by(v, F.struct(ts, v)),
@@ -109,9 +137,22 @@ _SIMPLE_OVER_TIME = {
     "present_over_time": lambda v, ts: F.lit(1.0),
     # Prometheus 3.x experimental ts_of_* family: the SAMPLE TIMESTAMP (in
     # seconds) of the window's last/max/min point; value ties break toward
-    # the later timestamp, deterministically
+    # the later timestamp, deterministically. For the max variant NaN must
+    # RANK BELOW every number (Go: NaN never displaces a numeric max, any
+    # sample displaces a NaN max) — the leading not-NaN rank enforces that
+    # while an all-NaN window still answers the LAST sample's ts; the min
+    # variant gets the same behavior for free from Spark's NaN-is-largest
+    # struct ordering.
     "ts_of_last_over_time": lambda v, ts: F.max(ts) / 1000.0,
-    "ts_of_max_over_time": lambda v, ts: F.max_by(ts, F.struct(v, ts)) / 1000.0,
+    "ts_of_max_over_time": lambda v, ts: F.max_by(
+        ts,
+        F.struct(
+            (~F.isnan(v)).cast("int"),
+            F.when(F.isnan(v), F.lit(float("-inf"))).otherwise(v),
+            ts,
+        ),
+    )
+    / 1000.0,
     "ts_of_min_over_time": lambda v, ts: F.min_by(ts, F.struct(v, -ts)) / 1000.0,
 }
 
@@ -526,9 +567,11 @@ class PromQLEngine:
         hw_params = (0.1, 0.3)
         if func == "holt_winters":
             args, hw = args[:1], args[1:]
-            if len(hw) != 2 or not all(isinstance(x, NumberLiteral) for x in hw):
+            if len(hw) != 2 or not all(_is_lit(x) for x in hw):
                 raise ValueError("holt_winters needs literal sf, tf")
-            hw_params = (hw[0].value, hw[1].value)
+            hw_params = (
+                _lit_float(hw[0], "sf"), _lit_float(hw[1], "tf")
+            )
         if len(args) != 1 or not isinstance(args[0], (RangeSelector, Subquery)):
             raise ValueError(f"{func} expects a range selector or subquery")
         frame, series, rng = self._range_input(args[0])
@@ -542,9 +585,15 @@ class PromQLEngine:
                 _SIMPLE_OVER_TIME[func](F.col("v"), F.col("ts")).alias("value")
             )
         elif func == "quantile_over_time":
-            if not isinstance(q_param, NumberLiteral):
-                raise ValueError("quantile_over_time needs a literal quantile")
-            out = g.agg(F.percentile("v", F.lit(q_param.value)).alias("value"))
+            qv = _lit_float(q_param, "quantile_over_time quantile")
+            if qv < 0 or qv > 1:
+                # Prometheus: φ outside [0,1] yields ∓Inf (with a warning),
+                # never an error; Spark's percentile would throw
+                out = g.agg(
+                    F.lit(math.inf if qv > 1 else -math.inf).alias("value")
+                )
+            else:
+                out = g.agg(F.percentile("v", F.lit(qv)).alias("value"))
         elif func == "mad_over_time":
             # median absolute deviation (Prometheus experimental):
             # median(|v_i − median(v)|), both medians with the φ·(n−1)
@@ -640,12 +689,11 @@ class PromQLEngine:
                     F.col("value").isNotNull()
                 )
             else:
-                if not isinstance(horizon, NumberLiteral):
-                    raise ValueError("predict_linear needs a literal horizon")
+                hz = _lit_float(horizon, "predict_linear horizon")
                 out = fitted.agg(
                     (
                         F.regr_intercept("y", "x")
-                        + F.regr_slope("y", "x") * F.lit(horizon.value)
+                        + F.regr_slope("y", "x") * F.lit(hz)
                     ).alias("value")
                 ).filter(F.col("value").isNotNull())
         else:
@@ -735,7 +783,7 @@ class PromQLEngine:
             )
 
             vec = self._vec(node.args[0])
-            lits = [a.value for a in node.args[1:]]
+            lits = [_lit_float(a, f"{func} bound") for a in node.args[1:]]
             v = F.col("value")
             if func == "clamp":
                 value = clamp(v, lits[0], lits[1])
@@ -750,7 +798,11 @@ class PromQLEngine:
             )
         if func == "round":
             vec = self._vec(node.args[0])
-            to = node.args[1].value if len(node.args) > 1 else 1.0
+            to = (
+                _lit_float(node.args[1], "round nearest")
+                if len(node.args) > 1
+                else 1.0
+            )
             value = F.round(F.col("value") / F.lit(to)) * F.lit(to)
             return vec.select(
                 F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
@@ -979,7 +1031,7 @@ class PromQLEngine:
         if by is None and without is None:
             by = []  # bare sum(v): one group, ALL labels drop (PromQL)
         if node.op in ("topk", "bottomk"):
-            k = int(node.param.value)
+            k = int(_lit_float(node.param, f"{node.op} k"))
             return topk_by(
                 vec, k, by=by, without=without,
                 bottom=node.op == "bottomk",
@@ -994,7 +1046,7 @@ class PromQLEngine:
             key = match_key(F.col("labels"), by, without)
             canon = labels_map_to_json("labels")
             if node.op == "limitk":
-                k = int(node.param.value)
+                k = int(_lit_float(node.param, "limitk k"))
                 w = W.partitionBy(F.col("eval_ms"), key).orderBy(canon)
                 return (
                     vec.withColumn("__rn", F.row_number().over(w))
@@ -1040,7 +1092,13 @@ class PromQLEngine:
                 "value",
             )
         if node.op == "quantile":
-            q = float(node.param.value)
+            q = _lit_float(node.param, "quantile φ")
+            if q < 0 or q > 1:
+                # Prometheus: φ outside [0,1] yields ∓Inf, never an error
+                bad = math.inf if q > 1 else -math.inf
+                return agg_by(
+                    vec, lambda c: F.min(F.lit(bad)), by=by, without=without
+                ).drop("n_series")
             return agg_by(
                 vec, lambda c: F.percentile(c, F.lit(q)), by=by, without=without
             ).drop("n_series")

@@ -92,7 +92,8 @@ def load_rule_groups(path: str) -> list[dict]:
     at first evaluation). Intervals parse as durations to interval_ms."""
     import json
 
-    from promhouse_spark.promql.parser import parse, parse_duration_ms
+    from promhouse_spark.promql.check import validate_src
+    from promhouse_spark.promql.parser import parse_duration_ms
 
     with open(path) as f:
         text = f.read()
@@ -112,7 +113,10 @@ def load_rule_groups(path: str) -> list[dict]:
             if kind == "alert" and "alert" not in rule:
                 raise ValueError(f"rule without record/alert in group {out['name']!r}")
             try:
-                parse(rule["expr"])
+                # parse + static compile-checks (unknown function, arity,
+                # missing range, non-literal parameters) so a bad rule
+                # fails at load, not at the first /api/v1/rules request
+                validate_src(rule["expr"])
             except (KeyError, ValueError) as e:
                 raise ValueError(
                     f"rule {rule.get(kind, '?')!r} in group {out['name']!r}: "
@@ -175,6 +179,8 @@ def build_storage(args: argparse.Namespace, spark=None):
 def main(argv: Sequence[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level.upper())
+    if args.check_rules and not args.rules_file:
+        raise SystemExit("--check-rules requires --rules-file")
     rule_groups = load_rule_groups(args.rules_file) if args.rules_file else None
     if args.check_rules:
         n = sum(len(g["rules"]) for g in (rule_groups or []))

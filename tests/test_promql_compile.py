@@ -703,3 +703,63 @@ def test_division_by_negative_zero(spark):
     assert math.isnan(got[(0.0, "-0.0")])
     assert got[(1.0, "0.0")] == math.inf
     assert all(math.isnan(x.m) for x in out)  # x % +-0 = NaN
+
+
+def test_negative_literal_function_params(eng):
+    # clamp(m, -1, 1): the parser keeps -1 as Unary('-', 1); the engine
+    # must resolve it, not crash on .value
+    r = _rows(eng, 'clamp(errors{job="api"} - errors{job="api"}, -1, 1)')
+    assert r and all(x.value == 0.0 for x in r)
+    r = _rows(eng, 'clamp_min(errors{job="api"} - errors{job="api"}, -0.5)')
+    assert r and all(x.value == 0.0 for x in r)
+    # out-of-range quantiles yield +-Inf, never a Spark error
+    r = _rows(eng, 'quantile_over_time(-1, errors{job="api"}[1m])')
+    assert r and all(math.isinf(x.value) and x.value < 0 for x in r)
+    r = _rows(eng, "quantile(2, errors)")
+    assert r and all(math.isinf(x.value) and x.value > 0 for x in r)
+
+
+def test_over_time_nan_semantics(spark):
+    # Go's fold: NaN never displaces a numeric max; any sample displaces a
+    # NaN max. Spark's native max would answer NaN for [5, NaN].
+    from pyspark.sql import Row
+
+    from promhouse_spark.promql import PromQLEngine
+
+    nan = float("nan")
+    rows = [
+        # fp 1: numeric then NaN — max is 5 @ t=0
+        Row(fingerprint=1, timestamp_ms=0, value=5.0),
+        Row(fingerprint=1, timestamp_ms=30_000, value=nan),
+        # fp 2: all NaN — max is NaN, ts_of_max = LAST sample
+        Row(fingerprint=2, timestamp_ms=0, value=nan),
+        Row(fingerprint=2, timestamp_ms=30_000, value=nan),
+    ]
+    sdf = spark.createDataFrame(rows, "fingerprint long, timestamp_ms long, value double")
+    ser = spark.createDataFrame(
+        [Row(fingerprint=1, labels={"__name__": "m", "s": "a"}),
+         Row(fingerprint=2, labels={"__name__": "m", "s": "b"})],
+        "fingerprint long, labels map<string,string>",
+    )
+    e2 = PromQLEngine(sdf, ser, start_ms=60_000, end_ms=60_000, step_ms=60_000)
+
+    def by_series(q):
+        return {
+            x.l: x.value
+            for x in e2.eval(q)
+            .select(labels_map_to_json("labels").alias("l"), "value")
+            .collect()
+        }
+
+    mx = by_series("max_over_time(m[2m])")
+    assert mx['{"s":"a"}'] == 5.0
+    assert math.isnan(mx['{"s":"b"}'])
+    mn = by_series("min_over_time(m[2m])")
+    assert mn['{"s":"a"}'] == 5.0
+    assert math.isnan(mn['{"s":"b"}'])
+    tmax = by_series("ts_of_max_over_time(m[2m])")
+    assert tmax['{"s":"a"}'] == 0.0     # NaN did not displace the max
+    assert tmax['{"s":"b"}'] == 30.0    # all-NaN: last sample's ts
+    tmin = by_series("ts_of_min_over_time(m[2m])")
+    assert tmin['{"s":"a"}'] == 0.0
+    assert tmin['{"s":"b"}'] == 30.0

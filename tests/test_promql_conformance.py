@@ -349,3 +349,52 @@ def test_documented_divergences(client):
     #    double_exponential_smoothing alias (not a divergence anymore)
     assert _range(client, "double_exponential_smoothing(temp[2m], 0.1, 0.3)")[0] == 200
     assert _range(client, "holt_winters(temp[2m], 0.1, 0.3)")[0] == 200
+
+
+def test_ieee_specials_family(client):
+    """Round-7 closures: Go math.Pow for ^, NaN-window over-time folds,
+    timestamp() under offset, strconv 'f' value serialization."""
+    # 0 ^ -1 -> +Inf (Go math.Pow); previously an uncaught
+    # ZeroDivisionError -> 500
+    v = _ok(client, "0 ^ -1")
+    assert all(val == math.inf for vals in v.values() for val in vals.values())
+    # vector-side ^ goes through Java Math.pow: same answer
+    v = _ok(client, '(temp{room="a"} - temp{room="a"}) ^ -1')
+    assert all(val == math.inf for vals in v.values() for val in vals.values())
+    # an all-NaN window keeps max_over_time NaN; a numeric max is never
+    # displaced by NaN (Go fold semantics)
+    v = _ok(
+        client,
+        'max_over_time(((temp{room="a"} - temp{room="a"}) / '
+        '(temp{room="a"} - temp{room="a"}))[2m:1m])',
+    )
+    assert v and all(
+        math.isnan(val) for vals in v.values() for val in vals.values()
+    )
+    # timestamp() reports the RAW sample timestamp under offset
+    v = _ok(client, 'timestamp(temp{room="a"} offset 1m)')
+    assert v and all(
+        val == pytest.approx(t - 60)
+        for vals in v.values()
+        for t, val in vals.items()
+    )
+    # @ on a range selector reached through a parameterized function
+    v = _ok(
+        client,
+        f'quantile_over_time(0.5, temp{{room="a"}}[2m] @ {T0 / 1000 + 300})',
+    )
+    assert v and all(
+        val == 20.0 for vals in v.values() for val in vals.values()
+    )
+
+
+def test_value_serialization_strconv(client):
+    # sample values serialize Go-strconv style: fixed notation, shortest
+    # digits — 20/2e6 = 0.00001 must NOT render "1e-05"
+    code, body = _range(client, 'temp{room="a"} / 2000000')
+    assert code == 200
+    vals = body["data"]["result"][0]["values"]
+    assert vals and all(v == "0.00001" for _, v in vals)
+    code, body = _range(client, 'temp{room="a"} * 5000000000000000')
+    vals = body["data"]["result"][0]["values"]
+    assert vals and all(v == "100000000000000000" for _, v in vals)
