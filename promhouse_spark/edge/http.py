@@ -259,6 +259,45 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             "data": {"resultType": "vector", "result": result},
         }
 
+    @app.route("/api/v1/format_query", methods=["GET", "POST"])
+    def format_query():
+        """Canonical String() rendering of the expression (Prometheus
+        serves the prettifier here; the canonical single-line form
+        round-trips: parse(format(parse(x))) ≡ parse(x))."""
+        from promhouse_spark.promql.format import format_expr
+        from promhouse_spark.promql.parser import parse
+
+        try:
+            node = parse(request.values["query"])
+        except (KeyError, ValueError) as e:
+            return _promql_error(e)
+        return {"status": "success", "data": format_expr(node)}
+
+    @app.route("/api/v1/parse_query", methods=["GET", "POST"])
+    def parse_query():
+        """Structural AST JSON (Prometheus 3.x experimental endpoint);
+        also runs the static compile checks so a structurally invalid
+        expression answers 400, mirroring promtool."""
+        from promhouse_spark.promql.check import validate_src
+        from promhouse_spark.promql.format import ast_json
+
+        try:
+            node = validate_src(request.values["query"], top_matrix=True)
+        except (KeyError, ValueError) as e:
+            return _promql_error(e)
+        return {"status": "success", "data": ast_json(node)}
+
+    @app.get("/api/v1/status/buildinfo")
+    def buildinfo():
+        return {
+            "status": "success",
+            "data": {
+                "application": "promhouse-spark",
+                "version": "0.1.0",
+                "features": {"promql_engine": "spark"},
+            },
+        }
+
     # -- Prometheus HTTP API v1: metadata (what Grafana calls first) --------
 
     def _series_frame():

@@ -87,18 +87,21 @@ def _is_scalar_literal(node) -> bool:
     return False
 
 
-def validate(node) -> None:
+def validate(node, top_matrix: bool = False) -> None:
     """Raise ValueError for expressions the engine would reject at compile
     time for structural reasons (unknown function, arity, a range selector
     in a non-range position, bool/set-operator misuse, non-literal
-    parameters where literals are required)."""
-    _walk(node, allow_range=False)
+    parameters where literals are required). ``top_matrix`` permits a
+    matrix-typed expression (bare range selector / subquery) at the top
+    level — valid for ad-hoc queries, invalid inside rules (promtool:
+    "invalid expression type in recording rule")."""
+    _walk(node, allow_range=top_matrix)
 
 
-def validate_src(src: str):
+def validate_src(src: str, top_matrix: bool = False):
     """Parse + validate; returns the AST (promtool check semantics)."""
     node = parse(src)
-    validate(node)
+    validate(node, top_matrix=top_matrix)
     return node
 
 

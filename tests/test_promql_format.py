@@ -1,0 +1,105 @@
+"""Canonical PromQL rendering (promql/format.py): the round-trip property
+parse(format(parse(x))) == parse(x) over a broad corpus, duration
+rendering pins, and the /api/v1/format_query|parse_query endpoints."""
+
+from __future__ import annotations
+
+import pytest
+
+from promhouse_spark.promql.format import ast_json, format_duration_ms, format_expr
+from promhouse_spark.promql.parser import parse
+
+CORPUS = [
+    'rate(requests_total{job="api"}[5m])',
+    "sum by (job) (rate(m[2m])) / on(job) group_left(ver) total",
+    "errors / ignoring(code) group_right total",
+    "-2^2", "2^-2", "2^3^2", "1 + 2 * 3",
+    "a - (b - c)", "(a + b) * c", "a / (b or c)",
+    "a and b or c", "a or b and c", "a unless b",
+    "topk(3, m)", "bottomk by (t) (2, m)",
+    "quantile by (job) (0.9, m)", "sum(m) without (instance)",
+    "count_values(\"v\", m)",
+    "clamp(m, -1, 1)", "round(m, 0.5)",
+    "m offset 5m", "m offset -30s", "m @ 300.000", "m @ start()", "m @ end()",
+    "max_over_time(rate(m[2m])[30m:5m])", "avg_over_time(m[1h30m])",
+    "avg_over_time(m[5m:])", "avg_over_time(m[5m:15s])",
+    'label_replace(m, "dst", "$1", "src", "(.*)")',
+    'label_join(m, "dst", "-", "a", "b")',
+    'absent(m{job="x"})', "absent_over_time(m[10m])",
+    "m > bool 5", "m == 2", "m != bool 0",
+    '{__name__="x",a!~"b.*"}', 'm{a="1",b!="2",c=~"3",d!~"4"}',
+    "rate(m[5m] offset 1m)", "rate(m[5m] @ 60.000)",
+    "-m * 3", "-(m + n)", "scalar(m) + 1", "vector(1)",
+    "pi() > bool 2", "time()", "timestamp(m)",
+    "histogram_quantile(0.9, rate(b_bucket[5m]))",
+    "holt_winters(m[10m], 0.1, 0.3)", "predict_linear(m[10m], 600)",
+    "quantile_over_time(0.5, m[2m])",
+    "m atan2 n", "m ^ n ^ o", "(m ^ n) ^ o",
+    "sort_by_label(m, \"job\")",
+    "1e3 + 0x1f", "Inf", "5.5", "0.001",
+]
+
+
+@pytest.mark.parametrize("src", CORPUS)
+def test_round_trip(src):
+    ast = parse(src)
+    rendered = format_expr(ast)
+    assert parse(rendered) == ast, rendered
+    # idempotent: formatting the reparse changes nothing
+    assert format_expr(parse(rendered)) == rendered
+    # and the AST JSON serializer covers every node
+    ast_json(ast)
+
+
+def test_duration_rendering():
+    assert format_duration_ms(300_000) == "5m"
+    assert format_duration_ms(5_400_000) == "1h30m"
+    assert format_duration_ms(250) == "250ms"
+    assert format_duration_ms(90_061_000) == "1d1h1m1s"
+    assert format_duration_ms(0) == "0s"
+    assert format_duration_ms(-30_000) == "-30s"
+    # round-trips through the parser
+    from promhouse_spark.promql.parser import parse_duration_ms
+
+    for ms in (1, 999, 1000, 61_000, 3_600_000, 86_400_000, 604_800_000):
+        assert parse_duration_ms(format_duration_ms(ms)) == ms
+
+
+def test_format_specific_shapes():
+    assert format_expr(parse("topk(3,m)")) == "topk(3, m)"
+    assert format_expr(parse("sum by(job)(m)")) == "sum by (job) (m)"
+    assert (
+        format_expr(parse("a-(b-c)")) == "a - (b - c)"
+    )  # right operand of left-assoc keeps parens
+    assert format_expr(parse("(a-b)-c")) == "a - b - c"  # redundant parens drop
+
+
+def test_format_and_parse_endpoints():
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.storage.blackhole import BlackholeStorage
+
+    app = create_app(BlackholeStorage())
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.get(
+        "/api/v1/format_query",
+        query_string={"query": "sum by(job)(rate(m[5m]))"},
+    ).get_json()
+    assert r["status"] == "success"
+    assert r["data"] == "sum by (job) (rate(m[5m]))"
+    r = c.get(
+        "/api/v1/parse_query", query_string={"query": 'm{job="x"}[5m]'}
+    )
+    # bare range selector IS parseable; expose the AST
+    body = r.get_json()
+    assert body["status"] == "success"
+    assert body["data"]["type"] == "matrixSelector"
+    # structurally invalid expressions answer 400 bad_data
+    r = c.get("/api/v1/parse_query", query_string={"query": "rate(m)"})
+    assert r.status_code == 400
+    assert r.get_json()["errorType"] == "bad_data"
+    r = c.get("/api/v1/format_query", query_string={"query": "sum("})
+    assert r.status_code == 400
+    # buildinfo (Grafana handshake)
+    r = c.get("/api/v1/status/buildinfo").get_json()
+    assert r["data"]["application"] == "promhouse-spark"
