@@ -231,24 +231,102 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             "data": {"resultType": "matrix", "result": result},
         }
 
+    def _raw_matrix(rs, t_ms: int):
+        """Raw samples for a bare range-selector instant query (Prometheus
+        resultType=matrix): every sample of every matched series in
+        (t - range, t], honoring offset and @ — timestamps reported RAW."""
+        from pyspark.sql import functions as F
+
+        from promhouse_spark.promql import PromQLEngine
+
+        _require_frames()
+        eng = PromQLEngine.from_storage(storage, t_ms, t_ms, 1_000)
+        sel = rs.selector
+        at = eng._at_ms(sel) if sel.at_ms is not None else t_ms
+        offset = sel.offset_ms or 0
+        # _selected applies matchers and shifts timestamps by +offset for
+        # the lookup; shift back for reporting
+        samples, series = eng._selected(sel)
+        rows = (
+            samples.filter(
+                (F.col("timestamp_ms") > at - rs.range_ms)
+                & (F.col("timestamp_ms") <= at)
+            )
+            .join(series, "fingerprint")
+            .select("labels", "timestamp_ms", "value")
+            .collect()
+        )
+        grouped: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(sorted((r["labels"] or {}).items()))
+            grouped.setdefault(key, []).append(
+                (r["timestamp_ms"] - offset, r["value"])
+            )
+        return [
+            {
+                "metric": dict(key),
+                "values": [
+                    [t / 1000.0, _format_value(v)] for t, v in sorted(vals)
+                ],
+            }
+            for key, vals in sorted(grouped.items())
+        ]
+
     @app.route("/api/v1/query", methods=["GET", "POST"])
     def query_instant():
         import time as _time
+
+        from promhouse_spark.promql.engine import is_scalar_expr
+        from promhouse_spark.promql.parser import (
+            RangeSelector,
+            StringLiteral,
+            parse,
+        )
 
         try:
             query = request.values["query"]
             t_ms = _parse_time_ms(
                 request.values.get("time", str(_time.time()))
             )
+            node = parse(query)
         except (KeyError, ValueError) as e:
             return _promql_error(e)
+        if isinstance(node, StringLiteral):
+            counters["read_queries"] += 1
+            return {
+                "status": "success",
+                "data": {
+                    "resultType": "string",
+                    "result": [t_ms / 1000.0, node.value],
+                },
+            }
         try:
+            if isinstance(node, RangeSelector):
+                result = _raw_matrix(node, t_ms)
+                counters["read_queries"] += 1
+                return {
+                    "status": "success",
+                    "data": {"resultType": "matrix", "result": result},
+                }
             series = _evaluate(query, t_ms, t_ms, 1_000)
         except _Unsupported as e:  # ValueError subclass: catch first
             return _unsupported(e)
         except ValueError as e:
             return _promql_error(e)
         counters["read_queries"] += 1
+        if is_scalar_expr(node):
+            # scalar-typed expression: a single [t, v] (Prometheus
+            # resultType=scalar); zero rows is NaN, not an empty vector
+            v = "NaN"
+            if series and series[0]["values"]:
+                v = series[0]["values"][-1][1]
+            return {
+                "status": "success",
+                "data": {
+                    "resultType": "scalar",
+                    "result": [t_ms / 1000.0, v],
+                },
+            }
         result = [
             {"metric": s["metric"], "value": s["values"][-1]}
             for s in series

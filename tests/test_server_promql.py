@@ -410,3 +410,54 @@ def test_promql_over_jdbc_backend(spark):
         assert got.keys() == want.keys() and want, q
         for k, v in want.items():
             assert got[k] == pytest.approx(v), (q, k)
+
+
+def test_query_instant_result_types(client):
+    """Prometheus result typing at /api/v1/query: scalar expressions
+    answer resultType=scalar, string literals string, bare range
+    selectors matrix (raw samples), vectors vector."""
+    t = str(T0 / 1000 + 300)
+    # scalar
+    body = client.get(
+        "/api/v1/query", query_string={"query": "1 + 1", "time": t}
+    ).get_json()
+    assert body["data"]["resultType"] == "scalar"
+    assert body["data"]["result"] == [T0 / 1000 + 300, "2"]
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "scalar(sum(requests_total))", "time": t},
+    ).get_json()
+    assert body["data"]["resultType"] == "scalar"
+    assert float(body["data"]["result"][1]) == pytest.approx(900.0)
+    # scalar() of nothing is NaN, not empty
+    body = client.get(
+        "/api/v1/query", query_string={"query": "scalar(no_such)", "time": t}
+    ).get_json()
+    assert body["data"]["result"][1] == "NaN"
+    # string
+    body = client.get(
+        "/api/v1/query", query_string={"query": '"hello"', "time": t}
+    ).get_json()
+    assert body["data"]["resultType"] == "string"
+    assert body["data"]["result"] == [T0 / 1000 + 300, "hello"]
+    # bare range selector: raw samples in (t-60s, t], timestamps RAW
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": 'requests_total{job="api"}[1m]', "time": t},
+    ).get_json()
+    assert body["data"]["resultType"] == "matrix"
+    (stream,) = body["data"]["result"]
+    assert stream["metric"]["__name__"] == "requests_total"
+    tss = [v[0] for v in stream["values"]]
+    assert tss == [T0 / 1000 + s for s in (255, 270, 285, 300)]
+    # ... under offset the lookup shifts but timestamps stay raw
+    body = client.get(
+        "/api/v1/query",
+        query_string={
+            "query": 'requests_total{job="api"}[1m] offset 1m',
+            "time": t,
+        },
+    ).get_json()
+    (stream,) = body["data"]["result"]
+    tss = [v[0] for v in stream["values"]]
+    assert tss == [T0 / 1000 + s for s in (195, 210, 225, 240)]
