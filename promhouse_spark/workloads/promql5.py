@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from promhouse_spark.session import load_table
-from promhouse_spark.workloads.promql2 import _END_MS, _START_MS, _STEP_MS
+from promhouse_spark.workloads.promql2 import (
+    _END_MS,
+    _LOOKBACK_MS,
+    _START_MS,
+    _STEP_MS,
+)
 from promhouse_spark.workloads.promql3 import _SAMPLES_CTE, _vec_ctes
 from promhouse_spark.workloads.promql4 import _engine
 
@@ -252,3 +257,51 @@ ORDER BY user_id, event_type, eval_ms
 
 QUERIES["ph_rollup_pushdown"] = ph_rollup_pushdown
 ORACLES["ph_rollup_pushdown"] = PH_ROLLUP_PUSHDOWN_SQL
+
+
+_TS_OFFSET_MS = 3600 * 1000  # timestamp() under a 1 h offset
+
+
+def ph_promql_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timestamp(events{type="error"} offset 1h)`` compiled from text:
+    per user and grid hour, the RAW timestamp of the as-of error sample
+    one hour back (engine.go rangeEvalTimestampFunctionOverVectorSelector
+    — offset shifts the LOOKUP, the reported timestamp stays the sample's
+    own). Reported as epoch millis (BIGINT) for hash stability; immune to
+    same-ts value ties because the output IS the timestamp."""
+    eng = _engine(spark, sf_dir)
+    out = eng.eval('timestamp(events{type="error"} offset 1h)')
+    return out.select(
+        F.element_at("labels", "user").cast("long").alias("user_id"),
+        "eval_ms",
+        (F.col("value") * 1000).cast("long").alias("sample_ts_ms"),
+    ).orderBy("user_id", "eval_ms")
+
+
+PH_PROMQL_TIMESTAMP_SQL = f"""
+WITH {_SAMPLES_CTE},
+err AS (
+  SELECT user_id, ts_ms, ts_ms + {_TS_OFFSET_MS} AS ts_shift
+  FROM samples WHERE event_type = 'error'
+),
+grid AS (
+  SELECT u.user_id, gg.eval_ms
+  FROM (SELECT DISTINCT user_id FROM err) u
+  CROSS JOIN (
+    SELECT unnest(generate_series({_START_MS}, {_END_MS}, {_STEP_MS})) AS eval_ms
+  ) gg
+),
+asof_raw AS MATERIALIZED (
+  SELECT g.user_id, g.eval_ms, s.ts_ms
+  FROM grid g ASOF JOIN err s
+    ON g.user_id = s.user_id AND g.eval_ms >= s.ts_shift
+)
+SELECT user_id, eval_ms, ts_ms AS sample_ts_ms
+FROM asof_raw
+WHERE ts_ms + {_TS_OFFSET_MS} >= eval_ms - {_LOOKBACK_MS}
+ORDER BY user_id, eval_ms
+"""
+
+
+QUERIES["ph_promql_timestamp"] = ph_promql_timestamp
+ORACLES["ph_promql_timestamp"] = PH_PROMQL_TIMESTAMP_SQL
