@@ -280,6 +280,7 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         from promhouse_spark.promql.parser import (
             RangeSelector,
             StringLiteral,
+            Subquery,
             parse,
         )
 
@@ -303,6 +304,25 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         try:
             if isinstance(node, RangeSelector):
                 result = _raw_matrix(node, t_ms)
+                counters["read_queries"] += 1
+                return {
+                    "status": "success",
+                    "data": {"resultType": "matrix", "result": result},
+                }
+            if isinstance(node, Subquery):
+                # top-level subquery: the inner expression evaluated at
+                # every epoch-aligned step in (t - range, t] (Prometheus
+                # matrix-typed instant query; 1m default resolution)
+                step = node.step_ms or 60_000
+                last = (t_ms // step) * step
+                first = ((t_ms - node.range_ms) // step) * step
+                if first <= t_ms - node.range_ms:
+                    first += step
+                result = (
+                    _evaluate(node.expr, first, last, step)
+                    if first <= last
+                    else []
+                )
                 counters["read_queries"] += 1
                 return {
                     "status": "success",

@@ -461,3 +461,22 @@ def test_query_instant_result_types(client):
     (stream,) = body["data"]["result"]
     tss = [v[0] for v in stream["values"]]
     assert tss == [T0 / 1000 + s for s in (195, 210, 225, 240)]
+
+
+def test_query_instant_top_level_subquery(client):
+    """`sum(requests_total)[3m:1m]` at an instant: the inner expression
+    evaluated at each epoch-aligned minute in (t-3m, t] (matrix)."""
+    t = str(T0 / 1000 + 300)
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "sum(requests_total)[3m:1m]", "time": t},
+    ).get_json()
+    assert body["status"] == "success"
+    assert body["data"]["resultType"] == "matrix"
+    (stream,) = body["data"]["result"]
+    vals = {v[0]: float(v[1]) for v in stream["values"]}
+    # (t-3m, t] = (120s, 300s]: aligned minutes 180, 240, 300; counters
+    # sum to 3x the elapsed seconds at each point
+    assert sorted(vals) == [T0 / 1000 + s for s in (180, 240, 300)]
+    assert vals[T0 / 1000 + 180] == pytest.approx(540.0)
+    assert vals[T0 / 1000 + 300] == pytest.approx(900.0)
