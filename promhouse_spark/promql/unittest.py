@@ -1,0 +1,217 @@
+"""Prometheus rules unit testing — the ``promtool test rules`` workflow
+run against the Spark PromQL engine (beyond-reference; semantics follow
+prometheus/cmd/promtool/unittest.go).
+
+A test file declares synthetic series with promtool's expanding-notation
+values, then asserts instant-query results (``promql_expr_test``) and
+firing alerts (``alert_rule_test``) at given evaluation times. Series
+start at epoch 0 and advance by the test group's ``interval``.
+
+Supported value notation (promtool's): literal numbers (``Inf``/``-Inf``/
+``NaN`` included), ``_`` for a missing scrape, ``a+bxn`` / ``a-bxn``
+expanding to the n+1 samples a, a±b, …, a±n·b, and ``axn`` repeating a
+for n+1 samples. ``stale`` is treated as a missing scrape (the engine
+models staleness by lookback, not marker samples).
+
+Divergence (documented): alert annotation/label templates (``{{ $value }}``
+etc.) are NOT expanded — expected values compare verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from promhouse_spark.promql.parser import (
+    VectorSelector,
+    parse,
+    parse_duration_ms,
+)
+
+_DEFAULT_INTERVAL = "1m"
+_LOOKBACK_MS = 300_000
+
+
+def parse_series_values(spec: str) -> list[float | None]:
+    """Expand promtool value notation into one slot per scrape interval
+    (None = no sample)."""
+    out: list[float | None] = []
+    for tok in spec.split():
+        if tok == "_":
+            out.append(None)
+            continue
+        if tok == "stale":
+            out.append(None)
+            continue
+        if "x" in tok and not tok.lstrip("-+").startswith(("Inf", "NaN")):
+            head, _, n_s = tok.rpartition("x")
+            n = int(n_s)
+            # a+bxn / a-bxn / axn — find the LAST +/- that splits base
+            # and increment (not a leading sign)
+            base, inc = head, 0.0
+            for i in range(len(head) - 1, 0, -1):
+                if head[i] in "+-" and head[i - 1] not in "eE":
+                    base, inc = head[:i], float(head[i:])
+                    break
+            a = float(base)
+            out.extend(a + k * inc for k in range(n + 1))
+            continue
+        out.append(float(tok))
+    return out
+
+
+def _series_frames(spark, input_series: list[dict], interval_ms: int):
+    """(samples, series) engine frames from promtool input_series."""
+    samples, series, fp = [], [], 0
+    for s in input_series:
+        sel = parse(s["series"])
+        if not isinstance(sel, VectorSelector):
+            raise ValueError(f"input series must be a selector: {s['series']!r}")
+        labels = {m.name: m.value for m in sel.matchers if m.op == "="}
+        if sel.name:
+            labels["__name__"] = sel.name
+        fp += 1
+        series.append((fp, labels))
+        for i, v in enumerate(parse_series_values(str(s["values"]))):
+            if v is None:
+                continue
+            samples.append((fp, i * interval_ms, float(v)))
+    sdf = spark.createDataFrame(
+        samples or [(0, 0, 0.0)],
+        "fingerprint long, timestamp_ms long, value double",
+    )
+    if not samples:
+        sdf = sdf.filter("1=0")
+    ser = spark.createDataFrame(
+        series or [(0, {})], "fingerprint long, labels map<string,string>"
+    )
+    if not series:
+        ser = ser.filter("1=0")
+    return sdf, ser
+
+
+def _expected_labels(spec: str) -> dict:
+    sel = parse(spec)
+    if not isinstance(sel, VectorSelector):
+        raise ValueError(f"exp_samples labels must be a selector: {spec!r}")
+    labels = {m.name: m.value for m in sel.matchers if m.op == "="}
+    if sel.name:
+        labels["__name__"] = sel.name
+    return labels
+
+
+def _value_eq(a: float, b: float) -> bool:
+    if math.isnan(a) and math.isnan(b):
+        return True
+    return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
+
+
+def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
+    """Run one promtool test file (parsed YAML/JSON dict); returns a list
+    of human-readable failures (empty = all tests pass)."""
+    from promhouse_spark.promql import PromQLEngine
+    from promhouse_spark.promql.alerts import alert_intervals_promql
+    from promhouse_spark.server import load_rule_groups
+
+    failures: list[str] = []
+    groups: list[dict] = []
+    for rf in doc.get("rule_files", []) or []:
+        groups.extend(load_rule_groups(os.path.join(base_dir, rf)))
+    default_interval = doc.get("evaluation_interval", _DEFAULT_INTERVAL)
+
+    for ti, test in enumerate(doc.get("tests", []) or []):
+        interval_ms = parse_duration_ms(
+            str(test.get("interval", default_interval))
+        )
+        samples, series = _series_frames(
+            spark, test.get("input_series", []) or [], interval_ms
+        )
+
+        for et in test.get("promql_expr_test", []) or []:
+            expr = et["expr"]
+            t_ms = parse_duration_ms(str(et["eval_time"]))
+            eng = PromQLEngine(
+                samples, series, t_ms, t_ms, max(interval_ms, 1), _LOOKBACK_MS
+            )
+            try:
+                rows = eng.eval(expr).filter("value IS NOT NULL").collect()
+            except ValueError as e:
+                failures.append(f"test {ti}: expr {expr!r}: {e}")
+                continue
+            got = {
+                tuple(sorted((r["labels"] or {}).items())): r["value"]
+                for r in rows
+            }
+            want = {
+                tuple(sorted(_expected_labels(s.get("labels", "{}")).items())):
+                float(s.get("value", 0))
+                for s in et.get("exp_samples", []) or []
+            }
+            if set(got) != set(want):
+                failures.append(
+                    f"test {ti}: expr {expr!r} @ {et['eval_time']}: "
+                    f"series mismatch: got {sorted(got)}, want {sorted(want)}"
+                )
+                continue
+            for key, wv in want.items():
+                if not _value_eq(got[key], wv):
+                    failures.append(
+                        f"test {ti}: expr {expr!r} @ {et['eval_time']}: "
+                        f"{dict(key)}: got {got[key]}, want {wv}"
+                    )
+
+        for at in test.get("alert_rule_test", []) or []:
+            name = at["alertname"]
+            t_ms = parse_duration_ms(str(at["eval_time"]))
+            rule = next(
+                (
+                    r
+                    for g in groups
+                    for r in g.get("rules", [])
+                    if r.get("alert") == name
+                ),
+                None,
+            )
+            if rule is None:
+                failures.append(f"test {ti}: unknown alert {name!r}")
+                continue
+            for_ms = (
+                parse_duration_ms(str(rule["for"])) if rule.get("for") else 0
+            )
+            end = (t_ms // interval_ms) * interval_ms
+            eng = PromQLEngine(
+                samples, series, 0, end, interval_ms, _LOOKBACK_MS
+            )
+            runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
+            firing = []
+            for r in runs:
+                # firing AT eval_time: the run covers it and has lasted
+                # the for-duration by then (pending rows excluded, as
+                # promtool's exp_alerts are the FIRING set)
+                if not (r["start_ms"] <= t_ms <= r["end_ms"]):
+                    continue
+                if t_ms - r["start_ms"] < for_ms:
+                    continue
+                labels = dict(r["labels"] or {})
+                labels.pop("__name__", None)
+                labels["alertname"] = name
+                labels.update(rule.get("labels", {}))
+                firing.append(labels)
+            want_alerts = [
+                {
+                    **{
+                        str(k): str(v)
+                        for k, v in (a.get("exp_labels") or {}).items()
+                    },
+                    "alertname": name,
+                }
+                for a in at.get("exp_alerts", []) or []
+            ]
+            key = lambda d: tuple(sorted(d.items()))  # noqa: E731
+            if sorted(map(key, firing)) != sorted(map(key, want_alerts)):
+                failures.append(
+                    f"test {ti}: alert {name!r} @ {at['eval_time']}: "
+                    f"got {sorted(map(key, firing))}, "
+                    f"want {sorted(map(key, want_alerts))}"
+                )
+    return failures

@@ -1,0 +1,126 @@
+"""promtool-style rules unit testing (promql/unittest.py + promtool.py):
+the Prometheus docs' InstanceDown example plus expr tests, run against
+the Spark engine; value-notation expansion pins."""
+
+from __future__ import annotations
+
+import math
+import textwrap
+
+import pytest
+
+from promhouse_spark.promql.unittest import parse_series_values, run_rule_tests
+
+
+def test_value_notation():
+    assert parse_series_values("1 2 3") == [1.0, 2.0, 3.0]
+    assert parse_series_values("0+10x3") == [0.0, 10.0, 20.0, 30.0]
+    assert parse_series_values("10-2x2") == [10.0, 8.0, 6.0]
+    assert parse_series_values("5x3") == [5.0, 5.0, 5.0, 5.0]
+    assert parse_series_values("-4+2x2") == [-4.0, -2.0, 0.0]
+    assert parse_series_values("1 _ 3") == [1.0, None, 3.0]
+    assert parse_series_values("1 stale 3") == [1.0, None, 3.0]
+    v = parse_series_values("Inf -Inf NaN")
+    assert v[0] == math.inf and v[1] == -math.inf and math.isnan(v[2])
+    assert parse_series_values("1e2 1.5") == [100.0, 1.5]
+
+
+RULES_YML = textwrap.dedent(
+    """
+    groups:
+      - name: example
+        rules:
+          - record: job:up:count
+            expr: count by (job) (up)
+          - alert: InstanceDown
+            expr: up == 0
+            for: 5m
+            labels:
+              severity: page
+    """
+)
+
+TESTS_YML = textwrap.dedent(
+    """
+    rule_files:
+      - rules.yml
+    evaluation_interval: 1m
+    tests:
+      - interval: 1m
+        input_series:
+          - series: 'up{job="prometheus", instance="localhost:9090"}'
+            values: '0 0 0 0 0 0 0 0 0 0 0 0 0 0 0'
+          - series: 'up{job="node_exporter", instance="localhost:9100"}'
+            values: '1+0x14'
+        promql_expr_test:
+          - expr: count(up)
+            eval_time: 5m
+            exp_samples:
+              - labels: '{}'
+                value: 2
+          - expr: up
+            eval_time: 5m
+            exp_samples:
+              - labels: 'up{job="prometheus", instance="localhost:9090"}'
+                value: 0
+              - labels: 'up{job="node_exporter", instance="localhost:9100"}'
+                value: 1
+        alert_rule_test:
+          - eval_time: 10m
+            alertname: InstanceDown
+            exp_alerts:
+              - exp_labels:
+                  severity: page
+                  job: prometheus
+                  instance: localhost:9090
+          - eval_time: 3m
+            alertname: InstanceDown
+            exp_alerts: []
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def test_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("promtool")
+    (d / "rules.yml").write_text(RULES_YML)
+    (d / "tests.yml").write_text(TESTS_YML)
+    return d
+
+
+def test_docs_example_passes(spark, test_dir):
+    import yaml
+
+    doc = yaml.safe_load(TESTS_YML)
+    failures = run_rule_tests(spark, doc, base_dir=str(test_dir))
+    assert failures == []
+
+
+def test_failures_are_reported(spark, test_dir):
+    import yaml
+
+    doc = yaml.safe_load(TESTS_YML)
+    # break an expectation: count(up) is 2, claim 3
+    doc["tests"][0]["promql_expr_test"][0]["exp_samples"][0]["value"] = 3
+    failures = run_rule_tests(spark, doc, base_dir=str(test_dir))
+    assert len(failures) == 1 and "count(up)" in failures[0]
+    # expect an alert that is NOT firing yet at 3m (for: 5m)
+    doc = yaml.safe_load(TESTS_YML)
+    doc["tests"][0]["alert_rule_test"][1]["exp_alerts"] = [
+        {"exp_labels": {"severity": "page", "job": "prometheus",
+                        "instance": "localhost:9090"}}
+    ]
+    failures = run_rule_tests(spark, doc, base_dir=str(test_dir))
+    assert len(failures) == 1 and "InstanceDown" in failures[0]
+
+
+def test_cli_check_rules(test_dir, capsys):
+    from promhouse_spark.promtool import main
+
+    assert main(["check", "rules", str(test_dir / "rules.yml")]) == 0
+    out = capsys.readouterr().out
+    assert "SUCCESS" in out and "2 rule(s)" in out
+    bad = test_dir / "bad.yml"
+    bad.write_text("groups:\n- name: g\n  rules:\n  - record: r\n    expr: rate(m)\n")
+    assert main(["check", "rules", str(bad)]) == 1
+    assert main(["bogus"]) == 2
