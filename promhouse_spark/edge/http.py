@@ -210,6 +210,26 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             status,
         )
 
+    def _apply_limit(result: list) -> tuple[list, list[str]]:
+        """The ?limit= parameter (Prometheus 3.x): truncate the SERIES
+        count, reporting the truncation as a warning. 0 = disabled."""
+        raw = request.values.get("limit", "0")
+        try:
+            limit = int(raw)
+        except ValueError:
+            raise ValueError(f"limit must be an integer: {raw!r}") from None
+        if limit < 0:
+            raise ValueError("limit must be non-negative")
+        if limit and len(result) > limit:
+            return result[:limit], ["results truncated due to limit"]
+        return result, []
+
+    def _success(data: dict, warnings: list[str]):
+        out = {"status": "success", "data": data}
+        if warnings:
+            out["warnings"] = warnings
+        return out
+
     @app.route("/api/v1/query_range", methods=["GET", "POST"])
     def query_range():
         try:
@@ -221,15 +241,15 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             return _promql_error(e)
         try:
             result = _evaluate(query, start_ms, end_ms, step_ms)
+            result, warnings = _apply_limit(result)
         except _Unsupported as e:  # ValueError subclass: catch first
             return _unsupported(e)
         except ValueError as e:
             return _promql_error(e)
         counters["read_queries"] += 1
-        return {
-            "status": "success",
-            "data": {"resultType": "matrix", "result": result},
-        }
+        return _success(
+            {"resultType": "matrix", "result": result}, warnings
+        )
 
     def _raw_matrix(rs, t_ms: int):
         """Raw samples for a bare range-selector instant query (Prometheus
@@ -303,12 +323,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             }
         try:
             if isinstance(node, RangeSelector):
-                result = _raw_matrix(node, t_ms)
+                result, warnings = _apply_limit(_raw_matrix(node, t_ms))
                 counters["read_queries"] += 1
-                return {
-                    "status": "success",
-                    "data": {"resultType": "matrix", "result": result},
-                }
+                return _success(
+                    {"resultType": "matrix", "result": result}, warnings
+                )
             if isinstance(node, Subquery):
                 # top-level subquery: the inner expression evaluated at
                 # every epoch-aligned step in (t - range, t] (Prometheus
@@ -323,11 +342,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
                     if first <= last
                     else []
                 )
+                result, warnings = _apply_limit(result)
                 counters["read_queries"] += 1
-                return {
-                    "status": "success",
-                    "data": {"resultType": "matrix", "result": result},
-                }
+                return _success(
+                    {"resultType": "matrix", "result": result}, warnings
+                )
             series = _evaluate(query, t_ms, t_ms, 1_000)
         except _Unsupported as e:  # ValueError subclass: catch first
             return _unsupported(e)
@@ -352,10 +371,13 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             for s in series
             if s["values"]
         ]
-        return {
-            "status": "success",
-            "data": {"resultType": "vector", "result": result},
-        }
+        try:
+            result, warnings = _apply_limit(result)
+        except ValueError as e:
+            return _promql_error(e)
+        return _success(
+            {"resultType": "vector", "result": result}, warnings
+        )
 
     @app.route("/api/v1/format_query", methods=["GET", "POST"])
     def format_query():

@@ -480,3 +480,42 @@ def test_query_instant_top_level_subquery(client):
     assert sorted(vals) == [T0 / 1000 + s for s in (180, 240, 300)]
     assert vals[T0 / 1000 + 180] == pytest.approx(540.0)
     assert vals[T0 / 1000 + 300] == pytest.approx(900.0)
+
+
+def test_query_limit_parameter(client):
+    """?limit= truncates the series count with a warning (Prometheus 3.x);
+    limit=0 disables; bad limits answer 400."""
+    t = str(T0 / 1000 + 300)
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "requests_total", "time": t, "limit": "1"},
+    ).get_json()
+    assert len(body["data"]["result"]) == 1
+    assert body["warnings"] == ["results truncated due to limit"]
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "requests_total", "time": t, "limit": "0"},
+    ).get_json()
+    assert len(body["data"]["result"]) == 2 and "warnings" not in body
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "requests_total", "start": t, "end": t, "step": "60",
+            "limit": "1",
+        },
+    )
+    body = r.get_json()
+    assert len(body["data"]["result"]) == 1 and body["warnings"]
+    r = client.get(
+        "/api/v1/query",
+        query_string={"query": "requests_total", "time": t, "limit": "x"},
+    )
+    assert r.status_code == 400
+    r = client.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "requests_total", "start": t, "end": t, "step": "60",
+            "limit": "-1",
+        },
+    )
+    assert r.status_code == 400
