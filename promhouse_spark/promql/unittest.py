@@ -214,4 +214,22 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                     f"got {sorted(map(key, firing))}, "
                     f"want {sorted(map(key, want_alerts))}"
                 )
+                continue
+            # annotations compare VERBATIM against the rule's (templates
+            # are not expanded — module docstring divergence)
+            anns = {
+                str(k): str(v)
+                for k, v in (rule.get("annotations") or {}).items()
+            }
+            for a in at.get("exp_alerts", []) or []:
+                want_ann = {
+                    str(k): str(v)
+                    for k, v in (a.get("exp_annotations") or {}).items()
+                }
+                if want_ann and want_ann != anns:
+                    failures.append(
+                        f"test {ti}: alert {name!r} @ {at['eval_time']}: "
+                        f"annotations: got {sorted(anns.items())}, "
+                        f"want {sorted(want_ann.items())}"
+                    )
     return failures

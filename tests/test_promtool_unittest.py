@@ -124,3 +124,41 @@ def test_cli_check_rules(test_dir, capsys):
     bad.write_text("groups:\n- name: g\n  rules:\n  - record: r\n    expr: rate(m)\n")
     assert main(["check", "rules", str(bad)]) == 1
     assert main(["bogus"]) == 2
+
+
+def test_exp_annotations(spark, tmp_path):
+    import yaml
+
+    (tmp_path / "rules.yml").write_text(textwrap.dedent(
+        """
+        groups:
+          - name: g
+            rules:
+              - alert: Down
+                expr: up == 0
+                annotations:
+                  summary: instance down
+        """
+    ))
+    doc = yaml.safe_load(textwrap.dedent(
+        """
+        rule_files: [rules.yml]
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'up{job="p"}'
+                values: '0 0 0'
+            alert_rule_test:
+              - eval_time: 2m
+                alertname: Down
+                exp_alerts:
+                  - exp_labels: {job: p}
+                    exp_annotations: {summary: instance down}
+        """
+    ))
+    assert run_rule_tests(spark, doc, base_dir=str(tmp_path)) == []
+    doc["tests"][0]["alert_rule_test"][0]["exp_alerts"][0][
+        "exp_annotations"
+    ] = {"summary": "WRONG"}
+    failures = run_rule_tests(spark, doc, base_dir=str(tmp_path))
+    assert len(failures) == 1 and "annotations" in failures[0]
