@@ -67,9 +67,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     """
     from flask import Flask, Response, request
 
+    import time as _time_mod
+
     app = Flask("promhouse_spark")
     counters = {"written_samples": 0, "written_time_series": 0, "read_queries": 0}
     rule_groups = rule_groups or []
+    _started = _time_mod.time()
 
     @app.post("/write")
     def write():
@@ -496,6 +499,60 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             key=lambda d: sorted(d.items()),
         )
         return {"status": "success", "data": data}
+
+    @app.get("/api/v1/metadata")
+    def metadata_endpoint():
+        """Metric metadata: the storage model carries no scrape metadata
+        (type/help/unit come from exposition scrapes, which the reference
+        pipeline forwards without persisting) — answer every known metric
+        name with an empty metadata list, the shape clients expect."""
+        from pyspark.sql import functions as F
+
+        try:
+            df = _series_frame()
+        except _Unsupported:
+            return {"status": "success", "data": {}}
+        limit = request.values.get("limit")
+        names = (
+            df.select(
+                F.element_at("labels", F.lit("__name__")).alias("n")
+            )
+            .filter("n IS NOT NULL")
+            .distinct()
+            .orderBy("n")
+            .collect()
+        )
+        data = {r["n"]: [] for r in names}
+        if limit is not None:
+            data = dict(list(data.items())[: int(limit)])
+        return {"status": "success", "data": data}
+
+    @app.route("/api/v1/query_exemplars", methods=["GET", "POST"])
+    def query_exemplars():
+        # no exemplar storage (the remote-write protocol the reference
+        # speaks predates exemplars); an empty success keeps Grafana's
+        # exemplar probe quiet
+        return {"status": "success", "data": []}
+
+    @app.get("/api/v1/status/flags")
+    def status_flags():
+        return {"status": "success", "data": {}}
+
+    @app.get("/api/v1/status/runtimeinfo")
+    def status_runtimeinfo():
+        import time as _time
+
+        return {
+            "status": "success",
+            "data": {
+                "storageRetention": "0",
+                "goroutineCount": 0,
+                "reloadConfigSuccess": True,
+                "startTime": _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(_started)
+                ),
+            },
+        }
 
     # -- Prometheus HTTP API v1: rules + alerts ------------------------------
 

@@ -519,3 +519,20 @@ def test_query_limit_parameter(client):
         },
     )
     assert r.status_code == 400
+
+
+def test_grafana_probe_endpoints(client):
+    """metadata / query_exemplars / status endpoints answer the shapes
+    Grafana probes, instead of 404s."""
+    body = client.get("/api/v1/metadata").get_json()
+    assert body["status"] == "success"
+    assert body["data"] == {"requests_total": []}
+    body = client.get(
+        "/api/v1/metadata", query_string={"limit": "0"}
+    ).get_json()
+    assert body["data"] == {}
+    body = client.get("/api/v1/query_exemplars").get_json()
+    assert body == {"status": "success", "data": []}
+    assert client.get("/api/v1/status/flags").get_json()["data"] == {}
+    rt = client.get("/api/v1/status/runtimeinfo").get_json()["data"]
+    assert rt["reloadConfigSuccess"] is True and "startTime" in rt
