@@ -30,7 +30,14 @@ def downsample_partial(samples_df: DataFrame, step_ms: int = 300_000) -> DataFra
             F.count("*").alias("n"),
             F.sum(VALUE).alias("sum_value"),
             F.min(VALUE).alias("min_value"),
-            F.max(VALUE).alias("max_value"),
+            # Go max semantics (promql/engine.py _SIMPLE_OVER_TIME): NaN
+            # never displaces a numeric max; an all-NaN window stays NaN.
+            # Spark's bare max would let NaN win the partial and poison
+            # every merge above it.
+            F.coalesce(
+                F.max(F.when(~F.isnan(F.col(VALUE)), F.col(VALUE))),
+                F.lit(float("nan")),
+            ).alias("max_value"),
             F.max(TIMESTAMP_MS).alias("last_ts"),
             F.max_by(VALUE, F.col(TIMESTAMP_MS)).alias("last_value"),
         )
@@ -47,7 +54,12 @@ def merge_rollup(partials: DataFrame) -> DataFrame:
             F.sum("n").alias("n"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+            # same NaN masking as downsample_partial: an all-NaN partial
+            # (max_value = NaN) must lose to any numeric sibling partial
+            F.coalesce(
+                F.max(F.when(~F.isnan("max_value"), F.col("max_value"))),
+                F.lit(float("nan")),
+            ).alias("max_value"),
             F.max_by("last_value", F.col("last_ts")).alias("last_value"),
             F.max("last_ts").alias("last_ts"),
         )
@@ -136,7 +148,10 @@ _PUSHDOWN = {
     "sum_over_time": lambda: F.sum("sum_value").alias("value"),
     "count_over_time": lambda: F.sum("n").cast("double").alias("value"),
     "min_over_time": lambda: F.min("min_value").alias("value"),
-    "max_over_time": lambda: F.max("max_value").alias("value"),
+    "max_over_time": lambda: F.coalesce(
+        F.max(F.when(~F.isnan("max_value"), F.col("max_value"))),
+        F.lit(float("nan")),
+    ).alias("value"),
     "avg_over_time": lambda: (F.sum("sum_value") / F.sum("n")).alias("value"),
     "last_over_time": lambda: F.max_by(
         "last_value", F.struct("last_ts", "last_value")

@@ -129,3 +129,40 @@ def test_rollup_range_agg_pushdown_matches_raw_engine(spark):
         rollup_range_agg(partials, R, "rate", rng, step)
     with _pytest.raises(ValueError):
         rollup_range_agg(partials, R, "sum_over_time", rng + 1, step)
+
+
+def test_rollup_max_nan_semantics(spark):
+    """Go max fold through the rollup: NaN never displaces a numeric max
+    at partial, merge, or pushdown level; an all-NaN window stays NaN."""
+    import math
+
+    from pyspark.sql import Row, functions as F
+
+    from promhouse_spark.streaming.rollup import (
+        downsample_partial,
+        merge_rollup,
+        rollup_range_agg,
+    )
+
+    nan = float("nan")
+    rows = [
+        Row(fingerprint=1, timestamp_ms=0, value=5.0),
+        Row(fingerprint=1, timestamp_ms=1_000, value=nan),
+        Row(fingerprint=2, timestamp_ms=0, value=nan),
+        Row(fingerprint=2, timestamp_ms=1_000, value=nan),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ms long, value double"
+    )
+    part = downsample_partial(sdf, 60_000)
+    by_fp = {r["fingerprint"]: r["max_value"] for r in part.collect()}
+    assert by_fp[1] == 5.0 and math.isnan(by_fp[2])
+    merged = merge_rollup(part.unionByName(part))
+    by_fp = {r["fingerprint"]: r["max_value"] for r in merged.collect()}
+    assert by_fp[1] == 5.0 and math.isnan(by_fp[2])
+    out = rollup_range_agg(part, 60_000, "max_over_time", 60_000, 60_000)
+    vals = {
+        r["fingerprint"]: r["value"]
+        for r in out.filter(F.col("eval_ms") == 60_000).collect()
+    }
+    assert vals[1] == 5.0 and math.isnan(vals[2])
