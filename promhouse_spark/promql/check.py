@@ -53,7 +53,7 @@ def _known_functions() -> dict[str, tuple[int, int | None]]:
             "quantile_over_time", "predict_linear", "holt_winters",
             "double_exponential_smoothing",
             "scalar", "vector", "absent", "absent_over_time", "timestamp",
-            "pi", "time",
+            "info", "pi", "time",
             "minute", "hour", "day_of_week", "day_of_month", "month",
             "year", "day_of_year", "days_in_month",
         }

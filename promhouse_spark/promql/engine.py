@@ -742,6 +742,7 @@ class PromQLEngine:
         "scalar": (1, 1), "vector": (1, 1), "absent": (1, 1),
         "absent_over_time": (1, 1), "timestamp": (1, 1),
         "sort": (1, 1), "sort_desc": (1, 1),
+        "info": (1, 2),
     }
 
     def _vec(self, node) -> DataFrame:
@@ -960,7 +961,56 @@ class PromQLEngine:
             if isinstance(sel, RangeSelector):
                 sel = sel.selector
             return self._absent_complement(frame.select("eval_ms"), sel)
+        if func == "info":
+            return self._info(node)
         raise ValueError(f"unsupported function: {func}")
+
+    def _info(self, node: Call) -> DataFrame:
+        """Prometheus 3.x experimental ``info(v [, {selector}])``
+        (promql/info.go): enrich each sample's labels with the
+        NON-identifying labels of the matching ``target_info``-style info
+        series, joined on the identifying labels (job, instance) at the
+        same evaluation. The optional second argument selects the info
+        metric (default ``{__name__="target_info"}``) and/or restricts
+        which data labels to copy via its equality/regex matchers.
+        Label conflicts keep the DATA series' value (documented; Prometheus
+        errors on conflicting duplicates)."""
+        vec = self._vec(node.args[0])
+        info_sel = VectorSelector(name="target_info")
+        if len(node.args) > 1:
+            if not isinstance(node.args[1], VectorSelector):
+                raise ValueError("info() selector must be a vector selector")
+            info_sel = node.args[1]
+            if info_sel.name is None and not any(
+                m.name == NAME for m in info_sel.matchers
+            ):
+                import dataclasses
+
+                info_sel = dataclasses.replace(info_sel, name="target_info")
+        info = self._instant(info_sel)
+        ident = ["job", "instance"]
+        ikey = F.to_json(
+            F.map_filter("labels", lambda k, _: k.isin(*ident))
+        )
+        # data labels carried over: everything but identifiers and name
+        data_labels = F.map_filter(
+            "labels",
+            lambda k, _: ~k.isin(*(ident + [NAME])),
+        )
+        inf2 = info.select(
+            ikey.alias("__ik"), "eval_ms", data_labels.alias("__add")
+        ).dropDuplicates(["__ik", "eval_ms"])
+        joined = vec.withColumn("__ik", ikey).join(
+            inf2, ["__ik", "eval_ms"], "left"
+        )
+        merged = F.map_zip_with(
+            F.coalesce(F.col("__add"), F.create_map().cast("map<string,string>")),
+            F.col("labels"),
+            lambda _, v_info, v_data: F.coalesce(v_data, v_info),
+        )
+        return joined.select(
+            merged.alias("labels"), "eval_ms", "value"
+        )
 
     def _absent_complement(self, present_evals: DataFrame, sel) -> DataFrame:
         """Grid rows where the input produced nothing, labeled from the

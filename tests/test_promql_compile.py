@@ -763,3 +763,46 @@ def test_over_time_nan_semantics(spark):
     tmin = by_series("ts_of_min_over_time(m[2m])")
     assert tmin['{"s":"a"}'] == 0.0
     assert tmin['{"s":"b"}'] == 30.0
+
+
+def test_info_function(spark):
+    """Prometheus 3.x info(): data-label enrichment from target_info,
+    joined on (job, instance); conflicts keep the data series' value."""
+    from pyspark.sql import Row
+
+    from promhouse_spark.promql import PromQLEngine
+
+    rows = [
+        Row(fingerprint=1, timestamp_ms=0, value=7.0),
+        Row(fingerprint=2, timestamp_ms=0, value=1.0),
+        Row(fingerprint=3, timestamp_ms=0, value=3.0),
+    ]
+    sdf = spark.createDataFrame(rows, "fingerprint long, timestamp_ms long, value double")
+    ser = spark.createDataFrame(
+        [
+            Row(fingerprint=1, labels={"__name__": "m", "job": "api",
+                                       "instance": "i1", "zone": "keep"}),
+            Row(fingerprint=2, labels={"__name__": "target_info", "job": "api",
+                                       "instance": "i1", "cluster": "us-east",
+                                       "zone": "info-zone"}),
+            Row(fingerprint=3, labels={"__name__": "m", "job": "db",
+                                       "instance": "i9"}),
+        ],
+        "fingerprint long, labels map<string,string>",
+    )
+    eng = PromQLEngine(sdf, ser, 60_000, 60_000, 60_000)
+    got = {
+        r["labels"].get("instance"): dict(r["labels"])
+        for r in eng.eval("info(m)").collect()
+    }
+    # matched: cluster copied from target_info; zone conflict keeps data's
+    assert got["i1"]["cluster"] == "us-east"
+    assert got["i1"]["zone"] == "keep"
+    assert got["i1"]["__name__"] == "m"
+    # unmatched series pass through unchanged
+    assert "cluster" not in got["i9"]
+    # explicit selector form
+    got2 = eng.eval('info(m, {__name__="target_info"})').collect()
+    assert len(got2) == 2
+    with pytest.raises(ValueError):
+        eng.eval("info(m, rate(m[5m]))")
