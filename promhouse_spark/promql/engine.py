@@ -397,10 +397,14 @@ class PromQLEngine:
             return self._explode_to_grid(samples, arg.range_ms), series, arg.range_ms
         if isinstance(arg, Subquery):
             step = arg.step_ms or self.step_ms
-            fine_start = ((self.start_ms - arg.range_ms) // step) * step
+            off = arg.offset_ms or 0
+            # `<subquery> offset d` shifts the inner evaluation timeline
+            # back by d, then the produced points forward by d — the same
+            # convention as selector offset in _selected
+            fine_start = ((self.start_ms - off - arg.range_ms) // step) * step
             inner = PromQLEngine(
-                self.samples, self.series, fine_start, self.end_ms, step,
-                self.lookback_ms,
+                self.samples, self.series, fine_start, self.end_ms - off,
+                step, self.lookback_ms,
             )
             vec = inner._compile(arg.expr)
             if isinstance(vec, float):
@@ -410,7 +414,7 @@ class PromQLEngine:
             key = labels_map_to_json("labels")
             samples_like = vec.select(
                 key.alias("fingerprint"),
-                F.col("eval_ms").alias("timestamp_ms"),
+                (F.col("eval_ms") + F.lit(off)).alias("timestamp_ms"),
                 "value",
             )
             series_like = vec.select(key.alias("fingerprint"), "labels").dropDuplicates(
@@ -526,33 +530,38 @@ class PromQLEngine:
         pushed = self._try_rollup_pushdown(func, node)
         if pushed is not None:
             return pushed
-        # the range selector is args[0] for most functions but args[1] for
+        # the range argument is args[0] for most functions but args[1] for
         # quantile_over_time — locate it by type so @ is honored everywhere
         rs_idx = next(
             (
                 i
                 for i, a in enumerate(node.args)
-                if isinstance(a, RangeSelector)
+                if isinstance(a, (RangeSelector, Subquery))
             ),
             None,
         )
-        if (
-            rs_idx is not None
-            and node.args[rs_idx].selector.at_ms is not None
-        ):
-            # @ on a range selector: evaluate the function ONCE at the
-            # pinned timestamp, broadcast the result across the grid
+        rs = node.args[rs_idx] if rs_idx is not None else None
+        rs_at = (
+            rs.selector.at_ms if isinstance(rs, RangeSelector) else rs.at_ms
+        ) if rs is not None else None
+        if rs_at is not None:
+            # @ on a range selector OR subquery: evaluate the function
+            # ONCE at the pinned timestamp, broadcast across the grid
             import dataclasses
 
-            rs = node.args[rs_idx]
-            at = self._at_ms(rs.selector)
+            at = self._at_ms(
+                rs.selector if isinstance(rs, RangeSelector) else rs
+            )
             sub = PromQLEngine(
                 self.samples, self.series, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
             )
-            sel = dataclasses.replace(rs.selector, at_ms=None)
             new_args = list(node.args)
-            new_args[rs_idx] = RangeSelector(sel, rs.range_ms)
+            if isinstance(rs, RangeSelector):
+                sel = dataclasses.replace(rs.selector, at_ms=None)
+                new_args[rs_idx] = RangeSelector(sel, rs.range_ms)
+            else:
+                new_args[rs_idx] = dataclasses.replace(rs, at_ms=None)
             pinned = sub._range_call(func, Call(node.func, new_args))
             spark = self.samples.sparkSession
             return pinned.select("labels", "value").crossJoin(

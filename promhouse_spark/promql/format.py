@@ -136,7 +136,10 @@ def format_expr(node) -> str:
         inner = format_expr(node.expr)
         if isinstance(node.expr, BinaryOp):
             inner = f"({inner})"
-        return f"{inner}[{format_duration_ms(node.range_ms)}:{step}]"
+        return (
+            f"{inner}[{format_duration_ms(node.range_ms)}:{step}]"
+            + _selector_suffix(node)  # offset/@ (duck-typed fields)
+        )
     if isinstance(node, Unary):
         inner = format_expr(node.expr)
         child = _prec_of(node.expr)
@@ -205,6 +208,9 @@ def ast_json(node) -> dict:
             "expr": ast_json(node.expr),
             "range": node.range_ms,
             "step": node.step_ms or 0,
+            "offset": node.offset_ms,
+            "timestamp": None if node.at_ms in ("start", "end") else node.at_ms,
+            "startOrEnd": node.at_ms if node.at_ms in ("start", "end") else None,
         }
     if isinstance(node, Unary):
         return {"type": "unaryExpr", "op": "-", "expr": ast_json(node.expr)}

@@ -61,6 +61,8 @@ class Subquery:
     expr: object
     range_ms: int
     step_ms: int | None  # None: the engine's default resolution
+    offset_ms: int = 0
+    at_ms: int | str | None = None  # like VectorSelector.at_ms
 
 
 @dataclass
@@ -311,15 +313,15 @@ class Parser:
                 d = self.next()
                 off = sign * parse_duration_ms(d.text)
                 target = expr.selector if isinstance(expr, RangeSelector) else expr
-                if not isinstance(target, VectorSelector):
-                    raise ValueError("offset requires a selector")
+                if not isinstance(target, (VectorSelector, Subquery)):
+                    raise ValueError("offset requires a selector or subquery")
                 target.offset_ms = off
             elif t.text == "@":
                 self.next()
                 ts = self.next()
                 target = expr.selector if isinstance(expr, RangeSelector) else expr
-                if not isinstance(target, VectorSelector):
-                    raise ValueError("@ requires a selector")
+                if not isinstance(target, (VectorSelector, Subquery)):
+                    raise ValueError("@ requires a selector or subquery")
                 if ts.kind == "IDENT" and ts.text in ("start", "end"):
                     # @ start() / @ end(): resolved against the query range
                     # at compile time (promql @ modifier preprocessing)

@@ -806,3 +806,36 @@ def test_info_function(spark):
     assert len(got2) == 2
     with pytest.raises(ValueError):
         eng.eval("info(m, rate(m[5m]))")
+
+
+def test_subquery_offset_and_at(eng):
+    """offset and @ on SUBQUERIES (promql modifiers apply to subqueries,
+    not just selectors): shifted timeline, pinned evaluation."""
+    # max_over_time of the errors{job=api} instant values over (t-2m, t]
+    base = _rows(eng, 'max_over_time(errors{job="api"}[2m:1m])')
+    # counters are linear: value at aligned minute t is t/60*15... value =
+    # i*15 at 15s scrapes; instant at minute t = t seconds' sample = t*1
+    by_t = {x.eval_ms: x.value for x in base}
+    assert by_t[300_000] == 300.0  # max of instants at 240s, 300s
+    # offset 1m: the same computation one minute back
+    off = _rows(eng, 'max_over_time(errors{job="api"}[2m:1m] offset 1m)')
+    by_off = {x.eval_ms: x.value for x in off}
+    # shifted to eval 240s: window (120s, 240s], instants at 180, 240
+    assert by_off[300_000] == 240.0
+    # @ pins: constant across the grid, equal to the unpinned value there
+    at = _rows(eng, 'max_over_time(errors{job="api"}[2m:1m] @ 300)')
+    assert len(at) == 6
+    assert all(x.value == by_t[300_000] for x in at)
+
+
+def test_subquery_modifier_round_trip():
+    from promhouse_spark.promql.format import ast_json, format_expr
+
+    for src in (
+        "avg_over_time(m[5m:1m] offset 1h)",
+        "max_over_time(rate(m[2m])[4m:1m] @ end())",
+        "min_over_time(m[10m:] @ 60.000)",
+    ):
+        ast = parse(src)
+        assert parse(format_expr(ast)) == ast, format_expr(ast)
+        ast_json(ast)
