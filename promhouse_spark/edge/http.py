@@ -334,11 +334,21 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             if isinstance(node, Subquery):
                 # top-level subquery: the inner expression evaluated at
                 # every epoch-aligned step in (t - range, t] (Prometheus
-                # matrix-typed instant query; 1m default resolution)
+                # matrix-typed instant query; 1m default resolution).
+                # offset shifts the evaluation window back; @ pins it
+                # (start()/end() both resolve to t at an instant query)
                 step = node.step_ms or 60_000
-                last = (t_ms // step) * step
-                first = ((t_ms - node.range_ms) // step) * step
-                if first <= t_ms - node.range_ms:
+                if node.at_ms is not None:
+                    t_eff = (
+                        t_ms
+                        if node.at_ms in ("start", "end")
+                        else int(node.at_ms)
+                    )
+                else:
+                    t_eff = t_ms - (node.offset_ms or 0)
+                last = (t_eff // step) * step
+                first = ((t_eff - node.range_ms) // step) * step
+                if first <= t_eff - node.range_ms:
                     first += step
                 result = (
                     _evaluate(node.expr, first, last, step)

@@ -536,3 +536,28 @@ def test_grafana_probe_endpoints(client):
     assert client.get("/api/v1/status/flags").get_json()["data"] == {}
     rt = client.get("/api/v1/status/runtimeinfo").get_json()["data"]
     assert rt["reloadConfigSuccess"] is True and "startTime" in rt
+
+
+def test_query_instant_subquery_modifiers(client):
+    t = str(T0 / 1000 + 600)
+    # offset 5m: window shifted to (t-8m, t-5m]
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "sum(requests_total)[3m:1m] offset 5m",
+                      "time": t},
+    ).get_json()
+    (stream,) = body["data"]["result"]
+    tss = [v[0] for v in stream["values"]]
+    # t_eff = 300s: (120s, 300s], aligned minutes strictly above 120
+    assert tss == [T0 / 1000 + s for s in (180, 240, 300)]
+    # @ pins the window end to 300s regardless of the query time
+    body = client.get(
+        "/api/v1/query",
+        query_string={
+            "query": f"sum(requests_total)[2m:1m] @ {T0 / 1000 + 300}",
+            "time": t,
+        },
+    ).get_json()
+    (stream,) = body["data"]["result"]
+    tss = [v[0] for v in stream["values"]]
+    assert tss == [T0 / 1000 + s for s in (240, 300)]
