@@ -1181,3 +1181,80 @@ ORDER BY m.user_id
 
 QUERIES.update({"ph_stream_enrich_join": ph_stream_enrich_join})
 ORACLES.update({"ph_stream_enrich_join": PH_STREAM_ENRICH_SQL})
+
+
+_KMV_K = 64
+_KMV_STAGE = "/tmp/promhouse_oracle_staging/kmv_hashes.parquet"
+
+
+def ph_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type — the
+    ORACLE-PAIRED sibling of ph_cardinality_approx: where HLL's register
+    state is engine-private (DuckDB's approx_count_distinct cannot replay
+    Spark's sketch), KMV's state is just the k smallest hash values, so
+    the staged-artifact pattern applies: the xxhash64 step (the only
+    non-SQL-expressible part) persists distinct (event_type, hash) rows
+    to a staging parquet and the ENTIRE estimator — normalize to (0,1),
+    take the k-th order statistic, est = (k-1)/u_k, exact count below k —
+    replays in DuckDB over identical bytes. At 100 TB the sketch is the
+    same shape: hash map-side, keep k minima per group (a bounded
+    accumulator), estimate from u_k."""
+    from promhouse_spark.workloads.llmdata import _stage
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = _stage(
+        ev.select(
+            "event_type",
+            F.xxhash64(F.col("user_id").cast("string")).alias("h"),
+        ).distinct(),
+        _KMV_STAGE,
+        sf_dir,
+    )
+    u = (F.col("h").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    agg = (
+        staged.select("event_type", u.alias("u"))
+        .groupBy("event_type")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("u")), 1, _KMV_K).alias("mins"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    est = F.when(
+        F.col("n") < _KMV_K, F.col("n").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.element_at("mins", _KMV_K))
+    return agg.select(
+        "event_type",
+        F.floor(est).cast("long").alias("est_users"),
+        F.col("n").alias("n_hashes"),
+    ).orderBy("event_type")
+
+
+PH_CARDINALITY_KMV_SQL = f"""
+WITH hashes AS (
+  SELECT event_type, h FROM read_parquet('{_KMV_STAGE}/*.parquet')
+),
+normalized AS (
+  SELECT event_type,
+         (CAST(h AS DOUBLE) + 9223372036854775808.0)
+           / 18446744073709551616.0 AS u
+  FROM hashes
+),
+ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM normalized
+)
+SELECT event_type,
+       CAST(FLOOR(CASE WHEN max(n) < {_KMV_K} THEN max(n)
+                       ELSE {float(_KMV_K - 1)} / max(CASE WHEN rn = {_KMV_K} THEN u END)
+                  END) AS BIGINT) AS est_users,
+       CAST(max(n) AS BIGINT) AS n_hashes
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["ph_cardinality_kmv"] = ph_cardinality_kmv
+ORACLES["ph_cardinality_kmv"] = PH_CARDINALITY_KMV_SQL

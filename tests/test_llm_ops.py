@@ -411,6 +411,36 @@ def test_cardinality_approx_error_bound(spark, sf_dir):
         assert abs(approx[k] - ex) <= max(1, 0.02 * ex), (k, approx[k], ex)
 
 
+def test_cardinality_kmv_error_bound(spark, sf_dir):
+    """ph_cardinality_kmv IS oracle-paired (the estimator replays in SQL
+    over staged hashes); this gates its STATISTICAL quality: the KMV
+    estimate within 3/sqrt(k) relative error of the exact countDistinct,
+    and exact below k."""
+    from promhouse_spark.workloads.extra import _KMV_K, ph_cardinality_kmv
+    from promhouse_spark.session import load_table
+
+    est = {
+        r["event_type"]: (r["est_users"], r["n_hashes"])
+        for r in ph_cardinality_kmv(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    tol = 3.0 / (_KMV_K ** 0.5)
+    for k, ex in exact.items():
+        e, n = est[k]
+        assert n == ex  # staged distinct hashes == distinct users
+        if ex < _KMV_K:
+            assert e == ex
+        else:
+            assert abs(e - ex) <= tol * ex, (k, e, ex)
+
+
 def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     """PPJoin prefix filtering must return the IDENTICAL pair set as the
     plain token join at every threshold — it is a candidate-pruning
