@@ -548,6 +548,76 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     def status_flags():
         return {"status": "success", "data": {}}
 
+    @app.get("/api/v1/status/tsdb")
+    def status_tsdb():
+        """REAL cardinality statistics from the storage frames (the
+        Prometheus TSDB-stats shapes operators use for cardinality
+        debugging): series/label-pair head counts plus the top-10
+        seriesCountByMetricName / labelValueCountByLabelName /
+        seriesCountByLabelValuePair — one scan of the registry, one
+        bounds-only scan of the samples."""
+        from pyspark.sql import functions as F
+
+        try:
+            _require_frames()
+        except _Unsupported as e:
+            return _unsupported(e)
+        limit = int(request.values.get("limit", 10))
+        reg = storage.registry_df().select("labels")
+        pairs = reg.select(
+            F.explode("labels").alias("name", "value")
+        )
+        num_series = reg.count()
+        num_pairs = pairs.select("name", "value").distinct().count()
+        by_metric = (
+            pairs.filter(F.col("name") == "__name__")
+            .groupBy("value")
+            .count()
+            .orderBy(F.desc("count"), "value")
+            .limit(limit)
+            .collect()
+        )
+        by_label = (
+            pairs.groupBy("name")
+            .agg(F.countDistinct("value").alias("count"))
+            .orderBy(F.desc("count"), "name")
+            .limit(limit)
+            .collect()
+        )
+        by_pair = (
+            pairs.groupBy("name", "value")
+            .count()
+            .orderBy(F.desc("count"), "name", "value")
+            .limit(limit)
+            .collect()
+        )
+        bounds = storage.samples_df().agg(
+            F.min("timestamp_ms").alias("lo"), F.max("timestamp_ms").alias("hi")
+        ).first()
+        return {
+            "status": "success",
+            "data": {
+                "headStats": {
+                    "numSeries": num_series,
+                    "numLabelPairs": num_pairs,
+                    "chunkCount": 0,
+                    "minTime": bounds["lo"] or 0,
+                    "maxTime": bounds["hi"] or 0,
+                },
+                "seriesCountByMetricName": [
+                    {"name": r["value"], "value": r["count"]} for r in by_metric
+                ],
+                "labelValueCountByLabelName": [
+                    {"name": r["name"], "value": r["count"]} for r in by_label
+                ],
+                "memoryInBytesByLabelName": [],
+                "seriesCountByLabelValuePair": [
+                    {"name": f'{r["name"]}={r["value"]}', "value": r["count"]}
+                    for r in by_pair
+                ],
+            },
+        }
+
     @app.get("/api/v1/status/runtimeinfo")
     def status_runtimeinfo():
         import time as _time

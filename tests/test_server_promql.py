@@ -561,3 +561,22 @@ def test_query_instant_subquery_modifiers(client):
     (stream,) = body["data"]["result"]
     tss = [v[0] for v in stream["values"]]
     assert tss == [T0 / 1000 + s for s in (240, 300)]
+
+
+def test_status_tsdb_stats(client):
+    body = client.get("/api/v1/status/tsdb").get_json()
+    assert body["status"] == "success"
+    d = body["data"]
+    assert d["headStats"]["numSeries"] == 2
+    # label pairs: __name__=requests_total, job=api, job=db
+    assert d["headStats"]["numLabelPairs"] == 3
+    assert d["headStats"]["minTime"] == T0
+    assert d["headStats"]["maxTime"] == T0 + 40 * 15_000
+    assert d["seriesCountByMetricName"] == [
+        {"name": "requests_total", "value": 2}
+    ]
+    by_label = {x["name"]: x["value"] for x in d["labelValueCountByLabelName"]}
+    assert by_label == {"__name__": 1, "job": 2}
+    pair = {x["name"]: x["value"] for x in d["seriesCountByLabelValuePair"]}
+    assert pair["__name__=requests_total"] == 2
+    assert pair["job=api"] == 1
