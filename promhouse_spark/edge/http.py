@@ -434,10 +434,27 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     # -- Prometheus HTTP API v1: metadata (what Grafana calls first) --------
 
     def _series_frame():
+        """Registry labels, optionally restricted by ?start=&?end= to
+        series with at least one sample in the range (Prometheus's
+        time-bounded metadata queries) — a semi-join against the
+        date-pruned sample scan, never a full fact read without bounds."""
         from pyspark.sql import functions as F
 
         _require_frames()
-        return storage.registry_df().select(F.col("labels"))
+        reg = storage.registry_df()
+        start_s, end_s = request.values.get("start"), request.values.get("end")
+        if (start_s or end_s) and "fingerprint" in reg.columns:
+            from promhouse_spark.plans.read import samples_in_range
+
+            start_ms = _parse_time_ms(start_s) if start_s else 0
+            end_ms = (
+                _parse_time_ms(end_s) if end_s else (1 << 53)
+            )
+            live = samples_in_range(
+                storage.samples_df(), start_ms, end_ms
+            ).select("fingerprint").distinct()
+            reg = reg.join(live, "fingerprint", "left_semi")
+        return reg.select(F.col("labels"))
 
     def _apply_match(df):
         """Apply repeated ?match[]= selectors (PromQL selector syntax) as

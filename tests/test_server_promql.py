@@ -580,3 +580,32 @@ def test_status_tsdb_stats(client):
     pair = {x["name"]: x["value"] for x in d["seriesCountByLabelValuePair"]}
     assert pair["__name__=requests_total"] == 2
     assert pair["job=api"] == 1
+
+
+def test_time_bounded_metadata(spark, tmp_path):
+    """?start/?end on labels / label-values / series restrict to series
+    with samples in the range (Prometheus time-bounded metadata)."""
+    store = SparkParquetStorage(spark, str(tmp_path / "meta-store"))
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "old_metric"), Label("job", "old")],
+            samples=[Sample(1.0, T0)],
+        ),
+        TimeSeries(
+            labels=[Label("__name__", "new_metric"), Label("job", "new")],
+            samples=[Sample(1.0, T0 + 3_600_000)],
+        ),
+    ])
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    # unbounded: both series
+    assert len(c.get("/api/v1/series").get_json()["data"]) == 2
+    # bounded to the second hour: only new_metric
+    qs = {"start": str(T0 / 1000 + 1800), "end": str(T0 / 1000 + 7200)}
+    data = c.get("/api/v1/series", query_string=qs).get_json()["data"]
+    assert data == [{"__name__": "new_metric", "job": "new"}]
+    vals = c.get("/api/v1/label/job/values", query_string=qs).get_json()["data"]
+    assert vals == ["new"]
+    names = c.get("/api/v1/labels", query_string=qs).get_json()["data"]
+    assert names == ["__name__", "job"]
