@@ -183,20 +183,13 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             501,
         )
 
-    def _evaluate(query: str, start_ms: int, end_ms: int, step_ms: int):
-        from promhouse_spark.promql import PromQLEngine
-
-        _require_frames()
-
-        lookback = int(request.values.get("lookback_delta_ms", 300_000))
-        eng = PromQLEngine.from_storage(
-            storage, start_ms, end_ms, step_ms, lookback_ms=lookback
-        )
-        rows = eng.eval(query).filter("value IS NOT NULL").collect()
+    def _streams(points) -> list[dict]:
+        """Prometheus matrix serialization from (labels_dict, t_ms, value)
+        triples: one stream per label set, values time-ordered."""
         grouped: dict[tuple, list] = {}
-        for r in rows:
-            key = tuple(sorted((r["labels"] or {}).items()))
-            grouped.setdefault(key, []).append((r["eval_ms"], r["value"]))
+        for labels, t, v in points:
+            key = tuple(sorted((labels or {}).items()))
+            grouped.setdefault(key, []).append((t, v))
         return [
             {
                 "metric": dict(key),
@@ -207,22 +200,40 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             for key, vals in sorted(grouped.items())
         ]
 
+    def _evaluate(query, start_ms: int, end_ms: int, step_ms: int):
+        """query: PromQL text or a pre-parsed AST node (eng.eval takes
+        both — endpoints that already parsed pass the node through)."""
+        from promhouse_spark.promql import PromQLEngine
+
+        _require_frames()
+
+        lookback = int(request.values.get("lookback_delta_ms", 300_000))
+        eng = PromQLEngine.from_storage(
+            storage, start_ms, end_ms, step_ms, lookback_ms=lookback
+        )
+        rows = eng.eval(query).filter("value IS NOT NULL").collect()
+        return _streams((r["labels"], r["eval_ms"], r["value"]) for r in rows)
+
     def _promql_error(e: Exception, status: int = 400):
         return (
             {"status": "error", "errorType": "bad_data", "error": str(e)[:500]},
             status,
         )
 
-    def _apply_limit(result: list) -> tuple[list, list[str]]:
-        """The ?limit= parameter (Prometheus 3.x): truncate the SERIES
-        count, reporting the truncation as a warning. 0 = disabled."""
-        raw = request.values.get("limit", "0")
+    def _parse_limit(default: int = 0) -> int:
+        raw = request.values.get("limit", str(default))
         try:
             limit = int(raw)
         except ValueError:
             raise ValueError(f"limit must be an integer: {raw!r}") from None
         if limit < 0:
             raise ValueError("limit must be non-negative")
+        return limit
+
+    def _apply_limit(result: list) -> tuple[list, list[str]]:
+        """The ?limit= parameter (Prometheus 3.x): truncate the SERIES
+        count, reporting the truncation as a warning. 0 = disabled."""
+        limit = _parse_limit()
         if limit and len(result) > limit:
             return result[:limit], ["results truncated due to limit"]
         return result, []
@@ -279,21 +290,10 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             .select("labels", "timestamp_ms", "value")
             .collect()
         )
-        grouped: dict[tuple, list] = {}
-        for r in rows:
-            key = tuple(sorted((r["labels"] or {}).items()))
-            grouped.setdefault(key, []).append(
-                (r["timestamp_ms"] - offset, r["value"])
-            )
-        return [
-            {
-                "metric": dict(key),
-                "values": [
-                    [t / 1000.0, _format_value(v)] for t, v in sorted(vals)
-                ],
-            }
-            for key, vals in sorted(grouped.items())
-        ]
+        return _streams(
+            (r["labels"], r["timestamp_ms"] - offset, r["value"])
+            for r in rows
+        )
 
     @app.route("/api/v1/query", methods=["GET", "POST"])
     def query_instant():
@@ -335,17 +335,17 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
                 # top-level subquery: the inner expression evaluated at
                 # every epoch-aligned step in (t - range, t] (Prometheus
                 # matrix-typed instant query; 1m default resolution).
-                # offset shifts the evaluation window back; @ pins it
-                # (start()/end() both resolve to t at an instant query)
+                # @ pins the base time (start()/end() both resolve to t
+                # at an instant query), THEN offset shifts it back —
+                # the same composition as the engine's range path
                 step = node.step_ms or 60_000
-                if node.at_ms is not None:
-                    t_eff = (
-                        t_ms
-                        if node.at_ms in ("start", "end")
-                        else int(node.at_ms)
-                    )
-                else:
-                    t_eff = t_ms - (node.offset_ms or 0)
+                base = (
+                    int(node.at_ms)
+                    if node.at_ms is not None
+                    and node.at_ms not in ("start", "end")
+                    else t_ms
+                )
+                t_eff = base - (node.offset_ms or 0)
                 last = (t_eff // step) * step
                 first = ((t_eff - node.range_ms) // step) * step
                 if first <= t_eff - node.range_ms:
@@ -360,7 +360,7 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
                 return _success(
                     {"resultType": "matrix", "result": result}, warnings
                 )
-            series = _evaluate(query, t_ms, t_ms, 1_000)
+            series = _evaluate(node, t_ms, t_ms, 1_000)
         except _Unsupported as e:  # ValueError subclass: catch first
             return _unsupported(e)
         except ValueError as e:
@@ -536,10 +536,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         from pyspark.sql import functions as F
 
         try:
+            limit = _parse_limit()
             df = _series_frame()
         except _Unsupported:
             return {"status": "success", "data": {}}
-        limit = request.values.get("limit")
+        except ValueError as e:
+            return _promql_error(e)
         names = (
             df.select(
                 F.element_at("labels", F.lit("__name__")).alias("n")
@@ -550,8 +552,9 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             .collect()
         )
         data = {r["n"]: [] for r in names}
-        if limit is not None:
-            data = dict(list(data.items())[: int(limit)])
+        if request.values.get("limit") is not None:
+            # metadata's limit is a plain count: limit=0 returns none
+            data = dict(list(data.items())[:limit])
         return {"status": "success", "data": data}
 
     @app.route("/api/v1/query_exemplars", methods=["GET", "POST"])
@@ -577,9 +580,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
 
         try:
             _require_frames()
+            limit = _parse_limit(default=10)
         except _Unsupported as e:
             return _unsupported(e)
-        limit = int(request.values.get("limit", 10))
+        except ValueError as e:
+            return _promql_error(e)
         reg = storage.registry_df().select("labels")
         pairs = reg.select(
             F.explode("labels").alias("name", "value")
@@ -690,7 +695,11 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             labels = dict(r["labels"] or {})
             labels.pop("__name__", None)
             labels["alertname"] = rule["alert"]
-            labels.update(rule.get("labels", {}))
+            # label values are STRINGS in the Prometheus model; YAML rule
+            # labels may arrive as ints
+            labels.update(
+                {str(k): str(v) for k, v in (rule.get("labels") or {}).items()}
+            )
             alerts.append(
                 {
                     "labels": labels,

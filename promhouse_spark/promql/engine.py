@@ -998,7 +998,12 @@ class PromQLEngine:
                 info_sel = dataclasses.replace(info_sel, name="target_info")
         info = self._instant(info_sel)
         ident = ["job", "instance"]
-        ikey = F.to_json(
+        # CANONICAL (sorted-key) serialization for the join key — raw
+        # to_json follows map build order, which label_replace etc. can
+        # permute, silently missing the join
+        from promhouse_spark.functions.labels import labels_map_to_json
+
+        ikey = labels_map_to_json(
             F.map_filter("labels", lambda k, _: k.isin(*ident))
         )
         # data labels carried over: everything but identifiers and name

@@ -134,7 +134,9 @@ def format_expr(node) -> str:
     if isinstance(node, Subquery):
         step = format_duration_ms(node.step_ms) if node.step_ms else ""
         inner = format_expr(node.expr)
-        if isinstance(node.expr, BinaryOp):
+        if isinstance(node.expr, (BinaryOp, Unary)):
+            # "-m[5m:1m]" would re-parse as Unary(Subquery): [ binds
+            # tighter than unary minus
             inner = f"({inner})"
         return (
             f"{inner}[{format_duration_ms(node.range_ms)}:{step}]"

@@ -178,24 +178,33 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
             for_ms = (
                 parse_duration_ms(str(rule["for"])) if rule.get("for") else 0
             )
-            end = (t_ms // interval_ms) * interval_ms
+            # the rule group evaluates at interval-aligned times; the
+            # alert state AT eval_time is the state established by the
+            # last evaluation at or before it
+            t_chk = (t_ms // interval_ms) * interval_ms
             eng = PromQLEngine(
-                samples, series, 0, end, interval_ms, _LOOKBACK_MS
+                samples, series, 0, t_chk, interval_ms, _LOOKBACK_MS
             )
             runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
             firing = []
             for r in runs:
-                # firing AT eval_time: the run covers it and has lasted
-                # the for-duration by then (pending rows excluded, as
-                # promtool's exp_alerts are the FIRING set)
-                if not (r["start_ms"] <= t_ms <= r["end_ms"]):
+                # firing AT eval_time: the run covers the last aligned
+                # evaluation and has lasted the for-duration by then
+                # (pending rows excluded — promtool's exp_alerts are the
+                # FIRING set)
+                if not (r["start_ms"] <= t_chk <= r["end_ms"]):
                     continue
-                if t_ms - r["start_ms"] < for_ms:
+                if t_chk - r["start_ms"] < for_ms:
                     continue
                 labels = dict(r["labels"] or {})
                 labels.pop("__name__", None)
                 labels["alertname"] = name
-                labels.update(rule.get("labels", {}))
+                labels.update(
+                    {
+                        str(k): str(v)
+                        for k, v in (rule.get("labels") or {}).items()
+                    }
+                )
                 firing.append(labels)
             want_alerts = [
                 {

@@ -22,11 +22,19 @@ def _load_doc(path: str) -> dict:
     with open(path) as f:
         text = f.read()
     try:
-        return json.loads(text)
+        doc = json.loads(text)
     except json.JSONDecodeError:
         import yaml
 
-        return yaml.safe_load(text)
+        try:
+            doc = yaml.safe_load(text)
+        except yaml.YAMLError as e:
+            raise ValueError(f"invalid YAML: {e}") from e
+    if not isinstance(doc, dict):
+        raise ValueError(
+            f"expected a mapping at the top level, got {type(doc).__name__}"
+        )
+    return doc
 
 
 def check_rules(paths: Sequence[str]) -> int:

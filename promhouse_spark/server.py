@@ -102,7 +102,15 @@ def load_rule_groups(path: str) -> list[dict]:
     except json.JSONDecodeError:
         import yaml
 
-        doc = yaml.safe_load(text)
+        try:
+            doc = yaml.safe_load(text)
+        except yaml.YAMLError as e:
+            raise ValueError(f"{path}: invalid YAML: {e}") from e
+    if doc is not None and not isinstance(doc, dict):
+        raise ValueError(
+            f"{path}: expected a mapping at the top level, "
+            f"got {type(doc).__name__}"
+        )
     groups = []
     for g in (doc or {}).get("groups", []):
         out = {"name": g.get("name", ""), "rules": []}

@@ -103,3 +103,11 @@ def test_format_and_parse_endpoints():
     # buildinfo (Grafana handshake)
     r = c.get("/api/v1/status/buildinfo").get_json()
     assert r["data"]["application"] == "promhouse-spark"
+
+
+def test_subquery_over_unary_round_trip():
+    # "-m[5m:1m]" re-parses as Unary(Subquery); the renderer must wrap
+    src = "(-m)[5m:1m]"
+    ast = parse(src)
+    rendered = format_expr(ast)
+    assert parse(rendered) == ast, rendered

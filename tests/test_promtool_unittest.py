@@ -162,3 +162,52 @@ def test_exp_annotations(spark, tmp_path):
     ] = {"summary": "WRONG"}
     failures = run_rule_tests(spark, doc, base_dir=str(tmp_path))
     assert len(failures) == 1 and "annotations" in failures[0]
+
+
+def test_unaligned_eval_time_and_int_labels(spark, tmp_path):
+    """eval_time not a multiple of the interval still reports the firing
+    state of the last aligned evaluation; int-valued YAML rule labels
+    compare as strings (the Prometheus label model)."""
+    import yaml
+
+    (tmp_path / "rules.yml").write_text(textwrap.dedent(
+        """
+        groups:
+          - name: g
+            rules:
+              - alert: Down
+                expr: up == 0
+                for: 5m
+                labels:
+                  priority: 1
+        """
+    ))
+    doc = yaml.safe_load(textwrap.dedent(
+        """
+        rule_files: [rules.yml]
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'up{job="p"}'
+                values: '0x14'
+            alert_rule_test:
+              - eval_time: 10m30s
+                alertname: Down
+                exp_alerts:
+                  - exp_labels: {job: p, priority: 1}
+        """
+    ))
+    assert run_rule_tests(spark, doc, base_dir=str(tmp_path)) == []
+
+
+def test_malformed_files_report_failed(tmp_path, capsys):
+    from promhouse_spark.promtool import main
+
+    bad = tmp_path / "broken.yml"
+    bad.write_text("a: [unclosed")
+    assert main(["test", "rules", str(bad)]) == 1
+    assert "FAILED" in capsys.readouterr().out
+    scalar = tmp_path / "scalar.yml"
+    scalar.write_text("'just a string'")
+    assert main(["check", "rules", str(scalar)]) == 1
+    assert "FAILED" in capsys.readouterr().out

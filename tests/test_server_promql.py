@@ -609,3 +609,57 @@ def test_time_bounded_metadata(spark, tmp_path):
     assert vals == ["new"]
     names = c.get("/api/v1/labels", query_string=qs).get_json()["data"]
     assert names == ["__name__", "job"]
+
+
+def test_subquery_at_plus_offset(client):
+    # @ pins the base, THEN offset shifts back: end = 600 - 300 = 300s
+    body = client.get(
+        "/api/v1/query",
+        query_string={
+            "query": f"sum(requests_total)[2m:1m] @ {T0 / 1000 + 600} offset 5m",
+            "time": str(T0 / 1000),  # query time irrelevant once pinned
+        },
+    ).get_json()
+    (stream,) = body["data"]["result"]
+    tss = [v[0] for v in stream["values"]]
+    assert tss == [T0 / 1000 + s for s in (240, 300)]
+
+
+def test_metadata_bad_params_are_client_errors(client):
+    assert client.get(
+        "/api/v1/metadata", query_string={"limit": "abc"}
+    ).status_code == 400
+    assert client.get(
+        "/api/v1/status/tsdb", query_string={"limit": "-1"}
+    ).status_code == 400
+    assert client.get(
+        "/api/v1/series", query_string={"start": "garbage"}
+    ).status_code == 400
+
+
+def test_info_enrichment_order_independent(spark, tmp_path):
+    """info()'s join key uses canonical sorted-label serialization: a
+    label_replace on the data side (which appends map entries) must not
+    break the (job, instance) match."""
+    store = SparkParquetStorage(spark, str(tmp_path / "info-store"))
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "m"), Label("instance", "i1"),
+                    Label("job", "api")],
+            samples=[Sample(7.0, T0)],
+        ),
+        TimeSeries(
+            labels=[Label("__name__", "target_info"), Label("cluster", "c1"),
+                    Label("instance", "i1"), Label("job", "api")],
+            samples=[Sample(1.0, T0)],
+        ),
+    ])
+    from promhouse_spark.promql import PromQLEngine
+
+    eng = PromQLEngine.from_storage(store, T0, T0, 60_000)
+    rows = eng.eval(
+        'info(label_replace(m, "extra", "x", "", ""))'
+    ).collect()
+    (r,) = rows
+    assert r["labels"]["cluster"] == "c1"
+    assert r["labels"]["extra"] == "x"
