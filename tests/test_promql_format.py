@@ -111,3 +111,105 @@ def test_subquery_over_unary_round_trip():
     ast = parse(src)
     rendered = format_expr(ast)
     assert parse(rendered) == ast, rendered
+
+
+# ---- property-based round-trip (hypothesis) -------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    from promhouse_spark.promql.parser import (
+        Aggregation,
+        BinaryOp,
+        Call,
+        Matcher,
+        NumberLiteral,
+        RangeSelector,
+        Subquery,
+        Unary,
+        VectorSelector,
+    )
+
+    _name = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+    _lname = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s not in ("on", "and", "or", "unless", "bool", "by")
+    )
+    _dur = st.sampled_from([1_000, 15_000, 60_000, 300_000, 3_600_000])
+    _num = st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    ).map(lambda v: NumberLiteral(abs(float(v))))
+    _matcher = st.builds(
+        Matcher,
+        name=_lname,
+        op=st.sampled_from(["=", "!=", "=~", "!~"]),
+        value=st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+            max_size=6,
+        ),
+    )
+    _selector = st.builds(
+        VectorSelector,
+        name=_name,
+        matchers=st.lists(_matcher, max_size=2),
+        offset_ms=st.sampled_from([0, 60_000, -60_000]),
+        at_ms=st.sampled_from([None, 60_000, "start", "end"]),
+    )
+
+    def _exprs(depth: int):
+        if depth <= 0:
+            return st.one_of(_num, _selector)
+        sub = _exprs(depth - 1)
+        rng = st.builds(RangeSelector, selector=_selector, range_ms=_dur)
+        return st.one_of(
+            _num,
+            _selector,
+            st.builds(Unary, op=st.just("-"), expr=sub),
+            st.builds(
+                BinaryOp,
+                op=st.sampled_from(["+", "-", "*", "/", "%", "^", "atan2"]),
+                lhs=sub,
+                rhs=sub,
+            ),
+            st.builds(
+                Call,
+                func=st.just("rate"),
+                args=st.tuples(rng).map(list),
+            ),
+            st.builds(
+                Call,
+                func=st.just("avg_over_time"),
+                args=st.tuples(
+                    st.builds(
+                        Subquery,
+                        expr=sub,
+                        range_ms=_dur,
+                        step_ms=st.sampled_from([None, 60_000]),
+                        offset_ms=st.sampled_from([0, 60_000]),
+                        at_ms=st.sampled_from([None, "end"]),
+                    )
+                ).map(list),
+            ),
+            st.builds(
+                Aggregation,
+                op=st.sampled_from(["sum", "avg", "max"]),
+                expr=sub,
+                by=st.one_of(st.none(), st.lists(_lname, max_size=2)),
+            ),
+            st.builds(
+                Aggregation,
+                op=st.just("topk"),
+                expr=sub,
+                param=st.just(NumberLiteral(3.0)),
+            ),
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_exprs(3))
+    def test_random_ast_round_trip(ast):
+        rendered = format_expr(ast)
+        assert parse(rendered) == ast, rendered
