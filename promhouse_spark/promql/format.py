@@ -19,7 +19,6 @@ from promhouse_spark.promql.parser import (
     Aggregation,
     BinaryOp,
     Call,
-    Matcher,
     NumberLiteral,
     RangeSelector,
     StringLiteral,
