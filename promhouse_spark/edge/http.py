@@ -687,12 +687,27 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         eng = PromQLEngine.from_storage(storage, start, end, step_ms)
         # intervals regardless of length — pending runs matter here too
         runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
+        active = [r for r in runs if r["end_ms"] == end]
+        val_by: dict[tuple, float] = {}
+        if active:
+            # the expression VALUE at the newest evaluation, per series —
+            # Prometheus serves the actual value and expands annotation
+            # templates against it, not a placeholder
+            veng = PromQLEngine.from_storage(
+                storage, end, end, max(step_ms, 1)
+            )
+            val_by = {
+                tuple(sorted((v["labels"] or {}).items())): v["value"]
+                for v in veng.eval(rule["expr"]).collect()
+            }
+        from promhouse_spark.promql.templates import expand_annotations
+
         alerts = []
-        for r in runs:
-            if r["end_ms"] != end:
-                continue  # not active at the newest evaluation
+        for r in active:
             state = "firing" if r["end_ms"] - r["start_ms"] >= for_ms else "pending"
-            labels = dict(r["labels"] or {})
+            series_labels = dict(r["labels"] or {})
+            value = val_by.get(tuple(sorted(series_labels.items())))
+            labels = dict(series_labels)
             labels.pop("__name__", None)
             labels["alertname"] = rule["alert"]
             # label values are STRINGS in the Prometheus model; YAML rule
@@ -700,13 +715,16 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             labels.update(
                 {str(k): str(v) for k, v in (rule.get("labels") or {}).items()}
             )
+            vstr = _format_value(value) if value is not None else "1"
             alerts.append(
                 {
                     "labels": labels,
-                    "annotations": rule.get("annotations", {}),
+                    "annotations": expand_annotations(
+                        rule.get("annotations", {}), labels, vstr
+                    ),
                     "state": state,
                     "activeAt": r["start_ms"] / 1000.0,
-                    "value": "1",
+                    "value": vstr,
                 }
             )
         return for_ms, alerts

@@ -13,8 +13,10 @@ expanding to the n+1 samples a, a±b, …, a±n·b, and ``axn`` repeating a
 for n+1 samples. ``stale`` is treated as a missing scrape (the engine
 models staleness by lookback, not marker samples).
 
-Divergence (documented): alert annotation/label templates (``{{ $value }}``
-etc.) are NOT expanded — expected values compare verbatim.
+Alert annotations expand ``{{ $labels.<name> }}`` and ``{{ $value }}``
+(promql/templates.py) against each firing alert; other Go-template
+constructs (pipelines, humanize, printf) stay verbatim — the documented
+divergence.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from __future__ import annotations
 import math
 import os
 
+from promhouse_spark.promql.templates import expand_annotations
 from promhouse_spark.promql.parser import (
     VectorSelector,
     parse,
@@ -106,6 +109,15 @@ def _value_eq(a: float, b: float) -> bool:
     return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
 
 
+def _fmt_value(v: float | None) -> str | None:
+    """Go text/template renders float64 $value compactly ("0", "0.5")."""
+    if v is None:
+        return None
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
 def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
     """Run one promtool test file (parsed YAML/JSON dict); returns a list
     of human-readable failures (empty = all tests pass)."""
@@ -186,17 +198,33 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                 samples, series, 0, t_chk, interval_ms, _LOOKBACK_MS
             )
             runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
-            firing = []
-            for r in runs:
+            active = [
+                r
+                for r in runs
                 # firing AT eval_time: the run covers the last aligned
                 # evaluation and has lasted the for-duration by then
                 # (pending rows excluded — promtool's exp_alerts are the
                 # FIRING set)
-                if not (r["start_ms"] <= t_chk <= r["end_ms"]):
-                    continue
-                if t_chk - r["start_ms"] < for_ms:
-                    continue
-                labels = dict(r["labels"] or {})
+                if r["start_ms"] <= t_chk <= r["end_ms"]
+                and t_chk - r["start_ms"] >= for_ms
+            ]
+            val_by: dict[tuple, float] = {}
+            if active:
+                # expression value at the checked evaluation, per series —
+                # feeds {{ $value }} in annotation templates
+                veng = PromQLEngine(
+                    samples, series, t_chk, t_chk, max(interval_ms, 1),
+                    _LOOKBACK_MS,
+                )
+                val_by = {
+                    tuple(sorted((v["labels"] or {}).items())): v["value"]
+                    for v in veng.eval(rule["expr"]).collect()
+                }
+            firing = []
+            for r in active:
+                series_labels = dict(r["labels"] or {})
+                value = val_by.get(tuple(sorted(series_labels.items())))
+                labels = dict(series_labels)
                 labels.pop("__name__", None)
                 labels["alertname"] = name
                 labels.update(
@@ -205,7 +233,7 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                         for k, v in (rule.get("labels") or {}).items()
                     }
                 )
-                firing.append(labels)
+                firing.append((labels, value))
             want_alerts = [
                 {
                     **{
@@ -217,28 +245,40 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                 for a in at.get("exp_alerts", []) or []
             ]
             key = lambda d: tuple(sorted(d.items()))  # noqa: E731
-            if sorted(map(key, firing)) != sorted(map(key, want_alerts)):
+            got_keys = sorted(key(lbls) for lbls, _ in firing)
+            if got_keys != sorted(map(key, want_alerts)):
                 failures.append(
                     f"test {ti}: alert {name!r} @ {at['eval_time']}: "
-                    f"got {sorted(map(key, firing))}, "
+                    f"got {got_keys}, "
                     f"want {sorted(map(key, want_alerts))}"
                 )
                 continue
-            # annotations compare VERBATIM against the rule's (templates
-            # are not expanded — module docstring divergence)
-            anns = {
-                str(k): str(v)
-                for k, v in (rule.get("annotations") or {}).items()
-            }
+            # annotations: {{ $labels.x }} / {{ $value }} expand against
+            # each firing alert (promql/templates.py — other template
+            # constructs stay verbatim, the documented divergence)
+            fir_by_key = {key(lbls): (lbls, val) for lbls, val in firing}
             for a in at.get("exp_alerts", []) or []:
                 want_ann = {
                     str(k): str(v)
                     for k, v in (a.get("exp_annotations") or {}).items()
                 }
-                if want_ann and want_ann != anns:
+                if not want_ann:
+                    continue
+                wl = {
+                    **{
+                        str(k): str(v)
+                        for k, v in (a.get("exp_labels") or {}).items()
+                    },
+                    "alertname": name,
+                }
+                lbls, val = fir_by_key[key(wl)]
+                got_ann = expand_annotations(
+                    rule.get("annotations") or {}, lbls, _fmt_value(val)
+                )
+                if want_ann != got_ann:
                     failures.append(
                         f"test {ti}: alert {name!r} @ {at['eval_time']}: "
-                        f"annotations: got {sorted(anns.items())}, "
+                        f"annotations: got {sorted(got_ann.items())}, "
                         f"want {sorted(want_ann.items())}"
                     )
     return failures

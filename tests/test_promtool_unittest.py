@@ -211,3 +211,45 @@ def test_malformed_files_report_failed(tmp_path, capsys):
     scalar.write_text("'just a string'")
     assert main(["check", "rules", str(scalar)]) == 1
     assert "FAILED" in capsys.readouterr().out
+
+
+def test_annotation_template_expansion(spark, tmp_path):
+    """{{ $labels.x }} / {{ $value }} expand against each firing alert."""
+    import yaml
+
+    (tmp_path / "rules.yml").write_text(textwrap.dedent(
+        """
+        groups:
+          - name: g
+            rules:
+              - alert: High
+                expr: m > 5
+                annotations:
+                  summary: "{{ $labels.job }} is at {{ $value }}"
+                  runbook: "see wiki"
+        """
+    ))
+    doc = yaml.safe_load(textwrap.dedent(
+        """
+        rule_files: [rules.yml]
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'm{job="api"}'
+                values: '7 7 7'
+            alert_rule_test:
+              - eval_time: 2m
+                alertname: High
+                exp_alerts:
+                  - exp_labels: {job: api}
+                    exp_annotations:
+                      summary: "api is at 7"
+                      runbook: "see wiki"
+        """
+    ))
+    assert run_rule_tests(spark, doc, base_dir=str(tmp_path)) == []
+    doc["tests"][0]["alert_rule_test"][0]["exp_alerts"][0][
+        "exp_annotations"
+    ]["summary"] = "api is at 8"
+    failures = run_rule_tests(spark, doc, base_dir=str(tmp_path))
+    assert len(failures) == 1 and "annotations" in failures[0]

@@ -663,3 +663,24 @@ def test_info_enrichment_order_independent(spark, tmp_path):
     (r,) = rows
     assert r["labels"]["cluster"] == "c1"
     assert r["labels"]["extra"] == "x"
+
+
+def test_alerts_serve_value_and_expanded_annotations(spark, tmp_path):
+    store = SparkParquetStorage(spark, str(tmp_path / "ann-store"))
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "m"), Label("job", "api")],
+            samples=[Sample(80.0, T0 + i * 60_000) for i in range(11)],
+        )
+    ])
+    groups = [{"name": "g", "interval_ms": 60_000, "rules": [{
+        "alert": "High",
+        "expr": "m > 50",
+        "annotations": {"summary": "{{ $labels.job }} at {{ $value }}"},
+    }]}]
+    app = create_app(store, rule_groups=groups)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    (a,) = c.get("/api/v1/alerts").get_json()["data"]["alerts"]
+    assert a["value"] == "80"  # the real expression value, not "1"
+    assert a["annotations"] == {"summary": "api at 80"}
