@@ -313,6 +313,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
                 request.values.get("time", str(_time.time()))
             )
             node = parse(query)
+            # resolve @ start()/end() against the OUTER instant time NOW:
+            # the subquery branch below builds engines with shifted
+            # bounds, where a symbolic marker would resolve wrongly
+            from promhouse_spark.promql.engine import _resolve_start_end
+
+            node = _resolve_start_end(node, t_ms, t_ms)
         except (KeyError, ValueError) as e:
             return _promql_error(e)
         if isinstance(node, StringLiteral):
@@ -693,37 +699,46 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             # the expression VALUE at the newest evaluation, per series —
             # Prometheus serves the actual value and expands annotation
             # templates against it, not a placeholder
+            from promhouse_spark.promql.alerts import instant_values
+
             veng = PromQLEngine.from_storage(
                 storage, end, end, max(step_ms, 1)
             )
-            val_by = {
-                tuple(sorted((v["labels"] or {}).items())): v["value"]
-                for v in veng.eval(rule["expr"]).collect()
-            }
-        from promhouse_spark.promql.templates import expand_annotations
+            val_by = instant_values(veng, rule["expr"])
+        from promhouse_spark.promql.alerts import materialize_alerts
+        from promhouse_spark.promql.templates import (
+            expand_annotations,
+            format_template_value,
+        )
 
+        start_by = {
+            tuple(sorted((r["labels"] or {}).items())): r["start_ms"]
+            for r in active
+        }
+        run_len = {
+            tuple(sorted((r["labels"] or {}).items())):
+            r["end_ms"] - r["start_ms"]
+            for r in active
+        }
         alerts = []
-        for r in active:
-            state = "firing" if r["end_ms"] - r["start_ms"] >= for_ms else "pending"
-            series_labels = dict(r["labels"] or {})
-            value = val_by.get(tuple(sorted(series_labels.items())))
-            labels = dict(series_labels)
-            labels.pop("__name__", None)
-            labels["alertname"] = rule["alert"]
-            # label values are STRINGS in the Prometheus model; YAML rule
-            # labels may arrive as ints
-            labels.update(
-                {str(k): str(v) for k, v in (rule.get("labels") or {}).items()}
-            )
+        for labels, series_labels, value in materialize_alerts(
+            active, val_by, rule, rule["alert"]
+        ):
+            skey = tuple(sorted(series_labels.items()))
+            state = "firing" if run_len[skey] >= for_ms else "pending"
             vstr = _format_value(value) if value is not None else "1"
             alerts.append(
                 {
                     "labels": labels,
+                    # $labels expands against the RAW series labels
+                    # (rules/alerting.go smpl.Metric), $value like Go %v
                     "annotations": expand_annotations(
-                        rule.get("annotations", {}), labels, vstr
+                        rule.get("annotations", {}),
+                        series_labels,
+                        format_template_value(value),
                     ),
                     "state": state,
-                    "activeAt": r["start_ms"] / 1000.0,
+                    "activeAt": start_by[skey] / 1000.0,
                     "value": vstr,
                 }
             )

@@ -55,3 +55,37 @@ def alert_intervals_promql(
         .filter(F.col("end_ms") - F.col("start_ms") >= F.lit(for_ms))
         .drop("__key", "__run")
     )
+
+
+def instant_values(engine, expr: str) -> dict[tuple, float]:
+    """The expression's value per series at the engine's (single-point)
+    grid, keyed by canonical sorted label items — feeds the alert
+    ``value`` field and ``{{ $value }}`` template expansion."""
+    return {
+        tuple(sorted((r["labels"] or {}).items())): r["value"]
+        for r in engine.eval(expr).collect()
+    }
+
+
+def materialize_alerts(
+    active_runs, val_by: dict[tuple, float], rule: dict, alert_name: str
+) -> list[tuple[dict, dict, float | None]]:
+    """Shared firing-alert assembly for the HTTP API and the promtool
+    unit-test runner: per active run, (merged alert labels, RAW series
+    labels, expression value). Merged labels follow rules/alerting.go —
+    __name__ dropped, alertname set, rule labels (stringified: the
+    Prometheus label model is strings) overriding; the raw series labels
+    are kept separately because ``$labels`` templates expand against
+    THOSE (template data is built from smpl.Metric before the merge)."""
+    out = []
+    for r in active_runs:
+        series_labels = dict(r["labels"] or {})
+        value = val_by.get(tuple(sorted(series_labels.items())))
+        labels = dict(series_labels)
+        labels.pop("__name__", None)
+        labels["alertname"] = alert_name
+        labels.update(
+            {str(k): str(v) for k, v in (rule.get("labels") or {}).items()}
+        )
+        out.append((labels, series_labels, value))
+    return out

@@ -96,6 +96,47 @@ def is_scalar_expr(node) -> bool:
         return is_scalar_expr(node.lhs) and is_scalar_expr(node.rhs)
     return False
 
+def _resolve_start_end(node, start_ms: int, end_ms: int):
+    """Replace symbolic @ start()/@ end() markers with the outer query's
+    literal bounds throughout the AST (promql @ modifier preprocessing).
+    Returns a NEW tree; the input is never mutated."""
+    import dataclasses
+
+    def fix_at(at):
+        if at == "start":
+            return start_ms
+        if at == "end":
+            return end_ms
+        return at
+
+    def walk(n):
+        if isinstance(n, VectorSelector):
+            if n.at_ms in ("start", "end"):
+                return dataclasses.replace(n, at_ms=fix_at(n.at_ms))
+            return n
+        if isinstance(n, RangeSelector):
+            return dataclasses.replace(n, selector=walk(n.selector))
+        if isinstance(n, Subquery):
+            return dataclasses.replace(
+                n, expr=walk(n.expr), at_ms=fix_at(n.at_ms)
+            )
+        if isinstance(n, Unary):
+            return dataclasses.replace(n, expr=walk(n.expr))
+        if isinstance(n, Call):
+            return dataclasses.replace(n, args=[walk(a) for a in n.args])
+        if isinstance(n, Aggregation):
+            return dataclasses.replace(
+                n,
+                expr=walk(n.expr),
+                param=walk(n.param) if n.param is not None else None,
+            )
+        if isinstance(n, BinaryOp):
+            return dataclasses.replace(n, lhs=walk(n.lhs), rhs=walk(n.rhs))
+        return n
+
+    return walk(node)
+
+
 def _lit_float(node, what: str) -> float:
     """Resolve a literal numeric argument to its float value. The parser
     keeps `-1` as Unary('-', NumberLiteral(1)), so reading `.value`
@@ -263,6 +304,12 @@ class PromQLEngine:
 
     def eval(self, src: str | object) -> DataFrame:
         node = parse(src) if isinstance(src, str) else src
+        # resolve @ start()/end() against THIS (outer) query's range up
+        # front — inner evaluations (subqueries, pinned range calls)
+        # construct sub-engines with shifted bounds, and a symbolic
+        # start/end reaching one of those would resolve against the wrong
+        # range (Prometheus preprocesses @ the same way)
+        node = _resolve_start_end(node, self.start_ms, self.end_ms)
         try:
             out = self._compile(node)
         except ValueError:

@@ -6,23 +6,55 @@ template/template.go; rule files overwhelmingly use just the two value
 references, so this expands exactly those — ``{{ $labels.<name> }}`` and
 ``{{ $value }}``, any interior whitespace — and leaves every other
 construct verbatim (documented divergence: no pipelines / humanize /
-printf)."""
+printf). Substitution is SINGLE-PASS, like Go templates: substituted
+data is never re-scanned, so a label whose value contains the literal
+text ``{{ $value }}`` stays literal.
+
+``$labels`` refers to the RAW series labels of the alert's sample
+(rules/alerting.go builds template data from smpl.Metric BEFORE merging
+rule labels and alertname), and ``$value`` renders like Go ``%v`` of a
+float64 (strconv 'g': "5", "42.5", "1e-05", "1e+16", "+Inf", "NaN").
+"""
 
 from __future__ import annotations
 
 import re
 
-_LABEL_RE = re.compile(r"\{\{\s*\$labels\.([a-zA-Z_][a-zA-Z0-9_]*)\s*\}\}")
-_VALUE_RE = re.compile(r"\{\{\s*\$value\s*\}\}")
+_TMPL_RE = re.compile(
+    r"\{\{\s*\$(?:labels\.([A-Za-z_][A-Za-z0-9_]*)|(value))\s*\}\}"
+)
+
+
+def format_template_value(v: float | None) -> str | None:
+    """Go ``%v`` rendering of a float64 (fmt %v ≡ strconv 'g' shortest):
+    integral values print as plain integers while their shortest form has
+    no exponent; otherwise Python's repr matches 'g' ("1e-05",
+    "1e+16")."""
+    if v is None:
+        return None
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    r = repr(float(v))
+    if "e" not in r and v == int(v):
+        return str(int(v))
+    return r
 
 
 def expand(text: str, labels: dict, value: float | str | None) -> str:
-    """Substitute $labels.<name> and $value references; unknown labels
-    expand to "" (Go template's missing-map-key behavior)."""
-    out = _LABEL_RE.sub(lambda m: str(labels.get(m.group(1), "")), text)
-    if value is not None:
-        out = _VALUE_RE.sub(str(value), out)
-    return out
+    """Substitute $labels.<name> and $value references in ONE pass;
+    unknown labels expand to "" (Go template's missing-map-key behavior);
+    a None value leaves ``{{ $value }}`` verbatim."""
+
+    def sub(m: re.Match) -> str:
+        if m.group(2):  # $value
+            return str(value) if value is not None else m.group(0)
+        return str(labels.get(m.group(1), ""))
+
+    return _TMPL_RE.sub(sub, text)
 
 
 def expand_annotations(

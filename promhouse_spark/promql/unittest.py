@@ -24,7 +24,10 @@ from __future__ import annotations
 import math
 import os
 
-from promhouse_spark.promql.templates import expand_annotations
+from promhouse_spark.promql.templates import (
+    expand_annotations,
+    format_template_value,
+)
 from promhouse_spark.promql.parser import (
     VectorSelector,
     parse,
@@ -107,15 +110,6 @@ def _value_eq(a: float, b: float) -> bool:
     if math.isnan(a) and math.isnan(b):
         return True
     return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
-
-
-def _fmt_value(v: float | None) -> str | None:
-    """Go text/template renders float64 $value compactly ("0", "0.5")."""
-    if v is None:
-        return None
-    if v == int(v) and abs(v) < 1e15:
-        return str(int(v))
-    return repr(v)
 
 
 def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
@@ -212,28 +206,16 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
             if active:
                 # expression value at the checked evaluation, per series —
                 # feeds {{ $value }} in annotation templates
+                from promhouse_spark.promql.alerts import instant_values
+
                 veng = PromQLEngine(
                     samples, series, t_chk, t_chk, max(interval_ms, 1),
                     _LOOKBACK_MS,
                 )
-                val_by = {
-                    tuple(sorted((v["labels"] or {}).items())): v["value"]
-                    for v in veng.eval(rule["expr"]).collect()
-                }
-            firing = []
-            for r in active:
-                series_labels = dict(r["labels"] or {})
-                value = val_by.get(tuple(sorted(series_labels.items())))
-                labels = dict(series_labels)
-                labels.pop("__name__", None)
-                labels["alertname"] = name
-                labels.update(
-                    {
-                        str(k): str(v)
-                        for k, v in (rule.get("labels") or {}).items()
-                    }
-                )
-                firing.append((labels, value))
+                val_by = instant_values(veng, rule["expr"])
+            from promhouse_spark.promql.alerts import materialize_alerts
+
+            firing = materialize_alerts(active, val_by, rule, name)
             want_alerts = [
                 {
                     **{
@@ -245,7 +227,7 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                 for a in at.get("exp_alerts", []) or []
             ]
             key = lambda d: tuple(sorted(d.items()))  # noqa: E731
-            got_keys = sorted(key(lbls) for lbls, _ in firing)
+            got_keys = sorted(key(lbls) for lbls, _, _ in firing)
             if got_keys != sorted(map(key, want_alerts)):
                 failures.append(
                     f"test {ti}: alert {name!r} @ {at['eval_time']}: "
@@ -254,9 +236,12 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                 )
                 continue
             # annotations: {{ $labels.x }} / {{ $value }} expand against
-            # each firing alert (promql/templates.py — other template
-            # constructs stay verbatim, the documented divergence)
-            fir_by_key = {key(lbls): (lbls, val) for lbls, val in firing}
+            # each firing alert's RAW series labels (promql/templates.py
+            # — other template constructs stay verbatim, the documented
+            # divergence). Greedy per-expected matching CONSUMES firing
+            # candidates so duplicate label sets (rule labels overwriting
+            # a distinguishing series label) each verify independently.
+            remaining = list(firing)
             for a in at.get("exp_alerts", []) or []:
                 want_ann = {
                     str(k): str(v)
@@ -271,14 +256,25 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
                     },
                     "alertname": name,
                 }
-                lbls, val = fir_by_key[key(wl)]
-                got_ann = expand_annotations(
-                    rule.get("annotations") or {}, lbls, _fmt_value(val)
-                )
-                if want_ann != got_ann:
+                match_i, seen_ann = None, []
+                for i, (lbls, slbls, val) in enumerate(remaining):
+                    if key(lbls) != key(wl):
+                        continue
+                    got_ann = expand_annotations(
+                        rule.get("annotations") or {},
+                        slbls,
+                        format_template_value(val),
+                    )
+                    if got_ann == want_ann:
+                        match_i = i
+                        break
+                    seen_ann.append(got_ann)
+                if match_i is not None:
+                    remaining.pop(match_i)
+                else:
                     failures.append(
                         f"test {ti}: alert {name!r} @ {at['eval_time']}: "
-                        f"annotations: got {sorted(got_ann.items())}, "
+                        f"annotations: got {[sorted(x.items()) for x in seen_ann]}, "
                         f"want {sorted(want_ann.items())}"
                     )
     return failures

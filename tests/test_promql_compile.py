@@ -839,3 +839,16 @@ def test_subquery_modifier_round_trip():
         ast = parse(src)
         assert parse(format_expr(ast)) == ast, format_expr(ast)
         ast_json(ast)
+
+
+def test_at_start_end_resolve_against_outer_range(eng):
+    """@ start()/end() inside a SUBQUERY resolve against the OUTER
+    query's range, not the inner fine-grid bounds (Prometheus @
+    preprocessing)."""
+    # inner selector pinned to the outer end (600s): constant 600 series
+    r = _rows(eng, 'max_over_time((errors{job="api"} @ end())[2m:1m])')
+    assert len(r) == 6
+    assert all(x.value == 600.0 for x in r)
+    # @ start() pins to 300s everywhere
+    r = _rows(eng, 'min_over_time((errors{job="api"} @ start())[2m:1m])')
+    assert all(x.value == 300.0 for x in r)
