@@ -739,30 +739,127 @@ ORDER BY window_start_ms, event_type
 """
 
 
+# --- HyperLogLog, fully hash-paired ----------------------------------------
+# p=14 → m=16384 registers (typical relative error 1.04/sqrt(m) ≈ 0.8%).
+# The estimator is specified in INTEGER fixed point so both engines compute
+# bit-identical sums regardless of aggregation order: each register with max
+# leading-zero-rank M contributes floor(2^48 / 2^M) (0 when M > 48; an empty
+# register contributes 2^48), summed as BIGINT — max 16384·2^48 = 2^62, no
+# overflow. The only float steps are one division by the exact integer sum
+# and one ln() in the linear-counting branch, both single operations on
+# identical operands.
+_HLL_P = 14
+_HLL_M = 1 << _HLL_P  # 16384
+_HLL_SCALE = 1 << 48
+_HLL_WMASK = (1 << (64 - _HLL_P)) - 1  # low 50 bits
+_HLL_RHO_MAX = 64 - _HLL_P + 1  # 51: all suffix bits zero
+# alpha_m · m² · 2^48 — the fixed-point numerator, embedded as the same
+# literal on both sides so the division sees identical operands.
+_HLL_NUM = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * _HLL_SCALE
+_HLL_STAGE = "/tmp/promhouse_oracle_staging/hll_hashes.parquet"
+
+
 def ph_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user counts per event type — the 100 TB form
-    of the cardinality analytics (A4 `ph_cardinality_topk` is exact
+    """HyperLogLog distinct-user counts per event type — the 100 TB form of
+    the cardinality analytics (A4 `ph_cardinality_topk` is exact
     countDistinct: a full shuffle of the key set; the sketch is a fixed
     few-KB accumulator per group, mergeable map-side, so cardinality over
-    billions of series costs one narrow pass). Not SQL-expressible (DuckDB's
-    approx_count_distinct uses a different sketch) — the driver records the
-    rows-only check; tests/test_llm_ops.py pins the ≤2% relative-error gate
-    against the exact count at rsd=0.01."""
+    billions of series costs one narrow pass; Spark's built-in
+    approx_count_distinct is the same register shape engine-side). HASH-
+    PAIRED via the staged-hash pattern: xxhash64 (the only non-SQL step)
+    persists distinct (event_type, h) rows, then register index (top p
+    bits), rank (leading zeros of the 50-bit suffix + 1, via length(bin())),
+    the fixed-point register sum, and the linear-counting small-range
+    correction all replay in DuckDB over identical bytes.
+    tests/test_llm_ops.py additionally pins a ≤2% relative-error gate
+    against exact countDistinct."""
+    from promhouse_spark.workloads.llmdata import _stage
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.count("*").cast("long").alias("n_events"),
-        )
-        .orderBy("event_type")
+    staged = _stage(
+        ev.select(
+            "event_type",
+            F.xxhash64(F.col("user_id").cast("string")).alias("h"),
+        ).distinct(),
+        _HLL_STAGE,
+        sf_dir,
     )
+    w = F.col("h").bitwiseAND(F.lit(_HLL_WMASK))
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    regs = (
+        staged.select(
+            "event_type",
+            F.shiftright("h", 64 - _HLL_P).bitwiseAND(F.lit(_HLL_M - 1)).alias("r"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "r")
+        .agg(F.max("rho").alias("m"), F.count("*").cast("long").alias("nh"))
+    )
+    term = F.when(F.col("m") > 48, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.lit(48) - F.col("m")).cast("long")
+    )
+    per = regs.groupBy("event_type").agg(
+        (
+            F.sum(term) + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_SCALE)
+        ).alias("sum_fp"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+        F.sum("nh").cast("long").alias("n_hashes"),
+    )
+    e_raw = F.lit(_HLL_NUM) / F.col("sum_fp").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    return per.select(
+        "event_type",
+        F.floor(est).cast("long").alias("approx_users"),
+        "n_hashes",
+    ).orderBy("event_type")
+
+
+PH_CARDINALITY_APPROX_SQL = f"""
+WITH hashes AS (
+  SELECT event_type, h FROM read_parquet('{_HLL_STAGE}/*.parquet')
+),
+regs AS (
+  SELECT event_type, (h >> {64 - _HLL_P}) & {_HLL_M - 1} AS r,
+         MAX(CASE WHEN (h & {_HLL_WMASK}) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h & {_HLL_WMASK})) END) AS m,
+         COUNT(*) AS nh
+  FROM hashes GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         SUM(CASE WHEN m > 48 THEN 0
+                  ELSE CAST(power(2, 48 - m) AS BIGINT) END)
+           + ({_HLL_M} - COUNT(*)) * {_HLL_SCALE} AS sum_fp,
+         {_HLL_M} - COUNT(*) AS v,
+         CAST(SUM(nh) AS BIGINT) AS n_hashes
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(FLOOR(CASE WHEN {_HLL_NUM!r} / CAST(sum_fp AS DOUBLE) <= {2.5 * _HLL_M}
+                        AND v > 0
+                       THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v AS DOUBLE))
+                       ELSE {_HLL_NUM!r} / CAST(sum_fp AS DOUBLE)
+                  END) AS BIGINT) AS approx_users,
+       n_hashes
+FROM per
+ORDER BY event_type
+"""
 
 
 QUERIES.update(
     {"ph_sliding_avg": ph_sliding_avg, "ph_cardinality_approx": ph_cardinality_approx}
 )
-ORACLES.update({"ph_sliding_avg": PH_SLIDING_AVG_SQL})
+ORACLES.update(
+    {
+        "ph_sliding_avg": PH_SLIDING_AVG_SQL,
+        "ph_cardinality_approx": PH_CARDINALITY_APPROX_SQL,
+    }
+)
 
 
 def ph_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,14 +13,13 @@ def test_queries_and_oracles_consistent():
     # sketch/UDF ops are intentionally oracle-less (emb_lsh_ann_topk
     # graduated to hash-paired in r6 — hyperplane LSH is plain arithmetic,
     # replayed in full by its DuckDB oracle)
-    # r7: every sketch/fit/decode entry except the HLL graduated to
-    # hash-paired via STAGED artifacts — the non-SQL step (xxhash64
-    # signatures, k-means fits, the netpbm decode) persists to a staging
-    # parquet that the DuckDB oracle replays the downstream algorithm
-    # over. Only the HLL sketch remains engine-specific by nature.
-    assert set(qs) - set(os_) == {
-        "ph_cardinality_approx",  # HLL sketch differs per engine; 2%-error test
-    }
+    # r7: every sketch/fit/decode entry graduated to hash-paired via
+    # STAGED artifacts — the non-SQL step (xxhash64 signatures, k-means
+    # fits, the netpbm decode) persists to a staging parquet that the
+    # DuckDB oracle replays the downstream algorithm over. The last
+    # holdout, the HLL sketch, is now a hand-rolled fixed-point HLL whose
+    # register fold is exact BIGINT arithmetic in both engines.
+    assert set(qs) - set(os_) == set()
 
 
 def test_all_queries_analyze(spark, sf_dir):

@@ -389,9 +389,9 @@ def test_hash_split_deterministic_and_partition_independent(spark):
 
 
 def test_cardinality_approx_error_bound(spark, sf_dir):
-    """ph_cardinality_approx has no SQL oracle (engine sketches differ);
-    its deterministic gate: HLL++ at rsd=0.01 within 2% of the exact
-    countDistinct per group."""
+    """ph_cardinality_approx is hash-paired (fixed-point HLL replayed in
+    DuckDB over staged hashes); this is the accuracy gate on top of that:
+    the m=16384 estimate within 2% of the exact countDistinct per group."""
     from promhouse_spark.workloads.extra import ph_cardinality_approx
     from promhouse_spark.session import load_table
 
