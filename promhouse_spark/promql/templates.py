@@ -26,10 +26,12 @@ _TMPL_RE = re.compile(
 
 
 def format_template_value(v: float | None) -> str | None:
-    """Go ``%v`` rendering of a float64 (fmt %v ≡ strconv 'g' shortest):
-    integral values print as plain integers while their shortest form has
-    no exponent; otherwise Python's repr matches 'g' ("1e-05",
-    "1e+16")."""
+    """Go ``%v`` rendering of a float64 — strconv 'g' with shortest
+    precision. Go's ftoa.go uses eprec=21 for the shortest case: fixed
+    notation while -4 ≤ decimal exponent < 21, scientific outside
+    ("1e-05", "1e+21"). Python's repr switches to scientific at 1e16, so
+    the 1e16–1e21 zone is re-rendered fixed from the SHORTEST digits
+    (1.5e18 → "1500000000000000000"), exactly as Go prints it."""
     if v is None:
         return None
     if v != v:
@@ -39,7 +41,19 @@ def format_template_value(v: float | None) -> str | None:
     if v == float("-inf"):
         return "-Inf"
     r = repr(float(v))
-    if "e" not in r and v == int(v):
+    if "e" in r:
+        exp10 = int(r.partition("e")[2])
+        if -4 <= exp10 < 21:
+            from decimal import Decimal
+
+            out = format(Decimal(r), "f")
+            return out[:-2] if out.endswith(".0") else out
+        return r
+    if v == int(v):
+        import math
+
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0"  # Go %v keeps the IEEE sign of negative zero
         return str(int(v))
     return r
 

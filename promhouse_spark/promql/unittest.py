@@ -49,7 +49,12 @@ def parse_series_values(spec: str) -> list[float | None]:
         if tok == "stale":
             out.append(None)
             continue
-        if "x" in tok and not tok.lstrip("-+").startswith(("Inf", "NaN")):
+        if "x" in tok and tok.lstrip("-+").startswith(("Inf", "NaN")):
+            # Infx3 / -Infx2 / NaNx1 — plain repetition of a special
+            head, _, n_s = tok.rpartition("x")
+            out.extend(float(head) for _ in range(int(n_s) + 1))
+            continue
+        if "x" in tok:
             head, _, n_s = tok.rpartition("x")
             n = int(n_s)
             # a+bxn / a-bxn / axn — find the LAST +/- that splits base

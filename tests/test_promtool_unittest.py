@@ -23,6 +23,12 @@ def test_value_notation():
     v = parse_series_values("Inf -Inf NaN")
     assert v[0] == math.inf and v[1] == -math.inf and math.isnan(v[2])
     assert parse_series_values("1e2 1.5") == [100.0, 1.5]
+    # repetition of the IEEE specials (promtool supports Infx3 etc.)
+    assert parse_series_values("Infx2") == [math.inf] * 3
+    assert parse_series_values("-Infx1") == [-math.inf] * 2
+    assert all(math.isnan(x) for x in parse_series_values("NaNx1"))
+    got = parse_series_values("1e-3+2e-4x2")
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, [0.001, 0.0012, 0.0014]))
 
 
 RULES_YML = textwrap.dedent(
@@ -253,3 +259,26 @@ def test_annotation_template_expansion(spark, tmp_path):
     ]["summary"] = "api is at 8"
     failures = run_rule_tests(spark, doc, base_dir=str(tmp_path))
     assert len(failures) == 1 and "annotations" in failures[0]
+
+
+def test_template_value_renders_go_g():
+    """$value renders like Go %v (strconv 'g', shortest, eprec=21): fixed
+    notation through the 1e16..1e21 zone where Python repr already went
+    scientific, scientific outside -4 <= exp < 21."""
+    from promhouse_spark.promql.templates import format_template_value as f
+
+    assert f(1e16) == "10000000000000000"
+    assert f(1.5e18) == "1500000000000000000"
+    assert f(1e20) == "100000000000000000000"
+    assert f(1e21) == "1e+21"
+    assert f(1.2345678901234568e21) == "1.2345678901234568e+21"
+    assert f(1e-5) == "1e-05"
+    assert f(0.0001) == "0.0001"
+    assert f(-2.5e17) == "-250000000000000000"
+    assert f(5.0) == "5"
+    assert f(42.5) == "42.5"
+    assert f(float("inf")) == "+Inf"
+    assert f(float("-inf")) == "-Inf"
+    assert f(float("nan")) == "NaN"
+    assert f(0.0) == "0"
+    assert f(-0.0) == "-0"
