@@ -224,7 +224,6 @@ def binop(
 
     lkey = match_key(F.col(labels_col), on, ignoring)
     rkey = match_key(F.col(labels_col), on, ignoring)
-    left_labels = F.col("l.__labels")  # where the left arg's labels land
 
     if card == "one_to_one":
         l = _one_side(left, lkey, "left", labels_col, time_col, value_col)
@@ -251,7 +250,6 @@ def binop(
             lv, rv = F.col("l.__v"), F.col("r.__v")
         else:
             lv, rv = F.col("r.__v"), F.col("l.__v")
-            left_labels = F.col("r.__labels")
         out_labels = _drop_keys(
             F.col("l.__labels"), [NAME_LABEL, *include]
         )
@@ -265,10 +263,26 @@ def binop(
     joined = l.alias("l").join(r.alias("r"), ["__t", "__key"])
 
     if is_cmp and not bool_mode:
-        # filter semantics: keep left rows where the predicate holds, left
-        # labels untouched (metric name kept — engine.go shouldDropMetricName)
+        # filter semantics: keep left rows where the predicate holds. The
+        # metric name survives (engine.go shouldDropMetricName is false
+        # for comparisons) but resultMetric STILL applies the matching
+        # reduction: on() keeps only the on labels (the reason the
+        # `and on(...)` idiom exists for label-preserving filters), and
+        # ignoring() deletes the ignored labels; grouped matches keep the
+        # many side's labels (name included) plus the include copies.
+        if card == "one_to_one":
+            if on is not None:
+                cmp_labels = match_labels(F.col("l.__labels"), on=on)
+            elif ignoring:
+                cmp_labels = _drop_keys(F.col("l.__labels"), list(ignoring))
+            else:
+                cmp_labels = F.col("l.__labels")
+        else:
+            cmp_labels = _drop_keys(F.col("l.__labels"), list(include))
+            if include:
+                cmp_labels = F.map_concat(cmp_labels, copied)
         return joined.filter(op_fn(lv, rv)).select(
-            left_labels.alias(labels_col),
+            cmp_labels.alias(labels_col),
             F.col("__t").alias(time_col),
             lv.alias(value_col),
         )

@@ -121,15 +121,34 @@ def test_group_left_include_copies_from_one_side(spark, errors):
     assert rows["c"]["version"] == "v1"
 
 
-def test_comparison_filter_keeps_left_labels_and_name(spark, errors, totals):
+def test_comparison_filter_applies_result_metric(spark, errors, totals):
     out = binop(errors, totals, ">", on=["instance"])
     rows = out.collect()
     assert rows == []  # no error count exceeds its total
     kept = binop(totals, errors, ">", on=["instance"]).collect()
     assert len(kept) == 3
-    # filter mode: left labels untouched, metric name included
-    assert all(r.labels["__name__"] == "total" for r in kept)
+    # filter mode keeps the left VALUES, but engine.go resultMetric still
+    # reduces labels to the on() set (Keep drops __name__ too — hence the
+    # `and on(...)` idiom for label-preserving filters)
+    assert all(set(r.labels) == {"instance"} for r in kept)
     assert sorted(r.value for r in kept) == [4.0, 8.0, 10.0]
+
+
+def test_comparison_filter_without_matching_keeps_labels(spark, errors):
+    # plain `a > b` (no on/ignoring): labels untouched, name kept
+    kept = binop(errors, errors, ">=").collect()
+    assert len(kept) == 3
+    assert all(r.labels["__name__"] == "errors" for r in kept)
+
+
+def test_comparison_filter_ignoring_drops_ignored_label(spark, totals, errors):
+    kept = binop(totals, errors, ">", ignoring=["job"]).collect()
+    assert len(kept) == 3
+    # Del(ignoring): job removed, __name__ KEPT (cmp keeps the name)
+    assert all(
+        "job" not in r.labels and r.labels["__name__"] == "total"
+        for r in kept
+    )
 
 
 def test_comparison_bool_mode_emits_0_1_and_drops_name(spark, errors, totals):
