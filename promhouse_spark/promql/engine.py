@@ -1113,24 +1113,80 @@ class PromQLEngine:
         b = vec.select(
             key.alias("__key"), "eval_ms", le.alias("le"), F.col("value").alias("cnt")
         )
-        wg = W.partitionBy("__key", "eval_ms")
-        wo = wg.orderBy("le")
-        rank = F.lit(q.value) * F.max("cnt").over(wg)
-        prev_le = F.coalesce(F.lag("le").over(wo), F.lit(0.0))
-        prev_cnt = F.coalesce(F.lag("cnt").over(wo), F.lit(0.0))
-        staged = b.select(
-            "__key", "eval_ms", "le", "cnt",
-            rank.alias("__rank"), prev_le.alias("__lo"), prev_cnt.alias("__pcnt"),
+        # quantile.go bucketQuantile, as a per-group fold over the sorted
+        # bucket array (one keyed agg; the per-group array is bounded by
+        # the histogram's bucket count, so the fold is map-side cheap):
+        # ensureMonotonic clamp → rank = q·observations → first bucket with
+        # count ≥ rank → boundary cases exactly as Go (rank in the +Inf
+        # bucket → second-highest le; first bucket with le ≤ 0 → le;
+        # missing +Inf bucket, <2 buckets, or 0 observations → NaN;
+        # q outside [0,1] → ±Inf before any validity checks)
+        grouped = b.groupBy("__key", "eval_ms").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("le"), F.col("cnt")))
+            ).alias("__bs")
         )
-        hit = staged.filter(
-            (F.col("cnt") >= F.col("__rank")) & (F.col("__pcnt") < F.col("__rank"))
-        )
-        interp = F.col("__lo") + (F.col("le") - F.col("__lo")) * (
-            F.col("__rank") - F.col("__pcnt")
-        ) / (F.col("cnt") - F.col("__pcnt"))
-        # quantile in the +Inf bucket returns the highest finite bound
-        value = F.when(F.col("le") == float("inf"), F.col("__lo")).otherwise(interp)
-        return hit.select(
+        qv = float(q.value)
+        if math.isnan(qv) or qv < 0 or qv > 1:
+            value = F.lit(
+                float("nan") if math.isnan(qv)
+                else float("-inf") if qv < 0
+                else float("inf")
+            )
+            staged = grouped
+        else:
+            staged = (
+                grouped.withColumn(
+                    "__cl",
+                    F.expr(
+                        "aggregate(__bs, "
+                        "cast(array() as array<struct<le: double, cnt: double>>), "
+                        "(acc, x) -> acc || array(named_struct("
+                        "'le', x.le, "
+                        "'cnt', CASE WHEN size(acc) = 0 THEN x.cnt "
+                        "ELSE greatest(x.cnt, acc[size(acc)-1].cnt) END)))"
+                    ),
+                )
+                .withColumn(
+                    "__rank", F.lit(qv) * F.expr("element_at(__cl, -1).cnt")
+                )
+                .withColumn(
+                    "__hits",
+                    F.expr(
+                        "filter(transform(__cl, (x, i) -> "
+                        "named_struct('i', i, 'le', x.le, 'cnt', x.cnt)), "
+                        "x -> x.i < size(__cl) - 1 AND x.cnt >= __rank)"
+                    ),
+                )
+                .withColumn(
+                    "__lo",
+                    F.expr(
+                        "CASE WHEN size(__hits) = 0 OR __hits[0].i = 0 "
+                        "THEN 0.0D ELSE element_at(__cl, __hits[0].i).le END"
+                    ),
+                )
+                .withColumn(
+                    "__pcnt",
+                    F.expr(
+                        "CASE WHEN size(__hits) = 0 OR __hits[0].i = 0 "
+                        "THEN 0.0D ELSE element_at(__cl, __hits[0].i).cnt END"
+                    ),
+                )
+            )
+            value = F.expr(
+                "CASE "
+                "WHEN size(__bs) < 2 THEN double('NaN') "
+                "WHEN element_at(__bs, -1).le <> double('Infinity') "
+                "  THEN double('NaN') "
+                "WHEN element_at(__cl, -1).cnt = 0 THEN double('NaN') "
+                "WHEN size(__hits) = 0 THEN element_at(__cl, size(__cl)-1).le "
+                "WHEN __hits[0].i = 0 AND __cl[0].le <= 0 THEN __cl[0].le "
+                "WHEN __hits[0].cnt = __pcnt THEN double('NaN') "
+                "ELSE __lo + (__hits[0].le - __lo) "
+                "  * (__rank - __pcnt) / (__hits[0].cnt - __pcnt) "
+                "END"
+            )
+        return staged.select(
             F.from_json("__key", "map<string,string>").alias("labels"),
             "eval_ms",
             value.cast("double").alias("value"),

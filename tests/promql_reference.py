@@ -177,6 +177,10 @@ class RefEval:
         return out
 
     def _sel_time(self, t: int, offset_ms: int, at_ms) -> int:
+        if at_ms == "start":
+            at_ms = self.start_ms
+        elif at_ms == "end":
+            at_ms = self.end_ms
         base = t if at_ms is None else int(at_ms)
         return base - (offset_ms or 0)
 
@@ -587,6 +591,48 @@ class RefEval:
             return out
         if f in ("sort", "sort_desc"):
             return self.eval_vector(node.args[0])  # order-insensitive compare
+        if f == "absent":
+            sel = node.args[0]
+            inner = self.eval_vector(sel)
+            key = _absent_labels(sel)
+            present = {t for (_, t) in inner}
+            return {(key, t): 1.0 for t in self.grid if t not in present}
+        if f == "absent_over_time":
+            rng_node = node.args[0]
+            sel = (
+                rng_node.selector
+                if isinstance(rng_node, RangeSelector)
+                else rng_node.expr
+            )
+            windows = (
+                self._range_points(rng_node)
+                if isinstance(rng_node, RangeSelector)
+                else self._subquery_points(rng_node)
+            )
+            key = _absent_labels(sel) if isinstance(sel, VectorSelector) else ()
+            present = {t for (_, t) in windows}
+            return {(key, t): 1.0 for t in self.grid if t not in present}
+        if f == "histogram_quantile":
+            q = float(node.args[0].value)
+            inner = self.eval_vector(node.args[1])
+            groups: dict[tuple, list[tuple[float, float]]] = {}
+            for (key, t), v in inner.items():
+                labels = dict(key)
+                le_s = labels.pop("le", None)
+                labels.pop(NAME, None)
+                if le_s is None:
+                    continue
+                try:
+                    le = float(le_s.replace("+Inf", "inf"))
+                except ValueError:
+                    continue
+                gk = tuple(sorted(labels.items()))
+                groups.setdefault((gk, t), []).append((le, v))
+            return {
+                kt: _bucket_quantile(q, buckets)
+                for kt, buckets in groups.items()
+                if _bucket_quantile(q, buckets) is not None
+            }
         raise ValueError(f"reference: unsupported function {f}")
 
     def _agg(self, node: Aggregation) -> dict:
@@ -843,3 +889,63 @@ def _popstd(vals):
 def _dollar_to_backslash(m: re.Match) -> str:
     g = m.group(1)
     return "\\" + g.strip("{}")
+
+
+def _absent_labels(sel) -> tuple:
+    """createLabelsForAbsentFunction: equality matchers (except __name__,
+    except empty values) become the absent vector's labels."""
+    if not isinstance(sel, VectorSelector):
+        return ()
+    return tuple(
+        sorted(
+            (m.name, m.value)
+            for m in sel.matchers
+            if m.op == "=" and m.name != NAME and m.value != ""
+        )
+    )
+
+
+def _bucket_quantile(q: float, buckets: list[tuple[float, float]]):
+    """promql/quantile.go bucketQuantile over classic cumulative buckets
+    [(le, count)]; returns None when the series should be skipped (no
+    buckets), NaN/±Inf per the Go code otherwise."""
+    if not buckets:
+        return None
+    if math.isnan(q):
+        return math.nan
+    if q < 0:
+        return -math.inf
+    if q > 1:
+        return math.inf
+    b = sorted(buckets)
+    if not math.isinf(b[-1][0]):
+        return math.nan
+    # ensureMonotonic: clamp cumulative counts upward
+    fixed, prev = [], -math.inf
+    for le, c in b:
+        if c < prev:
+            c = prev
+        fixed.append((le, c))
+        prev = c
+    b = fixed
+    if len(b) < 2:
+        return math.nan
+    observations = b[-1][1]
+    if observations == 0:
+        return math.nan
+    rank = q * observations
+    idx = len(b) - 1
+    for i in range(len(b) - 1):
+        if b[i][1] >= rank:
+            idx = i
+            break
+    if idx == len(b) - 1:
+        return b[-2][0]
+    if idx == 0 and b[0][0] <= 0:
+        return b[0][0]
+    bucket_start, bucket_end, count = 0.0, b[idx][0], b[idx][1]
+    if idx > 0:
+        bucket_start = b[idx - 1][0]
+        count -= b[idx - 1][1]
+        rank -= b[idx - 1][1]
+    return bucket_start + (bucket_end - bucket_start) * (rank / count)

@@ -82,6 +82,28 @@ def _gen_series() -> list[RefSeries]:
         v = {3: math.nan, 7: 0.0, 8: 0.0}.get(i, rng.uniform(-5, 5))
         samples.append((ts, v))
     out.append(RefSeries({NAME: "odd_gauge", "job": "api"}, samples))
+    # classic histogram: cumulative bucket counters per le
+    les = ("0.1", "0.5", "1", "5", "+Inf")
+    for job in ("api", "db"):
+        counts = [0.0] * len(les)
+        by_le = {le: [] for le in les}
+        for ts in range(0, 1_300_001, 15_000):
+            if rng.random() < 0.05:
+                continue
+            for _ in range(rng.randrange(0, 6)):
+                obs = rng.expovariate(1.0)
+                for i, le in enumerate(les):
+                    if le == "+Inf" or obs <= float(le):
+                        counts[i] += 1
+            for le, c in zip(les, counts):
+                by_le[le].append((ts, c))
+        for le in les:
+            out.append(
+                RefSeries(
+                    {NAME: "req_duration_bucket", "job": job, "le": le},
+                    by_le[le],
+                )
+            )
     return out
 
 
@@ -189,6 +211,32 @@ EXPRESSIONS = [
     "rate(http_requests_total[5m:15s])",
     "sum by (job) (last_over_time(mem_usage[3m:45s]))",
     "increase((http_requests_total * 1)[5m:30s])",
+    # @ start()/end() resolution
+    "mem_usage @ start()",
+    "sum by (job) (increase(http_requests_total[5m] @ end()))",
+    "mem_usage @ end() offset 2m",
+    # histogram_quantile over classic buckets
+    "histogram_quantile(0.9, rate(req_duration_bucket[5m]))",
+    "histogram_quantile(0.5, req_duration_bucket)",
+    "histogram_quantile(0.99, sum by (le) (rate(req_duration_bucket[2m30s])))",
+    "histogram_quantile(1, rate(req_duration_bucket[5m]))",
+    "histogram_quantile(0, rate(req_duration_bucket[5m]))",
+    # absent family
+    "absent(nonexistent)",
+    'absent(nonexistent{job="x", instance="i9"})',
+    "absent(mem_usage)",
+    'absent(up{job="api"})',
+    "absent_over_time(nonexistent[5m])",
+    "absent_over_time(up[2m])",
+    # bool vector-vector comparisons; deeper compositions
+    "mem_usage >= bool on(job, instance) mem_usage offset 1m",
+    "mem_usage == bool mem_usage",
+    'http_requests_total * on(job, instance) group_left(noexist) mem_usage',
+    "(mem_usage + 1) * 2 - -odd_gauge",
+    "clamp_min(rate(http_requests_total[2m30s]), 0.5) ^ 2",
+    "sum without () (up)",
+    "quantile(1.5, mem_usage)",
+    "quantile(-0.5, mem_usage)",
 ]
 
 
