@@ -237,6 +237,16 @@ EXPRESSIONS = [
     "sum without () (up)",
     "quantile(1.5, mem_usage)",
     "quantile(-0.5, mem_usage)",
+    # NaN propagation through folds and counters
+    "avg_over_time(odd_gauge[5m])",
+    "sum_over_time(odd_gauge[3m])",
+    "changes(odd_gauge[5m])",
+    "resets(odd_gauge[5m])",
+    "deriv(odd_gauge[5m])",
+    'count_values("v", odd_gauge)',
+    "round(odd_gauge)",
+    "topk(3, odd_gauge)",
+    "bottomk(3, odd_gauge)",
 ]
 
 
