@@ -160,27 +160,49 @@ def _one_side(
     labels_col: str,
     time_col: str,
     value_col: str,
+    eager_guard: bool = False,
 ) -> DataFrame:
-    """Collapse a vector to one row per (time, match key), guarded: reading
-    the value of a group with >1 series raises Prometheus's duplicate-series
-    error. The guard rides the aggregation the join needs anyway."""
+    """Collapse a vector to one row per (time, match key). With
+    ``eager_guard`` (the hashed "one" side), a group with >1 series raises
+    Prometheus's duplicate-series error UNCONDITIONALLY — engine.go errors
+    while building rightSigs, before knowing whether anything matches — by
+    guarding the join KEY, which every produced row must evaluate. Without
+    it, ``__n`` is exposed so the caller can raise only on matched rows
+    (Prometheus's matchedSigs semantics for the probe side)."""
     agg = df.groupBy(F.col(time_col).alias("__t"), key.alias("__key")).agg(
         F.count("*").alias("__n"),
         F.first(labels_col).alias("__labels"),
         F.first(F.col(value_col).cast("double")).alias("__v"),
     )
-    guarded = F.when(F.col("__n") == 1, F.col("__v")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "found duplicate series for the match group on the "
-                    f"{side} side: "
-                ),
-                F.col("__key"),
+    if eager_guard:
+        guarded_key = F.when(F.col("__n") == 1, F.col("__key")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "found duplicate series for the match group on the "
+                        f"{side} side: "
+                    ),
+                    F.col("__key"),
+                )
             )
         )
+        agg = agg.withColumn("__key", guarded_key)
+    return agg.select("__t", "__key", "__labels", "__v", "__n")
+
+
+_MANY_TO_ONE_ERR = (
+    "multiple matches for labels: many-to-one matching must be explicit "
+    "(group_left/group_right)"
+)
+
+
+def _matched_guard(value: Column, n: Column) -> Column:
+    """Raise engine.go's matchedSigs error when a MATCHED probe-side group
+    holds more than one series; evaluated post-join, so unmatched
+    duplicates pass silently, as in Prometheus."""
+    return F.when(n == 1, value).otherwise(
+        F.raise_error(F.lit(_MANY_TO_ONE_ERR))
     )
-    return agg.select("__t", "__key", "__labels", guarded.alias("__v"))
 
 
 def binop(
@@ -224,11 +246,32 @@ def binop(
 
     lkey = match_key(F.col(labels_col), on, ignoring)
     rkey = match_key(F.col(labels_col), on, ignoring)
+    probe_matched_guard = False  # one_to_one probe side needs matchedSigs
 
     if card == "one_to_one":
-        l = _one_side(left, lkey, "left", labels_col, time_col, value_col)
-        r = _one_side(right, rkey, "right", labels_col, time_col, value_col)
+        # the left (probe side) stays UNCOLLAPSED: engine.go evaluates
+        # every lhs sample, and its matchedSigs error fires only when ≥2
+        # rows of one match group actually produce output — collapsing
+        # with first() would silently discard the duplicate instead
+        l = left.select(
+            F.col(time_col).alias("__t"),
+            lkey.alias("__key"),
+            F.col(labels_col).alias("__labels"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        r = _one_side(
+            right, rkey, "right", labels_col, time_col, value_col,
+            eager_guard=True,
+        )
         lv, rv = F.col("l.__v"), F.col("r.__v")
+        if not (is_cmp and not bool_mode):
+            # matchedSigs: detected POST-JOIN via a window count over the
+            # join output (the rhs is unique per key, so joined rows per
+            # (t, key) = the matched left group's size). A left-side guard
+            # column would be projection-pushed BELOW the join by Catalyst
+            # and fire on unmatched duplicates, which Prometheus allows; a
+            # window over the join output cannot move.
+            probe_matched_guard = True
         if on is not None:
             out_labels = match_labels(F.col("l.__labels"), on=on)
         else:
@@ -244,7 +287,10 @@ def binop(
             F.col(labels_col).alias("__labels"),
             F.col(value_col).cast("double").alias("__v"),
         ).alias("l")
-        o = _one_side(one, rkey, one_side, labels_col, time_col, value_col)
+        o = _one_side(
+            one, rkey, one_side, labels_col, time_col, value_col,
+            eager_guard=True,
+        )
         l, r = (m, o)
         if card == "many_to_one":
             lv, rv = F.col("l.__v"), F.col("r.__v")
@@ -281,17 +327,34 @@ def binop(
             cmp_labels = _drop_keys(F.col("l.__labels"), list(include))
             if include:
                 cmp_labels = F.map_concat(cmp_labels, copied)
-        return joined.filter(op_fn(lv, rv)).select(
+        kept = joined.filter(op_fn(lv, rv))
+        value_out, time_out = lv, F.col("__t")
+        if card == "one_to_one":
+            # matchedSigs for filter comparisons: only when ≥2 rows of a
+            # match group BOTH survive the filter does Prometheus error —
+            # counted over the kept rows (the window repartitions by the
+            # join key the rows already carry). Guard value AND eval_ms so
+            # value-pruning plans still trip it.
+            kn = F.count("*").over(W.partitionBy("__t", "__key"))
+            value_out = _matched_guard(lv, kn)
+            time_out = _matched_guard(F.col("__t"), kn).cast("long")
+        return kept.select(
             cmp_labels.alias(labels_col),
-            F.col("__t").alias(time_col),
-            lv.alias(value_col),
+            time_out.alias(time_col),
+            value_out.alias(value_col),
         )
     value = op_fn(lv, rv)
     if is_cmp:
         value = value.cast("double")  # bool modifier: 1.0 / 0.0
+    time_out = F.col("__t")
+    if probe_matched_guard:
+        # guard value AND eval_ms so value-pruning plans still trip it
+        kn = F.count("*").over(W.partitionBy("__t", "__key"))
+        value = _matched_guard(value, kn)
+        time_out = _matched_guard(F.col("__t"), kn).cast("long")
     return joined.select(
         out_labels.alias(labels_col),
-        F.col("__t").alias(time_col),
+        time_out.alias(time_col),
         value.alias(value_col),
     )
 

@@ -101,6 +101,9 @@ def compile_rule_node(record: str, node, lookback_ms: int = 300_000) -> Streamin
                 f"not {node.op!r}"
             )
         agg_op, by, without = node.op, node.by, node.without
+        if by is None and without is None:
+            by = []  # bare sum(v): ONE group, all labels drop (PromQL) —
+            # None would mean "group by every label" to agg_by/match_key
         node = node.expr
     if isinstance(node, Call):
         func = node.func

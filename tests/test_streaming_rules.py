@@ -98,6 +98,32 @@ def test_batch_parity_with_engine_instant(spark):
         assert got[t] == pytest.approx(want[t]), t
 
 
+def test_batch_parity_with_engine_bare_sum(spark):
+    """Bare sum(...) (no by/without) collapses to ONE series — PromQL
+    drops every label; by=None must not mean group-by-all-labels."""
+    rows = _counter_rows(1.0, 1) + _counter_rows(2.0, 2)
+    df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    rec = _batch_recorded(spark, df, "all:m:sum", "sum(increase(m[2m]))")
+    out = rec.collect()
+    assert out, "no recorded rows"
+    # exactly one series: the record name alone
+    assert {tuple(sorted(r["labels"].items())) for r in out} == {
+        (("__name__", "all:m:sum"),)
+    }
+    eng = PromQLEngine(
+        df, _series(spark), start_ms=T0 + 120_000, end_ms=T0 + 600_000, step_ms=60_000
+    )
+    want = {
+        r["eval_ms"]: r["value"]
+        for r in eng.eval("sum(increase(m[2m]))").collect()
+    }
+    got = {r["timestamp_ms"]: r["value"] for r in out}
+    shared = set(got) & set(want)
+    assert len(shared) == len(want) > 0
+    for t in shared:
+        assert got[t] == pytest.approx(want[t]), t
+
+
 def test_matcher_resolution_excludes_other_series(spark):
     rows = _counter_rows(1.0, 1) + [(7, T0 + i * 15_000, 99.0) for i in range(41)]
     df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
