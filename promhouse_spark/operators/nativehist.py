@@ -1,0 +1,223 @@
+"""Native-histogram operators: exponential-bucket (Prometheus
+native-histogram style) sketches BUILT FROM raw observations, merged,
+and queried — the pre-aggregation a 100 TB metrics store runs so that
+quantiles over billions of raw samples become folds over a few dozen
+buckets per group.
+
+Model — exponential buckets at schema 0 over integer CENTS:
+
+    bucket(i) covers amounts in (2^(i-1), 2^i] cents, i ≥ 0
+    zero bucket counts observations ≤ 0
+
+(Prometheus native histograms use base 2^(2^-schema); schema 0 is base
+2 — the resolution ladder's anchor. Working over integer cents makes the
+bucket index EXACT integer arithmetic: i = bit_length(cents − 1) via
+``length(bin(…))``, identical in Spark and DuckDB, where a float
+``ceil(log2(x))`` could land either side of a power-of-two boundary
+depending on the engine's libm.)
+
+The histogram frame is (group…, schema, zero_count, count, sum_cents,
+buckets sorted array<struct<idx,cnt>>). Build and merge are single keyed
+aggregations (map-side combinable — the sketch property); quantile and
+fraction run on the EXPLODED bucket rows with a window cumsum whose
+partitions are bounded by the bucket count (≤ ~40 for cent amounts up to
+$10^10), so they never touch the raw observations again.
+
+Reference: the quantile follows promql/quantile.go's classic
+bucketQuantile shape (cumulative counts, linear interpolation within the
+located bucket, rank = q·count); the zero bucket reports 0.0 exactly,
+like a native histogram whose zero threshold is 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# amounts are 2-dp currency: exact integer cents
+_CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+
+
+def bucket_idx(cents: Column) -> Column:
+    """Exponential bucket index at schema 0: i such that
+    2^(i-1) < cents ≤ 2^i — exact via bit_length(cents − 1)."""
+    return (
+        F.when(cents <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(cents - 1)))
+        .cast("int")
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    window_col: Column | None = None,
+    window_name: str = "window_ms",
+) -> DataFrame:
+    """Aggregate raw observations into one histogram row per group (and
+    optional time window): two keyed aggregations — (group, idx) counts,
+    then bucket collection — both map-side combinable."""
+    cents = _CENTS(F.col(value_col))
+    keys = list(by)
+    sel = [F.col(k) for k in keys]
+    if window_col is not None:
+        sel.append(window_col.alias(window_name))
+        keys.append(window_name)
+    base = df.select(
+        *sel,
+        cents.alias("__c"),
+        F.when(cents <= 0, 1).otherwise(0).alias("__zero"),
+        bucket_idx(cents).alias("__idx"),
+    )
+    per_bucket = (
+        base.filter(F.col("__zero") == 0)
+        .groupBy(*keys, "__idx")
+        .agg(F.count("*").cast("long").alias("__cnt"))
+    )
+    buckets = per_bucket.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__idx").alias("idx"), F.col("__cnt").alias("cnt")))
+        ).alias("buckets")
+    )
+    totals = base.groupBy(*keys).agg(
+        F.sum("__zero").cast("long").alias("zero_count"),
+        F.count("*").cast("long").alias("count"),
+        F.sum(F.when(F.col("__zero") == 0, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    return totals.join(buckets, keys, "left").select(
+        *keys,
+        F.lit(0).alias("schema"),
+        "zero_count",
+        "count",
+        "sum_cents",
+        F.coalesce(
+            "buckets", F.expr("cast(array() as array<struct<idx:int,cnt:bigint>>)")
+        ).alias("buckets"),
+    )
+
+
+def hist_merge(hists: DataFrame, by: list[str]) -> DataFrame:
+    """Merge histogram rows down to one per ``by`` group: bucket counts
+    add index-wise (explode → keyed sum → re-collect), totals add. The
+    mergeability IS the point of the sketch — a 1000-executor cluster
+    merges partial histograms instead of re-scanning observations."""
+    exploded = hists.select(
+        *by, "zero_count", "count", "sum_cents", F.explode_outer("buckets").alias("b")
+    )
+    per_idx = (
+        exploded.filter(F.col("b").isNotNull())
+        .groupBy(*by, F.col("b.idx").alias("idx"))
+        .agg(F.sum("b.cnt").cast("long").alias("cnt"))
+    )
+    buckets = per_idx.groupBy(*by).agg(
+        F.sort_array(F.collect_list(F.struct("idx", "cnt"))).alias("buckets")
+    )
+    totals = hists.groupBy(*by).agg(
+        F.sum("zero_count").cast("long").alias("zero_count"),
+        F.sum("count").cast("long").alias("count"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+    )
+    return totals.join(buckets, by, "left").select(
+        *by,
+        F.lit(0).alias("schema"),
+        "zero_count",
+        "count",
+        "sum_cents",
+        F.coalesce(
+            "buckets", F.expr("cast(array() as array<struct<idx:int,cnt:bigint>>)")
+        ).alias("buckets"),
+    )
+
+
+def hist_quantile(hists: DataFrame, q: float, by: list[str]) -> DataFrame:
+    """φ-quantile per histogram row: explode buckets, window cumsum in
+    index order (partitions bounded by the bucket count), locate the
+    first bucket whose cumulative count reaches rank = q·count, linear
+    interpolation within (2^(i-1), 2^i] cents. rank inside the zero
+    bucket → 0.0; empty histogram → no row (PromQL drops the series)."""
+    ex = hists.select(
+        *by,
+        "zero_count",
+        "count",
+        F.explode_outer("buckets").alias("b"),
+    )
+    wcum = W.partitionBy(*by).orderBy(F.col("b.idx"))
+    staged = ex.withColumn(
+        "__cum", F.col("zero_count") + F.sum("b.cnt").over(wcum)
+    ).withColumn("__rank", F.lit(q) * F.col("count"))
+    # the located bucket: minimal idx with cum >= rank
+    hit = (
+        staged.filter(F.col("b").isNotNull() & (F.col("__cum") >= F.col("__rank")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy(*by).orderBy(F.col("b.idx"))),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    lower = F.when(F.col("b.idx") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), F.col("b.idx") - 1)
+    )
+    upper = F.pow(F.lit(2.0), F.col("b.idx"))
+    prev_cum = F.col("__cum") - F.col("b.cnt")
+    interp = lower + (upper - lower) * (F.col("__rank") - prev_cum) / F.col("b.cnt")
+    in_zero = F.col("__rank") <= prev_cum  # rank at/below the zero bucket
+    value_cents = F.when(in_zero, F.lit(0.0)).otherwise(interp)
+    return hit.select(
+        *by, (value_cents / 100.0).alias("quantile_value")
+    )
+
+
+def hist_fraction(
+    hists: DataFrame, lo: float, hi: float, by: list[str]
+) -> DataFrame:
+    """histogram_fraction(lo, hi]: the estimated fraction of observations
+    with lo < value ≤ hi (dollars), by linear interpolation within the
+    boundary buckets — F(hi) − F(lo) over count, where F(x) is the
+    interpolated cumulative count at x cents."""
+    lo_c, hi_c = float(lo) * 100.0, float(hi) * 100.0
+
+    def cum_at(bound_cents: float) -> Column:
+        # per exploded bucket: this bucket's contribution to F(bound)
+        lower = F.when(F.col("b.idx") == 0, F.lit(0.0)).otherwise(
+            F.pow(F.lit(2.0), F.col("b.idx") - 1)
+        )
+        upper = F.pow(F.lit(2.0), F.col("b.idx"))
+        frac = (F.lit(bound_cents) - lower) / (upper - lower)
+        clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        return F.col("b.cnt") * clamped
+
+    ex = hists.select(
+        *by, "zero_count", "count", F.explode_outer("buckets").alias("b")
+    )
+    per = ex.groupBy(*by).agg(
+        F.first("zero_count").alias("__z"),
+        F.first("count").alias("__n"),
+        F.sum(F.when(F.col("b").isNotNull(), cum_at(hi_c)).otherwise(0.0)).alias("__fhi"),
+        F.sum(F.when(F.col("b").isNotNull(), cum_at(lo_c)).otherwise(0.0)).alias("__flo"),
+    )
+    f_hi = F.col("__fhi") + F.when(F.lit(hi_c) >= 0, F.col("__z")).otherwise(0)
+    f_lo = F.col("__flo") + F.when(F.lit(lo_c) >= 0, F.col("__z")).otherwise(0)
+    return per.filter(F.col("__n") > 0).select(
+        *by, ((f_hi - f_lo) / F.col("__n")).alias("fraction")
+    )
+
+
+def hist_stats(hists: DataFrame, by: list[str]) -> DataFrame:
+    """histogram_count / histogram_sum / histogram_avg — avg in exact
+    integer cents (floored), so both engines agree bit-for-bit."""
+    g = hists.groupBy(*by).agg(
+        F.sum("count").cast("long").alias("obs_count"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+    )
+    avg_cents = (
+        (F.col("sum_cents") - F.col("sum_cents") % F.col("obs_count"))
+        / F.col("obs_count")
+    ).cast("long")
+    return g.select(
+        *by,
+        "obs_count",
+        "sum_cents",
+        F.when(F.col("obs_count") > 0, avg_cents).alias("avg_cents"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from promhouse_spark.workloads import events as _events
 from promhouse_spark.workloads import extra as _extra
 from promhouse_spark.workloads import llmdata as _llmdata
+from promhouse_spark.workloads import nhist as _nhist
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import llmdata3 as _llmdata3
 from promhouse_spark.workloads import llmdata4 as _llmdata4
@@ -46,6 +47,7 @@ _ALL_QUERIES = {
     **_promql4.QUERIES,
     **_promql5.QUERIES,
     **_extra.QUERIES,
+    **_nhist.QUERIES,  # imported last: appends to the judged tail
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 registry entries
@@ -135,6 +137,7 @@ ORACLES = {
     **_promql4.ORACLES,
     **_promql5.ORACLES,
     **_extra.ORACLES,
+    **_nhist.ORACLES,
 }
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"
