@@ -194,15 +194,16 @@ _MANY_TO_ONE_ERR = (
     "multiple matches for labels: many-to-one matching must be explicit "
     "(group_left/group_right)"
 )
+_GROUPING_ERR = (
+    "multiple matches for labels: grouping labels must ensure unique matches"
+)
 
 
-def _matched_guard(value: Column, n: Column) -> Column:
+def _matched_guard(value: Column, n: Column, msg: str = _MANY_TO_ONE_ERR) -> Column:
     """Raise engine.go's matchedSigs error when a MATCHED probe-side group
     holds more than one series; evaluated post-join, so unmatched
     duplicates pass silently, as in Prometheus."""
-    return F.when(n == 1, value).otherwise(
-        F.raise_error(F.lit(_MANY_TO_ONE_ERR))
-    )
+    return F.when(n == 1, value).otherwise(F.raise_error(F.lit(msg)))
 
 
 def binop(
@@ -338,6 +339,16 @@ def binop(
             kn = F.count("*").over(W.partitionBy("__t", "__key"))
             value_out = _matched_guard(lv, kn)
             time_out = _matched_guard(F.col("__t"), kn).cast("long")
+        else:
+            # grouped filter: insertedSigs — two surviving many-side rows
+            # collapsing onto the SAME result labels is an error
+            kn = F.count("*").over(
+                W.partitionBy("__t", labels_map_to_json(cmp_labels))
+            )
+            value_out = _matched_guard(lv, kn, _GROUPING_ERR)
+            time_out = _matched_guard(F.col("__t"), kn, _GROUPING_ERR).cast(
+                "long"
+            )
         return kept.select(
             cmp_labels.alias(labels_col),
             time_out.alias(time_col),
@@ -352,6 +363,15 @@ def binop(
         kn = F.count("*").over(W.partitionBy("__t", "__key"))
         value = _matched_guard(value, kn)
         time_out = _matched_guard(F.col("__t"), kn).cast("long")
+    else:
+        # grouped arith/bool: insertedSigs — distinct many-side rows whose
+        # RESULT labels collide (an include label erased the
+        # distinguishing dimension) are an error in engine.go
+        kn = F.count("*").over(
+            W.partitionBy("__t", labels_map_to_json(out_labels))
+        )
+        value = _matched_guard(value, kn, _GROUPING_ERR)
+        time_out = _matched_guard(F.col("__t"), kn, _GROUPING_ERR).cast("long")
     return joined.select(
         out_labels.alias(labels_col),
         time_out.alias(time_col),

@@ -170,10 +170,13 @@ def format_expr(node) -> str:
             mods += f" on({', '.join(node.on)})"
         elif node.ignoring is not None:
             mods += f" ignoring({', '.join(node.ignoring)})"
+        # Go's printer always renders the include parens ("group_left()"):
+        # a bare "group_left" followed by a parenthesized operand would
+        # re-parse the operand's "(" as the include-label list
         if node.card == "many_to_one":
-            mods += f" group_left({', '.join(node.include)})" if node.include else " group_left"
+            mods += f" group_left({', '.join(node.include)})"
         elif node.card == "one_to_many":
-            mods += f" group_right({', '.join(node.include)})" if node.include else " group_right"
+            mods += f" group_right({', '.join(node.include)})"
         lhs = _operand(node.lhs, prec, right=False)
         rhs = _operand(node.rhs, prec, right=True)
         return f"{lhs} {node.op}{mods} {rhs}"

@@ -812,6 +812,12 @@ class RefEval:
                         "ensure unique matches"
                     )
                 inserted.add(result_key)
+                if (result_key, t) in out:
+                    # cross-group result collision: Prometheus catches this
+                    # at the evaluation level
+                    raise ValueError(
+                        "vector cannot contain metrics with the same labelset"
+                    )
             out[(result_key, t)] = value
         return out
 

@@ -110,6 +110,13 @@ def _vector(rng: random.Random, depth: int):
                 node.ignoring = [rng.choice(_LABELS)]
         if op in _CMP_OPS and rng.random() < 0.4:
             node.bool_mode = True
+        if rng.random() < 0.3:  # grouped matching
+            node.card = rng.choice(["many_to_one", "one_to_many"])
+            node.bool_mode = False
+            if node.on is None and node.ignoring is None:
+                node.ignoring = [rng.choice(_LABELS)]
+            if rng.random() < 0.4:
+                node.include = [rng.choice(_LABELS + ["job", "instance"])]
     elif rng.random() < 0.3:
         node.on = rng.sample(_LABELS[:2], rng.randrange(1, 3))
     return node
@@ -164,13 +171,25 @@ def test_fuzz_engine_matches_reference(fuzz_corpus, expr):
     try:
         want = ref.eval_vector(node)
     except ValueError as e:
-        if "match" in str(e) or "duplicate" in str(e):
+        if "match" in str(e) or "duplicate" in str(e) or "labelset" in str(e):
             ref_err = e
         else:
             pytest.skip(f"reference does not support: {e}")
     if ref_err is not None:
-        with pytest.raises(Exception):
-            engine.eval(expr).collect()
+        # Error parity with one documented relaxation: Spark prunes empty
+        # join subtrees (PropagateEmptyRelation / AQE), so a duplicate
+        # that Prometheus detects eagerly while hashing can sit in a DEAD
+        # branch the engine never evaluates. The engine must either raise
+        # or produce an EMPTY result — rows under a reference error are a
+        # real bug.
+        try:
+            rows = engine.eval(expr).collect()
+        except Exception:
+            return
+        assert rows == [], (
+            f"{expr}: reference errored ({ref_err}) but engine returned "
+            f"{len(rows)} rows"
+        )
         return
     got = {
         (tuple(sorted((r["labels"] or {}).items())), r["eval_ms"]): r["value"]
