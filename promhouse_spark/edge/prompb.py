@@ -16,6 +16,13 @@ Proto3 wire rules honored: varint int64 (two's complement, 10 bytes when
 negative), little-endian fixed64 doubles, length-delimited strings/messages,
 unknown fields skipped, default values omitted on encode. ReadHints are
 decoded but ignored by the engine, matching ``handlers/prom.go:184-186``.
+
+Beyond the reference's 2017-era proto: the NATIVE-HISTOGRAM message
+(public prometheus/prompb types.proto ``Histogram``, TimeSeries field 4,
+remote-write ≥ Prometheus 2.40) — sint32/sint64 zigzag, packed repeated
+deltas/counts, BucketSpan run-length encoding expanded to explicit
+(index, count) pairs on decode and re-derived on encode. Exemplars
+(field 3) are skipped as unknown fields.
 """
 
 from __future__ import annotations
@@ -23,7 +30,15 @@ from __future__ import annotations
 import struct
 from typing import Iterator, Sequence
 
-from promhouse_spark.models import Label, MatchType, Matcher, Query, Sample, TimeSeries
+from promhouse_spark.models import (
+    Label,
+    MatchType,
+    Matcher,
+    NativeHistogram,
+    Query,
+    Sample,
+    TimeSeries,
+)
 
 _MATCH_TYPE_BY_NUM = {0: MatchType.EQ, 1: MatchType.NEQ, 2: MatchType.RE, 3: MatchType.NRE}
 _NUM_BY_MATCH_TYPE = {v: k for k, v in _MATCH_TYPE_BY_NUM.items()}
@@ -134,7 +149,207 @@ def encode_timeseries(ts: TimeSeries) -> bytes:
         out += _len_delim(1, encode_label(l))
     for s in ts.samples:
         out += _len_delim(2, encode_sample(s))
+    for h in getattr(ts, "histograms", ()) or ():
+        out += _len_delim(4, encode_histogram(h))
     return out
+
+
+# ------------------------------------------- native histograms (field 4)
+# Public prometheus/prompb types.proto Histogram (Prometheus ≥ 2.40):
+#   count_int=1 / count_float=2, sum=3, schema=4 (sint32),
+#   zero_threshold=5, zero_count_int=6 / zero_count_float=7,
+#   negative_spans=8 / negative_deltas=9 (packed sint64) /
+#   negative_counts=10 (packed double), positive_spans=11/12/13,
+#   reset_hint=14, timestamp=15.
+#   BucketSpan: offset=1 (sint32), length=2 (uint32).
+# The sparse encoding: spans are runs of CONSECUTIVE bucket indexes,
+# each span's offset relative to the previous span's end; integer
+# histograms delta-encode counts bucket-to-bucket, float histograms
+# carry absolute counts.
+
+
+def _zigzag(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & _MASK64
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _packed_varints(values: list[int]) -> bytes:
+    return b"".join(_varint(v) for v in values)
+
+
+def _read_packed_varints(buf: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _spans_from_buckets(buckets: list[tuple[int, float]]) -> list[tuple[int, int]]:
+    """Re-derive BucketSpans (offset, length) from sorted explicit
+    indexes: runs of consecutive indexes; each offset relative to the
+    previous span's end (the first to index 0... i.e. absolute)."""
+    spans: list[tuple[int, int]] = []
+    prev_end = 0  # Prometheus: first span offset is the absolute index
+    run_start = None
+    last = None
+    for idx, _ in buckets:
+        if run_start is None:
+            run_start, last = idx, idx
+            continue
+        if idx == last + 1:
+            last = idx
+            continue
+        spans.append((run_start - prev_end, last - run_start + 1))
+        prev_end = last + 1
+        run_start, last = idx, idx
+    if run_start is not None:
+        spans.append((run_start - prev_end, last - run_start + 1))
+    return spans
+
+
+def _expand_spans(
+    spans: list[tuple[int, int]], deltas: list[int], counts: list[float]
+) -> list[tuple[int, float]]:
+    """(spans, deltas|counts) → explicit (index, absolute count)."""
+    out: list[tuple[int, float]] = []
+    idx = 0
+    cur = 0.0
+    k = 0
+    for offset, length in spans:
+        idx += offset
+        for _ in range(length):
+            if deltas:
+                cur += deltas[k]
+            else:
+                cur = counts[k] if k < len(counts) else 0.0
+            out.append((idx, float(cur)))
+            idx += 1
+            k += 1
+    return out
+
+
+def _encode_span(offset: int, length: int) -> bytes:
+    out = b""
+    if offset:
+        out += _tag(1, 0) + _varint(_zigzag(offset))
+    if length:
+        out += _tag(2, 0) + _varint(length)
+    return out
+
+
+def _decode_span(buf: bytes) -> tuple[int, int]:
+    offset = length = 0
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            offset = _unzigzag(int(v))
+        elif field == 2 and wire == 0:
+            length = int(v)
+    return offset, length
+
+
+def encode_histogram(h: NativeHistogram) -> bytes:
+    out = b""
+    use_float = h.is_float or not (
+        float(h.count).is_integer()
+        and float(h.zero_count).is_integer()
+        and all(c == int(c) for _, c in h.positive)
+        and all(c == int(c) for _, c in h.negative)
+    )
+    if use_float:
+        if h.count:
+            out += _tag(2, 1) + struct.pack("<d", float(h.count))
+    elif h.count:
+        out += _tag(1, 0) + _varint(int(h.count))
+    if h.sum:
+        out += _tag(3, 1) + struct.pack("<d", float(h.sum))
+    if h.schema:
+        out += _tag(4, 0) + _varint(_zigzag(int(h.schema)))
+    if h.zero_threshold:
+        out += _tag(5, 1) + struct.pack("<d", float(h.zero_threshold))
+    if use_float:
+        if h.zero_count:
+            out += _tag(7, 1) + struct.pack("<d", float(h.zero_count))
+    elif h.zero_count:
+        out += _tag(6, 0) + _varint(int(h.zero_count))
+    for base, span_f, delta_f, count_f in (
+        (sorted(h.negative), 8, 9, 10),
+        (sorted(h.positive), 11, 12, 13),
+    ):
+        if not base:
+            continue
+        for offset, length in _spans_from_buckets(base):
+            out += _len_delim(span_f, _encode_span(offset, length))
+        if use_float:
+            out += _len_delim(
+                count_f, b"".join(struct.pack("<d", c) for _, c in base)
+            )
+        else:
+            deltas, prev = [], 0
+            for _, c in base:
+                deltas.append(int(c) - prev)
+                prev = int(c)
+            out += _len_delim(delta_f, _packed_varints([_zigzag(d) for d in deltas]))
+    if h.timestamp_ms:
+        out += _tag(15, 0) + _varint(int(h.timestamp_ms))
+    return out
+
+
+def decode_histogram(buf: bytes) -> NativeHistogram:
+    h = NativeHistogram()
+    neg_spans: list[tuple[int, int]] = []
+    pos_spans: list[tuple[int, int]] = []
+    neg_deltas: list[int] = []
+    pos_deltas: list[int] = []
+    neg_counts: list[float] = []
+    pos_counts: list[float] = []
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            h.count = float(v)
+        elif field == 2 and wire == 1:
+            h.count = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+            h.is_float = True
+        elif field == 3 and wire == 1:
+            h.sum = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif field == 4 and wire == 0:
+            h.schema = _unzigzag(int(v))
+        elif field == 5 and wire == 1:
+            h.zero_threshold = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif field == 6 and wire == 0:
+            h.zero_count = float(v)
+        elif field == 7 and wire == 1:
+            h.zero_count = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+            h.is_float = True
+        elif field == 8 and wire == 2:
+            neg_spans.append(_decode_span(v))
+        elif field == 9 and wire == 2:
+            neg_deltas.extend(_unzigzag(u) for u in _read_packed_varints(v))
+        elif field == 9 and wire == 0:
+            neg_deltas.append(_unzigzag(int(v)))
+        elif field == 10 and wire == 2:
+            neg_counts.extend(
+                struct.unpack(f"<{len(v) // 8}d", v) if v else ()
+            )
+        elif field == 11 and wire == 2:
+            pos_spans.append(_decode_span(v))
+        elif field == 12 and wire == 2:
+            pos_deltas.extend(_unzigzag(u) for u in _read_packed_varints(v))
+        elif field == 12 and wire == 0:
+            pos_deltas.append(_unzigzag(int(v)))
+        elif field == 13 and wire == 2:
+            pos_counts.extend(
+                struct.unpack(f"<{len(v) // 8}d", v) if v else ()
+            )
+        elif field == 15 and wire == 0:
+            h.timestamp_ms = _to_int64(v)
+    h.negative = _expand_spans(neg_spans, neg_deltas, neg_counts)
+    h.positive = _expand_spans(pos_spans, pos_deltas, pos_counts)
+    if neg_counts or pos_counts:
+        h.is_float = True
+    return h
 
 
 def encode_matcher(m: Matcher) -> bytes:
@@ -203,12 +418,15 @@ def decode_sample(buf: bytes) -> Sample:
 def decode_timeseries(buf: bytes) -> TimeSeries:
     labels: list[Label] = []
     samples: list[Sample] = []
+    histograms: list[NativeHistogram] = []
     for field, wire, v, _ in _fields(buf):
         if field == 1 and wire == 2:
             labels.append(decode_label(v))
         elif field == 2 and wire == 2:
             samples.append(decode_sample(v))
-    return TimeSeries(labels=labels, samples=samples)
+        elif field == 4 and wire == 2:  # exemplars (3) skipped as unknown
+            histograms.append(decode_histogram(v))
+    return TimeSeries(labels=labels, samples=samples, histograms=histograms)
 
 
 def decode_matcher(buf: bytes) -> Matcher:

@@ -32,16 +32,43 @@ class Sample:
 
 
 @dataclass
+class NativeHistogram:
+    """One native-histogram sample (public prometheus/prompb types.proto
+    ``Histogram``, remote-write ≥ Prometheus 2.40), with the sparse
+    span/delta wire encoding EXPANDED to explicit (bucket index, absolute
+    count) pairs — the shape the analytics tier consumes
+    (:mod:`promhouse_spark.operators.nativehist`).
+
+    Bucket ``idx`` at ``schema`` s covers ``(2^((idx-1)·2^-s),
+    2^(idx·2^-s)]`` for positive buckets (mirrored for negative); the
+    zero bucket covers ``[-zero_threshold, zero_threshold]``. Counts are
+    floats so both integer and float histograms fit one model."""
+
+    timestamp_ms: int = 0
+    count: float = 0.0
+    sum: float = 0.0
+    schema: int = 0
+    zero_threshold: float = 0.0
+    zero_count: float = 0.0
+    positive: list[tuple[int, float]] = field(default_factory=list)
+    negative: list[tuple[int, float]] = field(default_factory=list)
+    is_float: bool = False  # wire used the *_float/absolute-counts form
+
+
+@dataclass
 class TimeSeries:
     """A labelled series of samples (``prompb/prompb.proto:27-30``).
 
     ``labels`` are canonically kept sorted by name (see
     :func:`promhouse_spark.functions.labels.sort_labels`); samples sorted by
     timestamp in query results (``prompb/prompb.proto:60``).
-    """
+    ``histograms`` carries native-histogram samples (prompb TimeSeries
+    field 4 — beyond the reference's 2017-era proto, which predates
+    them)."""
 
     labels: list[Label] = field(default_factory=list)
     samples: list[Sample] = field(default_factory=list)
+    histograms: list[NativeHistogram] = field(default_factory=list)
 
     def labels_map(self) -> dict[str, str]:
         return {l.name: l.value for l in self.labels}

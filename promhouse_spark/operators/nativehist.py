@@ -221,3 +221,111 @@ def hist_stats(hists: DataFrame, by: list[str]) -> DataFrame:
         "sum_cents",
         F.when(F.col("obs_count") > 0, avg_cents).alias("avg_cents"),
     )
+
+
+# ---------------------------------------------------- wire-format bridge
+
+
+def native_histogram_frame(spark, series) -> DataFrame:
+    """Flatten decoded remote-write native histograms
+    (models.TimeSeries.histograms via edge/prompb.decode_write_request)
+    into the columnar analytics shape: one row per histogram sample with
+    explicit positive/negative bucket arrays."""
+    rows = [
+        (
+            ts.labels_map(),
+            int(h.timestamp_ms),
+            int(h.schema),
+            float(h.zero_threshold),
+            float(h.zero_count),
+            float(h.count),
+            float(h.sum),
+            [(int(i), float(c)) for i, c in sorted(h.positive)],
+            [(int(i), float(c)) for i, c in sorted(h.negative)],
+        )
+        for ts in series
+        for h in getattr(ts, "histograms", ()) or ()
+    ]
+    schema = (
+        "labels map<string,string>, timestamp_ms long, schema int, "
+        "zero_threshold double, zero_count double, count double, "
+        "sum double, positive array<struct<idx:int,cnt:double>>, "
+        "negative array<struct<idx:int,cnt:double>>"
+    )
+    df = spark.createDataFrame(rows or [], schema)
+    return df if rows else df.filter("1=0")
+
+
+def wire_hist_quantile(frame: DataFrame, q: float) -> DataFrame:
+    """histogram_quantile over wire-ingested native histograms, honoring
+    each row's own schema: bucket i at schema s bounds
+    (2^((i-1)·2^-s), 2^(i·2^-s)] (mirrored for negative buckets), the
+    zero bucket [-zt, zt]. One row per (labels, timestamp_ms): explode
+    buckets in VALUE order (negatives by descending index, zero,
+    positives ascending), window cumsum, locate rank = q·count, linear
+    interpolation within the located bucket. Empty histograms drop."""
+    key = F.to_json("labels").alias("__k")
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("schema").cast("double")))
+    b = frame.select(
+        key,
+        "labels",
+        "timestamp_ms",
+        "count",
+        "zero_count",
+        "zero_threshold",
+        base.alias("__base"),
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(reverse(negative), x -> named_struct("
+                    "'ord', 0, 'idx', x.idx, 'cnt', x.cnt))"
+                ),
+                F.expr(
+                    "array(named_struct('ord', 1, 'idx', 0, "
+                    "'cnt', cast(zero_count as double)))"
+                ),
+                F.expr(
+                    "transform(positive, x -> named_struct("
+                    "'ord', 2, 'idx', x.idx, 'cnt', x.cnt))"
+                ),
+            )
+        ).alias("b"),
+    )
+    # value-order key: negatives descend by idx (ord 0 uses -idx), then
+    # zero, then positives ascend
+    order = F.when(F.col("b.ord") == 0, -F.col("b.idx")).otherwise(F.col("b.idx"))
+    w = W.partitionBy("__k", "timestamp_ms").orderBy("b.ord", order)
+    staged = b.withColumn("__cum", F.sum("b.cnt").over(w)).withColumn(
+        "__rank", F.lit(q) * F.col("count")
+    )
+    hit = (
+        staged.filter((F.col("__cum") >= F.col("__rank")) & (F.col("count") > 0))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__k", "timestamp_ms").orderBy("b.ord", order)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    pw = lambda e: F.pow(F.col("__base"), e)  # noqa: E731
+    lower = (
+        F.when(F.col("b.ord") == 0, -pw(F.col("b.idx").cast("double")))
+        .when(F.col("b.ord") == 1, -F.col("zero_threshold"))
+        .otherwise(
+            F.when(F.col("b.idx") == 0, F.lit(0.0)).otherwise(
+                pw(F.col("b.idx").cast("double") - 1)
+            )
+        )
+    )
+    upper = (
+        F.when(F.col("b.ord") == 0, -pw(F.col("b.idx").cast("double") - 1))
+        .when(F.col("b.ord") == 1, F.col("zero_threshold"))
+        .otherwise(pw(F.col("b.idx").cast("double")))
+    )
+    prev_cum = F.col("__cum") - F.col("b.cnt")
+    interp = lower + (upper - lower) * (F.col("__rank") - prev_cum) / F.col("b.cnt")
+    value = F.when(F.col("b.cnt") == 0, lower).otherwise(interp)
+    return hit.select(
+        "labels", "timestamp_ms", value.alias("quantile_value")
+    )
