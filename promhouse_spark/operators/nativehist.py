@@ -309,14 +309,13 @@ def wire_hist_quantile(frame: DataFrame, q: float) -> DataFrame:
         .filter(F.col("__rn") == 1)
     )
     pw = lambda e: F.pow(F.col("__base"), e)  # noqa: E731
+    # native buckets have EXACT exponential bounds at every index (idx 0
+    # covers (base^-1, 1]; negative indexes reach below 1) — no classic
+    # first-bucket zero-start convention here
     lower = (
         F.when(F.col("b.ord") == 0, -pw(F.col("b.idx").cast("double")))
         .when(F.col("b.ord") == 1, -F.col("zero_threshold"))
-        .otherwise(
-            F.when(F.col("b.idx") == 0, F.lit(0.0)).otherwise(
-                pw(F.col("b.idx").cast("double") - 1)
-            )
-        )
+        .otherwise(pw(F.col("b.idx").cast("double") - 1))
     )
     upper = (
         F.when(F.col("b.ord") == 0, -pw(F.col("b.idx").cast("double") - 1))

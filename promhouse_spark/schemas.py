@@ -49,6 +49,31 @@ SAMPLES_SCHEMA = T.StructType(
 # Samples as written to disk carry the derived day-partition column.
 SAMPLES_DISK_SCHEMA = T.StructType(list(SAMPLES_SCHEMA) + [T.StructField(DATE, T.DateType(), False)])
 
+# Native-histogram samples (remote-write >= Prometheus 2.40; decoded from
+# the prompb Histogram message into explicit bucket arrays). Same
+# (fingerprint, timestamp_ms) keying and day partitioning as samples.
+_BUCKETS_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("idx", T.IntegerType(), False),
+            T.StructField("cnt", T.DoubleType(), False),
+        ]
+    )
+)
+HISTOGRAMS_SCHEMA = T.StructType(
+    [
+        T.StructField(FINGERPRINT, T.LongType(), False),
+        T.StructField(TIMESTAMP_MS, T.LongType(), False),
+        T.StructField("schema", T.IntegerType(), False),
+        T.StructField("zero_threshold", T.DoubleType(), False),
+        T.StructField("zero_count", T.DoubleType(), False),
+        T.StructField("count", T.DoubleType(), False),
+        T.StructField("sum", T.DoubleType(), False),
+        T.StructField("positive", _BUCKETS_T, False),
+        T.StructField("negative", _BUCKETS_T, False),
+    ]
+)
+
 TESTDATA_TABLES = (
     "region",
     "nation",

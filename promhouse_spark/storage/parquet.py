@@ -45,6 +45,7 @@ from promhouse_spark.plans.rawsql import rawsql_text, run_rawsql
 from promhouse_spark.schemas import (
     DATE,
     FINGERPRINT,
+    HISTOGRAMS_SCHEMA,
     LABELS,
     SAMPLES_SCHEMA,
     TIME_SERIES_SCHEMA,
@@ -67,6 +68,7 @@ class SparkParquetStorage(Storage):
         self.root = root
         self.samples_path = os.path.join(root, "samples")
         self.registry_path = os.path.join(root, "time_series")
+        self.histograms_path = os.path.join(root, "histograms")
         self.max_series_inlist = max_series_inlist
         self.cache_registry = cache_registry
         # fingerprint (unsigned) -> labels dict; the reference's in-memory
@@ -93,6 +95,37 @@ class SparkParquetStorage(Storage):
         if not fs.exists(self.spark, self.samples_path):
             return self.spark.createDataFrame([], SAMPLES_SCHEMA)
         return self.spark.read.parquet(self.samples_path)
+
+    def histograms_df(self) -> DataFrame:
+        if not fs.exists(self.spark, self.histograms_path):
+            return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
+        return self.spark.read.parquet(self.histograms_path)
+
+    def read_histograms(self, query) -> DataFrame:
+        """Native-histogram read: the same matcher-resolution +
+        partition-pruned time-range shape as the float-sample path (F2 +
+        J1/J2), returning the labelled columnar frame
+        operators/nativehist.wire_hist_quantile consumes."""
+        from promhouse_spark.plans.read import (
+            restrict_to_series,
+            samples_in_range,
+            select_series,
+        )
+
+        matched = select_series(self.registry_df(), query.matchers)
+        hf = samples_in_range(self.histograms_df(), query.start_ms, query.end_ms)
+        hf = restrict_to_series(hf, matched.select(FINGERPRINT))
+        return hf.join(matched, FINGERPRINT).select(
+            LABELS,
+            TIMESTAMP_MS,
+            "schema",
+            "zero_threshold",
+            "zero_count",
+            "count",
+            "sum",
+            "positive",
+            "negative",
+        )
 
     def reload_registry(self) -> None:
         """S7: re-read the registry into the in-memory index
@@ -132,6 +165,7 @@ class SparkParquetStorage(Storage):
             return
         new_series: dict[int, dict[str, str]] = {}
         sample_rows: list[tuple[int, int, float]] = []
+        hist_rows: list[tuple] = []
         for ts in timeseries:
             labels = sort_labels(ts.labels)  # clickhouse.go:428
             fp = fingerprint((l.name, l.value) for l in labels)
@@ -142,6 +176,20 @@ class SparkParquetStorage(Storage):
             # schema says float64 (and vice versa for timestamps).
             sample_rows.extend(
                 (sfp, int(s.timestamp_ms), float(s.value)) for s in ts.samples
+            )
+            hist_rows.extend(
+                (
+                    sfp,
+                    int(h.timestamp_ms),
+                    int(h.schema),
+                    float(h.zero_threshold),
+                    float(h.zero_count),
+                    float(h.count),
+                    float(h.sum),
+                    [(int(i), float(c)) for i, c in sorted(h.positive)],
+                    [(int(i), float(c)) for i, c in sorted(h.negative)],
+                )
+                for h in getattr(ts, "histograms", ()) or ()
             )
 
         if new_series:
@@ -167,6 +215,17 @@ class SparkParquetStorage(Storage):
         if sample_rows:
             df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
             self.ingest_df(df)
+        if hist_rows:
+            hdf = self.spark.createDataFrame(hist_rows, HISTOGRAMS_SCHEMA)
+            (
+                hdf.withColumn(
+                    DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+                )
+                .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+                .write.partitionBy(DATE)
+                .mode("append")
+                .parquet(self.histograms_path)
+            )
 
     def _existing_fingerprints(self) -> DataFrame:
         """Persisted fingerprints (for the new-series anti-join) — the

@@ -197,3 +197,54 @@ def test_wire_quantile_negative_and_zero_buckets(spark):
     assert -0.5 <= q50 <= 0.5  # inside the zero bucket
     q90 = wire_hist_quantile(frame, 0.9).first()["quantile_value"]
     assert 1.0 <= q90 <= 2.0
+
+
+def test_storage_roundtrip_histograms(spark, tmp_path):
+    """Remote-write → storage → matcher-filtered read → quantile: the
+    full ingest loop for native-histogram samples. Histograms land in
+    their own day-partitioned table; the registry carries the labels."""
+    from promhouse_spark.models import MatchType, Matcher, Query
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+    series = [
+        TimeSeries(
+            labels=[Label("__name__", "lat"), Label("job", j)],
+            histograms=[
+                NativeHistogram(
+                    timestamp_ms=1_700_000_000_000 + k * 60_000,
+                    count=4.0,
+                    sum=10.0,
+                    schema=0,
+                    positive=[(0, 2.0), (1, 2.0)],  # (0.5,1] and (1,2]
+                )
+                for k in range(3)
+            ],
+        )
+        for j in ("api", "db")
+    ]
+    # wire round-trip first, then persist — the exact /write path shape
+    store.write(prompb.decode_write_request(prompb.encode_write_request(series)))
+    q = Query(
+        start_ms=1_700_000_000_000,
+        end_ms=1_700_000_000_000 + 120_000,
+        matchers=(
+            Matcher("__name__", MatchType.EQ, "lat"),
+            Matcher("job", MatchType.EQ, "api"),
+        ),
+    )
+    frame = store.read_histograms(q)
+    rows = frame.collect()
+    assert len(rows) == 3  # only job=api, all three timestamps in range
+    assert all(r["labels"]["job"] == "api" for r in rows)
+    med = wire_hist_quantile(frame, 0.5).collect()
+    assert len(med) == 3
+    # 4 observations in (0.5,1] and (1,2]: rank 2 → upper edge of bucket 1
+    assert all(abs(m["quantile_value"] - 1.0) < 1e-9 for m in med)
+    # narrower time range prunes
+    q2 = Query(
+        start_ms=1_700_000_000_000,
+        end_ms=1_700_000_000_000,
+        matchers=(Matcher("__name__", MatchType.EQ, "lat"),),
+    )
+    assert store.read_histograms(q2).count() == 2  # both jobs, first ts only
