@@ -328,3 +328,134 @@ def wire_hist_quantile(frame: DataFrame, q: float) -> DataFrame:
     return hit.select(
         "labels", "timestamp_ms", value.alias("quantile_value")
     )
+
+
+def hist_increase(
+    frame: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    range_ms: int,
+    rate: bool = False,
+) -> DataFrame:
+    """increase()/rate() over CUMULATIVE native-histogram series on an
+    evaluation grid — the histogram counterpart of extrapolatedRate.
+
+    Same execution shape as the engine's float range functions: each
+    histogram sample explodes map-side to the grid evaluations whose
+    (t-range, t] window contains it (bounded range/step fan-out), then
+    ONE keyed aggregation takes the window's first/last histogram
+    (min_by/max_by on timestamp). The increase is the bucket-wise
+    difference via a map lookup on the first histogram's buckets; a
+    counter RESET inside the window (count or any bucket decreasing)
+    makes the last histogram itself the increase, like Prometheus's
+    detectReset. Prometheus's boundary extrapolation applies as a scalar
+    factor on every component (the 1.1×-average-interval guard and the
+    counter zero clamp on `count`), divided by the range for rate=True.
+
+    Output: a histogram-shaped frame (labels, timestamp_ms=eval, schema,
+    zero_threshold, zero_count, count, sum, positive, negative) that
+    wire_hist_quantile consumes directly — so
+    histogram_quantile(q, rate(h[5m])) is
+    ``wire_hist_quantile(hist_increase(frame, ..., rate=True), q)``.
+    Evaluations with fewer than two samples in the window drop."""
+    ts = F.col("timestamp_ms")
+    k_min = F.greatest(
+        F.ceil((ts - F.lit(start_ms)) / F.lit(step_ms)).cast("long"), F.lit(0)
+    )
+    k_max = F.floor(
+        (ts + F.lit(range_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
+    ).cast("long")
+    k_cap = (end_ms - start_ms) // step_ms
+    e_lo = F.lit(start_ms) + k_min * F.lit(step_ms)
+    e_hi = F.lit(start_ms) + F.least(k_max, F.lit(k_cap)) * F.lit(step_ms)
+    evs = F.when(e_lo <= e_hi, F.sequence(e_lo, e_hi, F.lit(step_ms)))
+    h_struct = F.struct(
+        "timestamp_ms", "schema", "zero_threshold", "zero_count",
+        "count", "sum", "positive", "negative",
+    )
+    exploded = frame.select(
+        F.to_json("labels").alias("__k"),
+        "labels",
+        h_struct.alias("__h"),
+        F.explode(evs).alias("eval_ms"),
+    )
+    g = exploded.groupBy("__k", "eval_ms").agg(
+        F.first("labels").alias("labels"),
+        F.count("*").alias("__n"),
+        F.min_by("__h", F.col("__h.timestamp_ms")).alias("f"),
+        F.max_by("__h", F.col("__h.timestamp_ms")).alias("l"),
+    ).filter(F.col("__n") >= 2)
+
+    def diff_buckets(side: str) -> Column:
+        # last bucket counts minus the first histogram's (map lookup; a
+        # bucket absent from the first histogram starts at 0)
+        return F.expr(
+            f"transform(l.{side}, x -> named_struct('idx', x.idx, 'cnt', "
+            f"x.cnt - coalesce(map_from_entries(f.{side})[x.idx], "
+            f"cast(0.0 as double))))"
+        )
+
+    reset = (
+        (F.col("l.count") < F.col("f.count"))
+        | F.expr(
+            "exists(f.positive, x -> "
+            "coalesce(map_from_entries(l.positive)[x.idx], "
+            "cast(0.0 as double)) < x.cnt)"
+        )
+        | F.expr(
+            "exists(f.negative, x -> "
+            "coalesce(map_from_entries(l.negative)[x.idx], "
+            "cast(0.0 as double)) < x.cnt)"
+        )
+    )
+    d_count = F.when(reset, F.col("l.count")).otherwise(
+        F.col("l.count") - F.col("f.count")
+    )
+    d_sum = F.when(reset, F.col("l.sum")).otherwise(
+        F.col("l.sum") - F.col("f.sum")
+    )
+    d_zero = F.when(reset, F.col("l.zero_count")).otherwise(
+        F.col("l.zero_count") - F.col("f.zero_count")
+    )
+    d_pos = F.when(reset, F.col("l.positive")).otherwise(diff_buckets("positive"))
+    d_neg = F.when(reset, F.col("l.negative")).otherwise(diff_buckets("negative"))
+
+    # extrapolatedRate's boundary factor, on the count component
+    range_s = range_ms / 1000.0
+    dur_start = (F.col("f.timestamp_ms") - (F.col("eval_ms") - range_ms)) / 1000.0
+    dur_end = (F.col("eval_ms") - F.col("l.timestamp_ms")) / 1000.0
+    sampled = (F.col("l.timestamp_ms") - F.col("f.timestamp_ms")) / 1000.0
+    avg_between = sampled / (F.col("__n") - 1)
+    dur_zero = sampled * (F.col("f.count") / d_count)
+    dur_start = F.when(
+        (d_count > 0) & (F.col("f.count") >= 0) & (dur_zero < dur_start),
+        dur_zero,
+    ).otherwise(dur_start)
+    threshold = avg_between * 1.1
+    extrap = (
+        sampled
+        + F.when(dur_start < threshold, dur_start).otherwise(avg_between / 2)
+        + F.when(dur_end < threshold, dur_end).otherwise(avg_between / 2)
+    )
+    factor = extrap / sampled
+    if rate:
+        factor = factor / F.lit(range_s)
+    scale = lambda c: (c * factor).cast("double")  # noqa: E731
+    scale_buckets = lambda col: F.transform(  # noqa: E731
+        col,
+        lambda x: F.struct(
+            x["idx"].alias("idx"), (x["cnt"] * factor).alias("cnt")
+        ),
+    )
+    return g.filter(sampled > 0).select(
+        "labels",
+        F.col("eval_ms").alias("timestamp_ms"),
+        F.col("l.schema").alias("schema"),
+        F.col("l.zero_threshold").alias("zero_threshold"),
+        scale(d_zero).alias("zero_count"),
+        scale(d_count).alias("count"),
+        scale(d_sum).alias("sum"),
+        scale_buckets(d_pos).alias("positive"),
+        scale_buckets(d_neg).alias("negative"),
+    )

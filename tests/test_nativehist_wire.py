@@ -248,3 +248,92 @@ def test_storage_roundtrip_histograms(spark, tmp_path):
         matchers=(Matcher("__name__", MatchType.EQ, "lat"),),
     )
     assert store.read_histograms(q2).count() == 2  # both jobs, first ts only
+
+
+def test_hist_increase_and_rate(spark):
+    """Cumulative native-histogram series on a grid: increase is the
+    bucket-wise endpoint diff with extrapolation; a counter reset inside
+    the window makes the last histogram the increase; quantile composes
+    on the result (histogram_quantile over rate)."""
+    from promhouse_spark.operators.nativehist import hist_increase
+
+    # perfectly aligned samples every 30 s, buckets growing by (1, 2)
+    # per step in idx 0 / idx 1; count grows by 3 per step
+    rows = []
+    for k in range(11):  # ts 0..300_000
+        rows.append(
+            (
+                {"__name__": "lat", "job": "api"},
+                k * 30_000,
+                0,
+                0.0,
+                0.0,
+                3.0 * k,
+                10.0 * k,
+                [(0, 1.0 * k), (1, 2.0 * k)],
+                [],
+            )
+        )
+    schema = (
+        "labels map<string,string>, timestamp_ms long, schema int, "
+        "zero_threshold double, zero_count double, count double, "
+        "sum double, positive array<struct<idx:int,cnt:double>>, "
+        "negative array<struct<idx:int,cnt:double>>"
+    )
+    frame = spark.createDataFrame(rows, schema)
+    inc = hist_increase(
+        frame, start_ms=120_000, end_ms=300_000, step_ms=60_000,
+        range_ms=120_000,
+    )
+    got = {r["timestamp_ms"]: r for r in inc.collect()}
+    assert set(got) == {120_000, 180_000, 240_000, 300_000}
+    r = got[240_000]
+    # window (120s, 240s]: first 150s (k=5), last 240s (k=8); diff 3 steps
+    # → count 9, buckets (3, 6); sampled 90 s of a 120 s window with 30 s
+    # spacing → extrapolates the 30 s start gap fully (< 1.1×avg) and the
+    # 0 s end gap adds 0: factor = (90+30+0)/90 = 4/3
+    assert r["count"] == pytest.approx(12.0)
+    assert [(b["idx"], b["cnt"]) for b in r["positive"]] == [
+        (0, pytest.approx(4.0)),
+        (1, pytest.approx(8.0)),
+    ]
+    # rate divides by the 120 s range
+    rated = hist_increase(
+        frame, start_ms=240_000, end_ms=240_000, step_ms=60_000,
+        range_ms=120_000, rate=True,
+    ).first()
+    assert rated["count"] == pytest.approx(12.0 / 120.0)
+    # quantile composes on the rate output
+    qv = wire_hist_quantile(
+        hist_increase(
+            frame, 240_000, 240_000, 60_000, 120_000, rate=True
+        ),
+        0.5,
+    ).first()["quantile_value"]
+    assert 0.5 <= qv <= 2.0  # inside the (0.5,1] / (1,2] bucket pair
+
+
+def test_hist_increase_reset(spark):
+    """A counter reset (all components drop) inside the window → the
+    last histogram IS the increase (detectReset semantics)."""
+    from promhouse_spark.operators.nativehist import hist_increase
+
+    schema = (
+        "labels map<string,string>, timestamp_ms long, schema int, "
+        "zero_threshold double, zero_count double, count double, "
+        "sum double, positive array<struct<idx:int,cnt:double>>, "
+        "negative array<struct<idx:int,cnt:double>>"
+    )
+    rows = [
+        ({"job": "x"}, 0, 0, 0.0, 0.0, 100.0, 50.0, [(1, 100.0)], []),
+        ({"job": "x"}, 60_000, 0, 0.0, 0.0, 5.0, 2.0, [(1, 5.0)], []),
+    ]
+    frame = spark.createDataFrame(rows, schema)
+    inc = hist_increase(frame, 60_000, 60_000, 60_000, 120_000).first()
+    # reset at the second sample: increase = last histogram, extrapolated
+    # (sampled 60 s of 120 s window, zero-clamped start for counters)
+    assert inc is not None
+    assert inc["count"] > 0
+    got_bucket = inc["positive"][0]
+    assert got_bucket["idx"] == 1
+    assert got_bucket["cnt"] == pytest.approx(inc["count"])
