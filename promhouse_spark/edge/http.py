@@ -220,6 +220,87 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             status,
         )
 
+    def _histogram_json(r) -> dict:
+        """web/api/v1 native-histogram sample shape: count/sum strings and
+        [boundary_rule, lower, upper, count] buckets — negative buckets by
+        descending index (rule 1, open right), the zero bucket (rule 3,
+        closed both), positive buckets (rule 0, open left), all bounds at
+        the row's own base 2^(2^-schema)."""
+        base = 2.0 ** (2.0 ** -int(r["schema"]))
+        buckets = []
+        for b in sorted(r["negative"] or [], key=lambda x: -x["idx"]):
+            lo, hi = -(base ** b["idx"]), -(base ** (b["idx"] - 1))
+            buckets.append(
+                [1, _format_value(lo), _format_value(hi), _format_value(b["cnt"])]
+            )
+        if r["zero_count"]:
+            zt = float(r["zero_threshold"])
+            buckets.append(
+                [
+                    3,
+                    _format_value(-zt),
+                    _format_value(zt),
+                    _format_value(r["zero_count"]),
+                ]
+            )
+        for b in sorted(r["positive"] or [], key=lambda x: x["idx"]):
+            lo, hi = base ** (b["idx"] - 1), base ** b["idx"]
+            buckets.append(
+                [0, _format_value(lo), _format_value(hi), _format_value(b["cnt"])]
+            )
+        out = {"count": _format_value(r["count"]), "sum": _format_value(r["sum"])}
+        if buckets:
+            out["buckets"] = buckets
+        return out
+
+    def _native_histogram_result(node, t_ms: int) -> list[dict]:
+        """Instant-vector native-histogram samples for a bare selector:
+        the latest histogram per matched series within the lookback,
+        rendered Prometheus-API-style under the "histogram" key. Bounded
+        by matched-series cardinality (the API-edge materialization
+        contract, same as the float path)."""
+        from promhouse_spark.models import (
+            MatchType,
+            Matcher as MMatcher,
+            Query as MQuery,
+        )
+        from promhouse_spark.promql.parser import VectorSelector
+
+        if not isinstance(node, VectorSelector):
+            return []
+        if not hasattr(storage, "read_histograms"):
+            return []
+        ops = {
+            "=": MatchType.EQ,
+            "!=": MatchType.NEQ,
+            "=~": MatchType.RE,
+            "!~": MatchType.NRE,
+        }
+        ms = [MMatcher(m.name, ops[m.op], m.value) for m in node.matchers]
+        if node.name is not None:
+            ms.append(MMatcher("__name__", MatchType.EQ, node.name))
+        lookback = int(request.values.get("lookback_delta_ms", 300_000))
+        te = node.at_ms if isinstance(node.at_ms, int) else t_ms
+        te -= node.offset_ms or 0
+        frame = storage.read_histograms(
+            MQuery(start_ms=te - lookback, end_ms=te, matchers=tuple(ms))
+        )
+        latest: dict = {}
+        for r in frame.collect():
+            key = tuple(sorted((r["labels"] or {}).items()))
+            if (
+                key not in latest
+                or r["timestamp_ms"] > latest[key]["timestamp_ms"]
+            ):
+                latest[key] = r
+        return [
+            {
+                "metric": dict(r["labels"] or {}),
+                "histogram": [t_ms / 1000.0, _histogram_json(r)],
+            }
+            for _, r in sorted(latest.items())
+        ]
+
     def _parse_limit(default: int = 0) -> int:
         raw = request.values.get("limit", str(default))
         try:
@@ -390,6 +471,10 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             for s in series
             if s["values"]
         ]
+        try:
+            result += _native_histogram_result(node, t_ms)
+        except Exception:  # histogram tier is additive: never break floats
+            log.exception("native-histogram lookup failed")
         try:
             result, warnings = _apply_limit(result)
         except ValueError as e:

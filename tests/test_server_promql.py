@@ -684,3 +684,68 @@ def test_alerts_serve_value_and_expanded_annotations(spark, tmp_path):
     (a,) = c.get("/api/v1/alerts").get_json()["data"]["alerts"]
     assert a["value"] == "80"  # the real expression value, not "1"
     assert a["annotations"] == {"summary": "api at 80"}
+
+
+def test_query_instant_serves_native_histograms(spark):
+    """Remote-write a native-histogram series, then an instant query for
+    the bare selector returns the Prometheus histogram sample shape:
+    {"metric": ..., "histogram": [ts, {count, sum, buckets}]} with
+    [boundary_rule, lower, upper, count] buckets at base 2^(2^-schema)."""
+    from promhouse_spark.models import NativeHistogram
+
+    store = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-nhist-api-"))
+    store.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "lat_hist"), Label("job", "api")],
+                histograms=[
+                    NativeHistogram(
+                        timestamp_ms=T0 + k * 60_000,
+                        count=6.0 + k,
+                        sum=12.5,
+                        schema=0,
+                        zero_threshold=0.5,
+                        zero_count=1.0,
+                        positive=[(0, 2.0), (2, 3.0 + k)],
+                        negative=[(1, 1.0)],
+                    )
+                    for k in range(2)
+                ],
+            )
+        ]
+    )
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.get(
+        "/api/v1/query",
+        query_string={"query": "lat_hist", "time": str(T0 / 1000 + 90)},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "success"
+    result = body["data"]["result"]
+    assert len(result) == 1
+    item = result[0]
+    assert item["metric"] == {"__name__": "lat_hist", "job": "api"}
+    ts, h = item["histogram"]
+    assert ts == pytest.approx(T0 / 1000 + 90)
+    # the LATEST histogram in the lookback (k=1)
+    assert h["count"] == "7"
+    assert h["sum"] == "12.5"
+    # negative (rule 1), zero (rule 3), positive (rule 0) in value order
+    assert h["buckets"] == [
+        [1, "-2", "-1", "1"],
+        [3, "-0.5", "0.5", "1"],
+        [0, "0.5", "1", "2"],
+        [0, "2", "4", "4"],
+    ]
+    # matcher filtering: a non-matching selector returns no histogram
+    r2 = c.get(
+        "/api/v1/query",
+        query_string={
+            "query": 'lat_hist{job="db"}',
+            "time": str(T0 / 1000 + 90),
+        },
+    )
+    assert r2.get_json()["data"]["result"] == []
