@@ -197,11 +197,25 @@ _SIMPLE_OVER_TIME = {
     "ts_of_min_over_time": lambda v, ts: F.min_by(ts, F.struct(v, -ts)) / 1000.0,
 }
 
+def _float_ceil(c: Column) -> Column:
+    """Go math.Ceil stays float64; Spark's ceil returns LONG, which
+    overflows (saturates) beyond 2^63 — fuzz-caught via stddev over
+    ceil(exp(v)). Any double with |v| ≥ 2^52 is already integral, so it
+    (and NaN/±Inf) passes through untouched."""
+    passthrough = (F.abs(c) >= F.lit(2.0**52)) | F.isnan(c)
+    return F.when(passthrough, c).otherwise(F.ceil(c).cast("double"))
+
+
+def _float_floor(c: Column) -> Column:
+    passthrough = (F.abs(c) >= F.lit(2.0**52)) | F.isnan(c)
+    return F.when(passthrough, c).otherwise(F.floor(c).cast("double"))
+
+
 # instant-vector math functions (value map; metric name drops)
 _VALUE_FUNCS = {
     "abs": F.abs,
-    "ceil": F.ceil,
-    "floor": F.floor,
+    "ceil": _float_ceil,
+    "floor": _float_floor,
     "exp": F.exp,
     "ln": F.log,
     "log2": F.log2,

@@ -122,8 +122,8 @@ def _vector(rng: random.Random, depth: int):
     return node
 
 
-def _corpus(n: int = 120) -> list[str]:
-    rng = random.Random(424207)
+def _corpus(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
     out, seen = [], set()
     while len(out) < n:
         expr = format_expr(_vector(rng, 3))
@@ -134,7 +134,12 @@ def _corpus(n: int = 120) -> list[str]:
     return out
 
 
-FUZZ_EXPRESSIONS = _corpus()
+# two independent seed batches: the second probes compositions the first
+# seed's draw order never reaches (trivial selectors recur — dedup keeps
+# first occurrence)
+FUZZ_EXPRESSIONS = list(
+    dict.fromkeys(_corpus(424207, 120) + _corpus(700813, 60))
+)
 
 
 @pytest.fixture(scope="module")
