@@ -650,10 +650,65 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
 
     @app.route("/api/v1/query_exemplars", methods=["GET", "POST"])
     def query_exemplars():
-        # no exemplar storage (the remote-write protocol the reference
-        # speaks predates exemplars); an empty success keeps Grafana's
-        # exemplar probe quiet
-        return {"status": "success", "data": []}
+        """web/api/v1 queryExemplars: extract every vector selector from
+        the expression, read matcher-filtered exemplars in [start, end],
+        and render them grouped by owning series. Result cardinality is
+        bounded by exemplar retention × matched series (the API-edge
+        materialization contract)."""
+        from promhouse_spark.models import (
+            MatchType,
+            Matcher as MMatcher,
+            Query as MQuery,
+        )
+        from promhouse_spark.promql.parser import collect_selectors, parse
+
+        if not hasattr(storage, "read_exemplars"):
+            return {"status": "success", "data": []}
+        try:
+            expr = request.values["query"]
+            start_ms = _parse_time_ms(request.values["start"])
+            end_ms = _parse_time_ms(request.values["end"])
+            selectors = collect_selectors(parse(expr))
+        except KeyError as e:
+            return _promql_error(ValueError(f"missing parameter {e}"))
+        except ValueError as e:
+            return _promql_error(e)
+        ops = {
+            "=": MatchType.EQ,
+            "!=": MatchType.NEQ,
+            "=~": MatchType.RE,
+            "!~": MatchType.NRE,
+        }
+        by_series: dict = {}
+        for sel in selectors:
+            ms = [MMatcher(m.name, ops[m.op], m.value) for m in sel.matchers]
+            if sel.name is not None:
+                ms.append(MMatcher("__name__", MatchType.EQ, sel.name))
+            frame = storage.read_exemplars(
+                MQuery(start_ms=start_ms, end_ms=end_ms, matchers=tuple(ms))
+            )
+            for r in frame.collect():
+                key = tuple(sorted((r["labels"] or {}).items()))
+                bucket = by_series.setdefault(key, {})
+                # dedupe exemplars repeated across selectors / retries
+                ekey = (r["timestamp_ms"], r["value"],
+                        tuple(sorted((r["exemplar_labels"] or {}).items())))
+                bucket[ekey] = r
+        data = [
+            {
+                "seriesLabels": dict(key),
+                "exemplars": [
+                    {
+                        "labels": dict(r["exemplar_labels"] or {}),
+                        "value": _format_value(r["value"]),
+                        "timestamp": r["timestamp_ms"] / 1000.0,
+                    }
+                    for _, r in sorted(bucket.items())
+                ],
+            }
+            for key, bucket in sorted(by_series.items())
+        ]
+        return {"status": "success", "data": data}
 
     @app.get("/api/v1/status/flags")
     def status_flags():

@@ -21,8 +21,10 @@ Beyond the reference's 2017-era proto: the NATIVE-HISTOGRAM message
 (public prometheus/prompb types.proto ``Histogram``, TimeSeries field 4,
 remote-write ≥ Prometheus 2.40) — sint32/sint64 zigzag, packed repeated
 deltas/counts, BucketSpan run-length encoding expanded to explicit
-(index, count) pairs on decode and re-derived on encode. Exemplars
-(field 3) are skipped as unknown fields.
+(index, count) pairs on decode and re-derived on encode — and the
+EXEMPLAR message (types.proto ``Exemplar``, TimeSeries field 3,
+remote-write ≥ Prometheus 2.27): trace-correlation labels + value +
+timestamp.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ import struct
 from typing import Iterator, Sequence
 
 from promhouse_spark.models import (
+    Exemplar,
     Label,
     MatchType,
     Matcher,
@@ -143,12 +146,27 @@ def encode_sample(s: Sample) -> bytes:
     return out
 
 
+def encode_exemplar(e: Exemplar) -> bytes:
+    """Public prometheus/prompb types.proto ``Exemplar``:
+    labels=1 (repeated), value=2 (double), timestamp=3 (int64)."""
+    out = b""
+    for l in e.labels:
+        out += _len_delim(1, encode_label(l))
+    if e.value != 0.0 or str(e.value) == "-0.0":
+        out += _tag(2, 1) + struct.pack("<d", e.value)
+    if e.timestamp_ms:
+        out += _tag(3, 0) + _varint(int(e.timestamp_ms))
+    return out
+
+
 def encode_timeseries(ts: TimeSeries) -> bytes:
     out = b""
     for l in ts.labels:
         out += _len_delim(1, encode_label(l))
     for s in ts.samples:
         out += _len_delim(2, encode_sample(s))
+    for e in getattr(ts, "exemplars", ()) or ():
+        out += _len_delim(3, encode_exemplar(e))
     for h in getattr(ts, "histograms", ()) or ():
         out += _len_delim(4, encode_histogram(h))
     return out
@@ -415,18 +433,37 @@ def decode_sample(buf: bytes) -> Sample:
     return Sample(value=value, timestamp_ms=ts)
 
 
+def decode_exemplar(buf: bytes) -> Exemplar:
+    labels: list[Label] = []
+    value = 0.0
+    ts = 0
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            labels.append(decode_label(v))
+        elif field == 2 and wire == 1:
+            value = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif field == 3 and wire == 0:
+            ts = _to_int64(v)
+    return Exemplar(labels=labels, value=value, timestamp_ms=ts)
+
+
 def decode_timeseries(buf: bytes) -> TimeSeries:
     labels: list[Label] = []
     samples: list[Sample] = []
     histograms: list[NativeHistogram] = []
+    exemplars: list[Exemplar] = []
     for field, wire, v, _ in _fields(buf):
         if field == 1 and wire == 2:
             labels.append(decode_label(v))
         elif field == 2 and wire == 2:
             samples.append(decode_sample(v))
-        elif field == 4 and wire == 2:  # exemplars (3) skipped as unknown
+        elif field == 3 and wire == 2:
+            exemplars.append(decode_exemplar(v))
+        elif field == 4 and wire == 2:
             histograms.append(decode_histogram(v))
-    return TimeSeries(labels=labels, samples=samples, histograms=histograms)
+    return TimeSeries(
+        labels=labels, samples=samples, histograms=histograms, exemplars=exemplars
+    )
 
 
 def decode_matcher(buf: bytes) -> Matcher:

@@ -32,6 +32,22 @@ class Sample:
 
 
 @dataclass
+class Exemplar:
+    """One exemplar (public prometheus/prompb types.proto ``Exemplar``,
+    remote-write ≥ Prometheus 2.27): a sampled observation annotated with
+    trace-correlation labels (canonically ``trace_id``). Attached to a
+    TimeSeries (prompb TimeSeries field 3 — beyond the reference's
+    2017-era proto, which predates exemplars)."""
+
+    labels: list[Label] = field(default_factory=list)
+    value: float = 0.0
+    timestamp_ms: int = 0
+
+    def labels_map(self) -> dict[str, str]:
+        return {l.name: l.value for l in self.labels}
+
+
+@dataclass
 class NativeHistogram:
     """One native-histogram sample (public prometheus/prompb types.proto
     ``Histogram``, remote-write ≥ Prometheus 2.40), with the sparse
@@ -63,12 +79,13 @@ class TimeSeries:
     :func:`promhouse_spark.functions.labels.sort_labels`); samples sorted by
     timestamp in query results (``prompb/prompb.proto:60``).
     ``histograms`` carries native-histogram samples (prompb TimeSeries
-    field 4 — beyond the reference's 2017-era proto, which predates
-    them)."""
+    field 4) and ``exemplars`` trace-annotated observations (field 3) —
+    both beyond the reference's 2017-era proto, which predates them."""
 
     labels: list[Label] = field(default_factory=list)
     samples: list[Sample] = field(default_factory=list)
     histograms: list[NativeHistogram] = field(default_factory=list)
+    exemplars: list[Exemplar] = field(default_factory=list)
 
     def labels_map(self) -> dict[str, str]:
         return {l.name: l.value for l in self.labels}

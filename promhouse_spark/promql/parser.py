@@ -435,3 +435,34 @@ def parse(src: str) -> object:
     if p.peek().kind != "EOF":
         raise ValueError(f"trailing input at {p.peek().text!r}")
     return expr
+
+
+def collect_selectors(node) -> list[VectorSelector]:
+    """All VectorSelectors anywhere in the expression, in source order —
+    the selector set Prometheus's exemplar API extracts from a query
+    (web/api/v1: extractSelectors). Subquery/range/offset context is
+    irrelevant to exemplar lookup; only the matchers matter."""
+    out: list[VectorSelector] = []
+
+    def walk(n) -> None:
+        if isinstance(n, VectorSelector):
+            out.append(n)
+        elif isinstance(n, RangeSelector):
+            walk(n.selector)
+        elif isinstance(n, Subquery):
+            walk(n.expr)
+        elif isinstance(n, Unary):
+            walk(n.expr)
+        elif isinstance(n, Call):
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, Aggregation):
+            walk(n.expr)
+            if n.param is not None:
+                walk(n.param)
+        elif isinstance(n, BinaryOp):
+            walk(n.lhs)
+            walk(n.rhs)
+
+    walk(node)
+    return out

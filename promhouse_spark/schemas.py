@@ -74,6 +74,19 @@ HISTOGRAMS_SCHEMA = T.StructType(
     ]
 )
 
+# Exemplars (remote-write >= Prometheus 2.27): trace-annotated sampled
+# observations. Keyed to the owning series by fingerprint; the exemplar's
+# own correlation labels (trace_id, span_id, ...) ride as a map column.
+# Same day partitioning as samples so time-range reads prune.
+EXEMPLARS_SCHEMA = T.StructType(
+    [
+        T.StructField(FINGERPRINT, T.LongType(), False),
+        T.StructField(TIMESTAMP_MS, T.LongType(), False),
+        T.StructField(VALUE, T.DoubleType(), False),
+        T.StructField("exemplar_labels", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
 TESTDATA_TABLES = (
     "region",
     "nation",

@@ -44,6 +44,7 @@ from promhouse_spark.plans.read import (
 from promhouse_spark.plans.rawsql import rawsql_text, run_rawsql
 from promhouse_spark.schemas import (
     DATE,
+    EXEMPLARS_SCHEMA,
     FINGERPRINT,
     HISTOGRAMS_SCHEMA,
     LABELS,
@@ -69,6 +70,7 @@ class SparkParquetStorage(Storage):
         self.samples_path = os.path.join(root, "samples")
         self.registry_path = os.path.join(root, "time_series")
         self.histograms_path = os.path.join(root, "histograms")
+        self.exemplars_path = os.path.join(root, "exemplars")
         self.max_series_inlist = max_series_inlist
         self.cache_registry = cache_registry
         # fingerprint (unsigned) -> labels dict; the reference's in-memory
@@ -127,6 +129,28 @@ class SparkParquetStorage(Storage):
             "negative",
         )
 
+    def exemplars_df(self) -> DataFrame:
+        if not fs.exists(self.spark, self.exemplars_path):
+            return self.spark.createDataFrame([], EXEMPLARS_SCHEMA)
+        return self.spark.read.parquet(self.exemplars_path)
+
+    def read_exemplars(self, query) -> DataFrame:
+        """Exemplar read (web/api/v1 query_exemplars shape): matcher
+        resolution + partition-pruned time range, labelled with the owning
+        series' labels. Same F2 + J1/J2 plan as the float path."""
+        from promhouse_spark.plans.read import (
+            restrict_to_series,
+            samples_in_range,
+            select_series,
+        )
+
+        matched = select_series(self.registry_df(), query.matchers)
+        ef = samples_in_range(self.exemplars_df(), query.start_ms, query.end_ms)
+        ef = restrict_to_series(ef, matched.select(FINGERPRINT))
+        return ef.join(matched, FINGERPRINT).select(
+            LABELS, TIMESTAMP_MS, VALUE, "exemplar_labels"
+        )
+
     def reload_registry(self) -> None:
         """S7: re-read the registry into the in-memory index
         (``SELECT DISTINCT fingerprint, labels``, ``clickhouse.go:159``)."""
@@ -166,6 +190,7 @@ class SparkParquetStorage(Storage):
         new_series: dict[int, dict[str, str]] = {}
         sample_rows: list[tuple[int, int, float]] = []
         hist_rows: list[tuple] = []
+        exemplar_rows: list[tuple] = []
         for ts in timeseries:
             labels = sort_labels(ts.labels)  # clickhouse.go:428
             fp = fingerprint((l.name, l.value) for l in labels)
@@ -190,6 +215,15 @@ class SparkParquetStorage(Storage):
                     [(int(i), float(c)) for i, c in sorted(h.negative)],
                 )
                 for h in getattr(ts, "histograms", ()) or ()
+            )
+            exemplar_rows.extend(
+                (
+                    sfp,
+                    int(e.timestamp_ms),
+                    float(e.value),
+                    {l.name: l.value for l in e.labels},
+                )
+                for e in getattr(ts, "exemplars", ()) or ()
             )
 
         if new_series:
@@ -225,6 +259,17 @@ class SparkParquetStorage(Storage):
                 .write.partitionBy(DATE)
                 .mode("append")
                 .parquet(self.histograms_path)
+            )
+        if exemplar_rows:
+            edf = self.spark.createDataFrame(exemplar_rows, EXEMPLARS_SCHEMA)
+            (
+                edf.withColumn(
+                    DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+                )
+                .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+                .write.partitionBy(DATE)
+                .mode("append")
+                .parquet(self.exemplars_path)
             )
 
     def _existing_fingerprints(self) -> DataFrame:
