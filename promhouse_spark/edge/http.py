@@ -662,10 +662,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         )
         from promhouse_spark.promql.parser import collect_selectors, parse
 
-        if not hasattr(storage, "read_exemplars"):
+        expr = request.values.get("query")
+        if expr is None or not hasattr(storage, "read_exemplars"):
+            # Grafana's capability probe calls this endpoint with no
+            # parameters; an empty success keeps the probe quiet
             return {"status": "success", "data": []}
         try:
-            expr = request.values["query"]
             start_ms = _parse_time_ms(request.values["start"])
             end_ms = _parse_time_ms(request.values["end"])
             selectors = collect_selectors(parse(expr))

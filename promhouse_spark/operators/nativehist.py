@@ -459,3 +459,109 @@ def hist_increase(
         scale_buckets(d_pos).alias("positive"),
         scale_buckets(d_neg).alias("negative"),
     )
+
+
+def _wire_segments() -> Column:
+    """Per-row value segments of a wire-shape histogram, in value order:
+    negative buckets as [-base^idx, -base^(idx-1)), the zero bucket
+    [-zt, zt], positive buckets (base^(idx-1), base^idx] — each as a
+    struct(l, u, cnt). Pure column expression; no explode, no shuffle."""
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("schema").cast("double")))
+
+    def pw(e: Column) -> Column:
+        return F.pow(base, e)
+
+    neg = F.transform(
+        F.col("negative"),
+        lambda x: F.struct(
+            (-pw(x["idx"].cast("double"))).alias("l"),
+            (-pw(x["idx"].cast("double") - 1)).alias("u"),
+            x["cnt"].alias("cnt"),
+        ),
+    )
+    zero = F.array(
+        F.struct(
+            (-F.col("zero_threshold")).alias("l"),
+            F.col("zero_threshold").alias("u"),
+            F.col("zero_count").cast("double").alias("cnt"),
+        )
+    )
+    pos = F.transform(
+        F.col("positive"),
+        lambda x: F.struct(
+            pw(x["idx"].cast("double") - 1).alias("l"),
+            pw(x["idx"].cast("double")).alias("u"),
+            x["cnt"].alias("cnt"),
+        ),
+    )
+    return F.concat(neg, zero, pos)
+
+
+def wire_hist_cum_le(bound: Column) -> Column:
+    """Estimated count of observations ≤ ``bound`` in a wire-shape
+    histogram row: full buckets below, linear interpolation inside the
+    boundary bucket (promql histogramFraction's interpolation)."""
+    b = bound.cast("double")
+    return F.aggregate(
+        _wire_segments(),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(b >= s["u"], s["cnt"])
+        .when(b <= s["l"], F.lit(0.0))
+        .otherwise(s["cnt"] * (b - s["l"]) / (s["u"] - s["l"])),
+    )
+
+
+def wire_hist_fraction(frame: DataFrame, lo: float, hi: float) -> DataFrame:
+    """histogram_fraction(lo, hi, h) over wire-ingested native
+    histograms: (F(hi) − F(lo)) / count with linear interpolation at both
+    bounds (promql/functions.go funcHistogramFraction). count == 0 → NaN,
+    matching Prometheus (0/0). Row-local arithmetic only."""
+    f_hi = wire_hist_cum_le(F.lit(float(hi)))
+    f_lo = wire_hist_cum_le(F.lit(float(lo)))
+    frac = F.when(
+        F.col("count") > 0, (f_hi - f_lo) / F.col("count")
+    ).otherwise(F.lit(float("nan")))
+    return frame.select("labels", "timestamp_ms", frac.alias("fraction_value"))
+
+
+def wire_hist_moments(frame: DataFrame) -> DataFrame:
+    """histogram_count / _sum / _avg / _stddev / _stdvar over wire-shape
+    native histograms, one output row per input histogram. The variance
+    estimate places each bucket's mass at its GEOMETRIC midpoint
+    ±base^(idx−½) (√(l·u), promql/functions.go funcHistogramStdDev) and
+    the zero bucket's at 0, against the exact mean sum/count. Row-local
+    column arithmetic — no explode, no shuffle."""
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("schema").cast("double")))
+    mean = F.col("sum") / F.col("count")
+
+    def sq_dev(mid: Column, cnt: Column) -> Column:
+        return cnt * (mid - mean) * (mid - mean)
+
+    acc = (
+        F.aggregate(
+            F.col("positive"),
+            F.lit(0.0),
+            lambda a, x: a + sq_dev(F.pow(base, x["idx"].cast("double") - 0.5), x["cnt"]),
+        )
+        + F.aggregate(
+            F.col("negative"),
+            F.lit(0.0),
+            lambda a, x: a + sq_dev(-F.pow(base, x["idx"].cast("double") - 0.5), x["cnt"]),
+        )
+        + sq_dev(F.lit(0.0), F.col("zero_count"))
+    )
+    stdvar = F.when(F.col("count") > 0, acc / F.col("count")).otherwise(
+        F.lit(float("nan"))
+    )
+    return frame.select(
+        "labels",
+        "timestamp_ms",
+        F.col("count").alias("count_value"),
+        F.col("sum").alias("sum_value"),
+        F.when(F.col("count") > 0, F.col("sum") / F.col("count"))
+        .otherwise(F.lit(float("nan")))
+        .alias("avg_value"),
+        stdvar.alias("stdvar_value"),
+        F.sqrt(stdvar).alias("stddev_value"),
+    )

@@ -48,7 +48,9 @@ def _known_functions() -> dict[str, tuple[int, int | None]]:
             "rate", "increase", "delta", "irate", "idelta", "resets",
             "changes", "deriv", "mad_over_time",
             "clamp", "clamp_min", "clamp_max", "round",
-            "histogram_quantile", "label_replace", "label_join",
+            "histogram_quantile", "histogram_count", "histogram_sum",
+            "histogram_avg", "histogram_stddev", "histogram_stdvar",
+            "histogram_fraction", "label_replace", "label_join",
             "sort", "sort_desc", "sort_by_label", "sort_by_label_desc",
             "quantile_over_time", "predict_linear", "holt_winters",
             "double_exponential_smoothing",

@@ -255,6 +255,7 @@ class PromQLEngine:
         end_ms: int,
         step_ms: int,
         lookback_ms: int = 300_000,
+        histograms_df: DataFrame | None = None,
     ):
         self.samples = samples_df
         self.series = series_df
@@ -262,6 +263,9 @@ class PromQLEngine:
         self.end_ms = end_ms
         self.step_ms = step_ms
         self.lookback_ms = lookback_ms
+        # native-histogram tier (wire-shape rows keyed by fingerprint);
+        # None = no tier attached, histogram_* functions evaluate empty
+        self.histograms = histograms_df
         # set by from_storage(tier="rollup"): (partials frame, rollup step)
         # — enables exact aggregation pushdown for decomposable
         # *_over_time range functions (streaming/rollup.rollup_range_agg)
@@ -311,7 +315,15 @@ class PromQLEngine:
             samples = storage.samples_df()
         else:
             raise ValueError(f"unknown tier: {tier}")
-        eng = cls(samples, series, start_ms, end_ms, step_ms, lookback_ms)
+        hists = (
+            storage.histograms_df()
+            if tier == "raw" and hasattr(storage, "histograms_df")
+            else None
+        )
+        eng = cls(
+            samples, series, start_ms, end_ms, step_ms, lookback_ms,
+            histograms_df=hists,
+        )
         if tier == "rollup":
             eng._rollup = (partials, storage._rollup_step_ms)
         return eng
@@ -421,6 +433,147 @@ class PromQLEngine:
             samples, self.start_ms, self.end_ms, self.step_ms, self.lookback_ms
         )
         return self._attach(iv, series)
+
+    # -- native histograms ---------------------------------------------------
+
+    _WIRE_COLS = (
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "positive", "negative",
+    )
+
+    def _hist_selected(self, sel: VectorSelector) -> tuple[DataFrame, DataFrame]:
+        """Histogram-tier twin of :meth:`_selected`: matcher-resolved
+        native-histogram rows (offset applied) + their series frame. An
+        empty frame when no histogram tier is attached, so histogram_*
+        functions over float-only storages evaluate to empty — the same
+        thing Prometheus returns when a metric has no native-histogram
+        samples."""
+        matchers = list(sel.matchers)
+        if sel.name is not None:
+            matchers.append(Matcher(NAME, "=", sel.name))
+        cond = F.lit(True)
+        for m in matchers:
+            cond = cond & matcher_condition(F.col("labels"), m)
+        series = self.series.filter(cond)
+        hists = self.histograms
+        if hists is None:
+            from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+            hists = self.samples.sparkSession.createDataFrame([], HISTOGRAMS_SCHEMA)
+        hists = hists.join(series.select("fingerprint"), "fingerprint", "left_semi")
+        if sel.offset_ms:
+            hists = hists.withColumn(
+                "timestamp_ms", F.col("timestamp_ms") + F.lit(sel.offset_ms)
+            )
+        return hists, series
+
+    @staticmethod
+    def _is_hist_arg(node) -> bool:
+        """The sub-expression shapes native histograms flow through: a
+        vector selector, or rate()/increase() over a range selector."""
+        if isinstance(node, VectorSelector):
+            return True
+        return (
+            isinstance(node, Call)
+            and node.func in ("rate", "increase")
+            and len(node.args) == 1
+            and isinstance(node.args[0], RangeSelector)
+        )
+
+    def _hist_wire_frame(self, node) -> DataFrame:
+        """Evaluate a histogram-typed sub-expression to the labelled
+        wire-shape frame (labels, timestamp_ms = grid eval, schema …
+        negative). Same execution shapes as the float engine: the instant
+        read is a bounded lookback/step map-side explode + ONE keyed
+        max_by (no window over the fact table); rate/increase delegate to
+        operators/nativehist.hist_increase (bounded range/step explode +
+        one keyed agg)."""
+        from promhouse_spark.operators.nativehist import hist_increase
+
+        if isinstance(node, VectorSelector):
+            hists, series = self._hist_selected(node)
+            at = self._at_ms(node)
+            h_struct = F.struct("timestamp_ms", *self._WIRE_COLS)
+            if at is not None:
+                latest = (
+                    hists.filter(
+                        (F.col("timestamp_ms") <= at)
+                        & (F.col("timestamp_ms") >= at - self.lookback_ms)
+                    )
+                    .groupBy("fingerprint")
+                    .agg(F.max_by(h_struct, F.col("timestamp_ms")).alias("__h"))
+                    .crossJoin(
+                        hists.sparkSession.range(1).select(self._grid())
+                    )
+                )
+            else:
+                # histogram at ts serves evals t with ts ≤ t ≤ ts+lookback
+                # (inclusive staleness, matching operators/asof tolerance)
+                ts = F.col("timestamp_ms")
+                step, start = self.step_ms, self.start_ms
+                k_min = F.greatest(
+                    F.ceil((ts - F.lit(start)) / F.lit(step)).cast("long"),
+                    F.lit(0),
+                )
+                k_max = F.floor(
+                    (ts + F.lit(self.lookback_ms) - F.lit(start)) / F.lit(step)
+                ).cast("long")
+                k_cap = (self.end_ms - start) // step
+                e_lo = F.lit(start) + k_min * F.lit(step)
+                e_hi = F.lit(start) + F.least(k_max, F.lit(k_cap)) * F.lit(step)
+                evs = F.when(e_lo <= e_hi, F.sequence(e_lo, e_hi, F.lit(step)))
+                latest = (
+                    hists.select(
+                        "fingerprint",
+                        h_struct.alias("__h"),
+                        F.explode(evs).alias("eval_ms"),
+                    )
+                    .groupBy("fingerprint", "eval_ms")
+                    .agg(F.max_by("__h", F.col("__h.timestamp_ms")).alias("__h"))
+                )
+            return latest.join(series, "fingerprint").select(
+                "labels",
+                F.col("eval_ms").alias("timestamp_ms"),
+                *[F.col(f"__h.{c}").alias(c) for c in self._WIRE_COLS],
+            )
+        if self._is_hist_arg(node):  # rate/increase over a range selector
+            rs = node.args[0]
+            sel = rs.selector
+            hists, series = self._hist_selected(sel)
+            labeled = hists.join(series, "fingerprint").select(
+                "labels", "timestamp_ms", *self._WIRE_COLS
+            )
+            as_rate = node.func == "rate"
+            at = self._at_ms(sel)
+            if at is not None:
+                pinned = hist_increase(
+                    labeled, at, at, max(self.step_ms, 1), rs.range_ms,
+                    rate=as_rate,
+                ).drop("timestamp_ms")
+                return pinned.crossJoin(
+                    labeled.sparkSession.range(1).select(self._grid())
+                ).select(
+                    "labels",
+                    F.col("eval_ms").alias("timestamp_ms"),
+                    *self._WIRE_COLS,
+                )
+            return hist_increase(
+                labeled, self.start_ms, self.end_ms, self.step_ms,
+                rs.range_ms, rate=as_rate,
+            )
+        raise ValueError(
+            "histogram functions need a selector or rate()/increase() "
+            "over one as the histogram argument"
+        )
+
+    def _hist_vector(self, wf: DataFrame, value: Column) -> DataFrame:
+        """Wire-shape frame → engine vector frame, dropping the metric
+        name (promql dropMetricName on every histogram_* function)."""
+        return wf.select(
+            F.map_filter("labels", lambda k, _: k != F.lit(NAME)).alias("labels"),
+            F.col("timestamp_ms").alias("eval_ms"),
+            value.cast("double").alias("value"),
+        )
 
     def _explode_to_grid(self, samples: DataFrame, rng: int) -> DataFrame:
         """Sliding-window explode: sample at ts reaches grid points t with
@@ -805,6 +958,9 @@ class PromQLEngine:
         "day_of_year": (0, 1), "days_in_month": (0, 1),
         "clamp": (3, 3), "clamp_min": (2, 2), "clamp_max": (2, 2),
         "round": (1, 2), "histogram_quantile": (2, 2),
+        "histogram_count": (1, 1), "histogram_sum": (1, 1),
+        "histogram_avg": (1, 1), "histogram_stddev": (1, 1),
+        "histogram_stdvar": (1, 1), "histogram_fraction": (3, 3),
         "label_replace": (5, 5), "label_join": (3, None),
         "sort_by_label": (1, None), "sort_by_label_desc": (1, None),
         "quantile_over_time": (2, 2), "predict_linear": (2, 2),
@@ -925,6 +1081,28 @@ class PromQLEngine:
             return inner
         if func == "histogram_quantile":
             return self._histogram_quantile(node)
+        _hist_moments = {
+            "histogram_count": "count_value",
+            "histogram_sum": "sum_value",
+            "histogram_avg": "avg_value",
+            "histogram_stddev": "stddev_value",
+            "histogram_stdvar": "stdvar_value",
+        }
+        if func in _hist_moments:
+            from promhouse_spark.operators.nativehist import wire_hist_moments
+
+            wf = self._hist_wire_frame(node.args[0])
+            m = wire_hist_moments(wf)
+            return self._hist_vector(m, F.col(_hist_moments[func]))
+        if func == "histogram_fraction":
+            from promhouse_spark.operators.nativehist import wire_hist_fraction
+
+            lo = _lit_float(node.args[0], "histogram_fraction lower")
+            hi = _lit_float(node.args[1], "histogram_fraction upper")
+            wf = self._hist_wire_frame(node.args[2])
+            return self._hist_vector(
+                wire_hist_fraction(wf, lo, hi), F.col("fraction_value")
+            )
         if func in ("label_replace", "label_join"):
             from promhouse_spark.functions import labels as L
 
@@ -1114,9 +1292,38 @@ class PromQLEngine:
         )
 
     def _histogram_quantile(self, node: Call) -> DataFrame:
-        q = node.args[0]
-        if not isinstance(q, NumberLiteral):
-            raise ValueError("histogram_quantile needs a literal quantile")
+        # accept -0.5 etc. (the parser keeps unary minus as a node)
+        q = NumberLiteral(_lit_float(node.args[0], "histogram_quantile q"))
+        # native-histogram branch: when the argument is a shape native
+        # histograms flow through AND a histogram tier is attached,
+        # evaluate it there too and union — a metric is either classic
+        # (le-bucketed float series) or native, so the union is disjoint
+        # (promql evaluates both sample types the same way)
+        native: DataFrame | None = None
+        if self.histograms is not None and self._is_hist_arg(node.args[1]):
+            from promhouse_spark.operators.nativehist import wire_hist_quantile
+
+            wf = self._hist_wire_frame(node.args[1])
+            nqv = float(q.value)
+            if math.isnan(nqv) or nqv < 0 or nqv > 1:
+                native = self._hist_vector(
+                    wf,
+                    F.lit(
+                        float("nan") if math.isnan(nqv)
+                        else float("-inf") if nqv < 0
+                        else float("inf")
+                    ),
+                )
+            else:
+                native = self._hist_vector(
+                    wire_hist_quantile(wf, nqv), F.col("quantile_value")
+                ).unionByName(
+                    # empty histograms: wire_hist_quantile drops them;
+                    # Prometheus answers NaN
+                    self._hist_vector(
+                        wf.filter(F.col("count") <= 0), F.lit(float("nan"))
+                    )
+                )
         vec = self._vec(node.args[1])
         # group per eval by labels minus le (and __name__); le "+Inf" → inf
         key = match_key(F.col("labels"), ignoring=["le"])
@@ -1200,11 +1407,12 @@ class PromQLEngine:
                 "  * (__rank - __pcnt) / (__hits[0].cnt - __pcnt) "
                 "END"
             )
-        return staged.select(
+        classic = staged.select(
             F.from_json("__key", "map<string,string>").alias("labels"),
             "eval_ms",
             value.cast("double").alias("value"),
         )
+        return classic if native is None else classic.unionByName(native)
 
     def _aggregation(self, node: Aggregation) -> DataFrame:
         vec = self._compile(node.expr)

@@ -135,6 +135,20 @@ class JdbcStorage(SparkParquetStorage):
             )
         return df.select(FINGERPRINT, TIMESTAMP_MS, VALUE)
 
+    def histograms_df(self) -> DataFrame:
+        """The two-table JDBC layout (the reference's ClickHouse schema)
+        has no native-histogram tier; answer empty so histogram functions
+        evaluate to no series instead of probing ``root`` (a JDBC URL,
+        not a filesystem path) like the parquet backend would."""
+        from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+        return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
+
+    def exemplars_df(self) -> DataFrame:
+        from promhouse_spark.schemas import EXEMPLARS_SCHEMA
+
+        return self.spark.createDataFrame([], EXEMPLARS_SCHEMA)
+
     def _existing_fingerprints(self) -> DataFrame:
         df = self._read_table(REGISTRY_TABLE)
         if df is None:

@@ -1,0 +1,202 @@
+"""Native-histogram functions in the compiled PromQL engine:
+histogram_count/sum/avg/stddev/stdvar/fraction and histogram_quantile
+over wire-ingested native histograms, at instant selectors and through
+rate()/increase() — hand-computed goldens on a schema-0 histogram."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+
+from promhouse_spark.models import Label, NativeHistogram, Sample, TimeSeries
+from promhouse_spark.promql import PromQLEngine
+from promhouse_spark.storage.parquet import SparkParquetStorage
+
+T0 = 1_767_225_600_000  # 2026-01-01T00:00:00Z
+
+
+def _hist(ts_ms: int, scale: float = 1.0) -> NativeHistogram:
+    """schema 0 (base 2): zero bucket [-0.25, 0.25] count 1·scale,
+    bucket idx 1 = (1, 2] count 2·scale, idx 2 = (2, 4] count 3·scale;
+    count 6·scale, sum 10·scale."""
+    return NativeHistogram(
+        timestamp_ms=ts_ms,
+        count=6.0 * scale,
+        sum=10.0 * scale,
+        schema=0,
+        zero_threshold=0.25,
+        zero_count=1.0 * scale,
+        positive=[(1, 2.0 * scale), (2, 3.0 * scale)],
+        negative=[],
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-nh-engine-"))
+    s.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "lat"), Label("job", "api")],
+                histograms=[_hist(T0 + k * 60_000, scale=k + 1) for k in range(5)],
+            ),
+            # a float series under a DIFFERENT name: histogram functions
+            # must not pick it up
+            TimeSeries(
+                labels=[Label("__name__", "reqs"), Label("job", "api")],
+                samples=[Sample(float(k), T0 + k * 60_000) for k in range(5)],
+            ),
+        ]
+    )
+    return s
+
+
+def _eng(store, at_ms=None, **kw):
+    t = at_ms if at_ms is not None else T0 + 120_000
+    return PromQLEngine.from_storage(store, t, t, 60_000, **kw)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0]
+
+
+# -------------------------------------------------- instant moments
+
+
+def test_histogram_count_sum_avg(store):
+    e = _eng(store)  # eval at T0+120s → latest is the scale-3 histogram
+    r = _one(e.eval("histogram_count(lat)"))
+    assert dict(r["labels"]) == {"job": "api"}  # name dropped
+    assert r["value"] == 18.0
+    assert _one(e.eval("histogram_sum(lat)"))["value"] == 30.0
+    assert _one(e.eval("histogram_avg(lat)"))["value"] == pytest.approx(30.0 / 18.0)
+
+
+def test_histogram_stddev_stdvar(store):
+    e = _eng(store)
+    # mass at geometric midpoints: zero bucket → 0, idx1 → 2^0.5, idx2 → 2^1.5
+    mean = 10.0 / 6.0
+    var = (
+        1 * (0.0 - mean) ** 2
+        + 2 * (2**0.5 - mean) ** 2
+        + 3 * (2**1.5 - mean) ** 2
+    ) / 6.0
+    assert _one(e.eval("histogram_stdvar(lat)"))["value"] == pytest.approx(var)
+    assert _one(e.eval("histogram_stddev(lat)"))["value"] == pytest.approx(
+        math.sqrt(var)
+    )
+
+
+def test_histogram_fraction(store):
+    e = _eng(store)
+    # F(2) = zero bucket full (1) + idx1 full (2) = 3; F(0) = half the
+    # zero bucket = 0.5 → (3 − 0.5)/6
+    r = _one(e.eval("histogram_fraction(0, 2, lat)"))
+    assert r["value"] == pytest.approx(2.5 / 6.0)
+    # full range → 1
+    assert _one(e.eval("histogram_fraction(-4, 4, lat)"))["value"] == pytest.approx(1.0)
+
+
+def test_histogram_quantile_native(store):
+    e = _eng(store)
+    # rank = 0.5·6 = 3; cum: zero→1, idx1→3 (hit); interp inside (1,2]:
+    # 1 + (2−1)·(3−1)/2 = 2
+    r = _one(e.eval("histogram_quantile(0.5, lat)"))
+    assert dict(r["labels"]) == {"job": "api"}
+    assert r["value"] == pytest.approx(2.0)
+    # out-of-range q: native rows answer ±Inf like Prometheus
+    assert _one(e.eval("histogram_quantile(1.5, lat)"))["value"] == float("inf")
+    assert _one(e.eval("histogram_quantile(-1, lat)"))["value"] == float("-inf")
+
+
+# -------------------------------------------------- rate/increase path
+
+
+def test_histogram_count_of_rate(store):
+    # perfect 60 s cadence, scale grows by 1 per step → count grows 6/60 s
+    t = T0 + 240_000
+    e = PromQLEngine.from_storage(store, t, t, 60_000)
+    r = _one(e.eval("histogram_count(rate(lat[4m]))"))
+    assert r["value"] == pytest.approx(6.0 * 4 / 240.0)
+    ri = _one(e.eval("histogram_count(increase(lat[4m]))"))
+    assert ri["value"] == pytest.approx(6.0 * 4)
+
+
+def test_histogram_quantile_of_rate(store):
+    t = T0 + 240_000
+    e = PromQLEngine.from_storage(store, t, t, 60_000)
+    # the increase is scale-4× the unit histogram → same shape, so the
+    # median matches the instant median
+    r = _one(e.eval("histogram_quantile(0.5, rate(lat[4m]))"))
+    assert r["value"] == pytest.approx(2.0)
+
+
+# -------------------------------------------------- edges
+
+
+def test_histogram_functions_ignore_float_series(store):
+    e = _eng(store)
+    assert e.eval("histogram_count(reqs)").collect() == []
+
+
+def test_histogram_functions_without_tier(spark):
+    from pyspark.sql import Row
+
+    sdf = spark.createDataFrame(
+        [Row(fingerprint=1, timestamp_ms=T0, value=1.0)]
+    )
+    ser = spark.createDataFrame(
+        [Row(fingerprint=1, labels={"__name__": "m"})]
+    )
+    e = PromQLEngine(sdf, ser, T0, T0, 60_000)
+    assert e.eval("histogram_count(m)").collect() == []
+
+
+def test_histogram_function_bad_arg_shape(store):
+    e = _eng(store)
+    with pytest.raises(ValueError):
+        e.eval("histogram_count(sum(lat))").collect()
+
+
+def test_classic_histogram_quantile_still_works(spark):
+    """The native union must not disturb the classic le-bucket path."""
+    from pyspark.sql import Row
+
+    rows, series = [], []
+    for i, (le, cnt) in enumerate((("1", 5.0), ("2", 8.0), ("+Inf", 10.0))):
+        series.append(
+            Row(fingerprint=i, labels={"__name__": "h_bucket", "le": le})
+        )
+        rows.append(Row(fingerprint=i, timestamp_ms=T0, value=cnt))
+    sdf = spark.createDataFrame(rows)
+    ser = spark.createDataFrame(series)
+    e = PromQLEngine(sdf, ser, T0, T0, 60_000)
+    r = _one(e.eval("histogram_quantile(0.5, h_bucket)"))
+    assert r["value"] == pytest.approx(1.0)  # rank 5 → exactly first le
+
+
+def test_served_histogram_functions(store):
+    """from_storage wires the histogram tier, so the HTTP query endpoints
+    evaluate histogram_* functions with no extra plumbing."""
+    from promhouse_spark.edge.http import create_app
+
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.get(
+        "/api/v1/query",
+        query_string={
+            "query": "histogram_count(lat)",
+            "time": str((T0 + 120_000) / 1000),
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    res = body["data"]["result"]
+    assert len(res) == 1
+    assert res[0]["metric"] == {"job": "api"}
+    assert float(res[0]["value"][1]) == 18.0
