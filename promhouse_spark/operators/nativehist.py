@@ -565,3 +565,139 @@ def wire_hist_moments(frame: DataFrame) -> DataFrame:
         stdvar.alias("stdvar_value"),
         F.sqrt(stdvar).alias("stddev_value"),
     )
+
+
+def wire_hist_sum(frame: DataFrame, avg: bool = False) -> DataFrame:
+    """sum() / avg() aggregation of wire-shape native histograms per
+    (labels, timestamp_ms) group — the native twin of
+    ``sum by (le) (rate(h_bucket[5m]))``. Callers pre-project ``labels``
+    to the grouping subset; rows sharing (labels, timestamp_ms) merge.
+
+    Mixed resolutions reconcile to the group's COARSEST schema
+    (Prometheus FloatHistogram.Add): bucket idx at schema s maps to
+    ``ceil(idx / 2^(s−s_t))`` at target schema s_t, a lossless regroup
+    because coarser buckets are exact unions of finer ones. The zero
+    bucket takes the group's widest threshold; rescaled buckets whose
+    whole interval falls inside it fold into zero_count (Prometheus
+    additionally WIDENS the threshold to swallow partially-overlapping
+    buckets — with uniform thresholds, the overwhelmingly common case,
+    the two behaviors coincide).
+
+    Shape: one shuffle keyed on (labels-json, timestamp_ms) for the
+    group targets, then the bucket regroup shuffles on a superset of the
+    same key — AQE-local, no fact-table window."""
+    key = F.to_json("labels").alias("__k")
+    f = frame.select(
+        key, "labels", "timestamp_ms", "schema", "zero_threshold",
+        "zero_count", "count", "sum", "positive", "negative",
+    )
+    g = f.groupBy("__k", "timestamp_ms").agg(
+        F.first("labels").alias("labels"),
+        F.min("schema").alias("__st"),
+        F.max("zero_threshold").alias("__zt"),
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+        F.sum("zero_count").alias("__z0"),
+        F.count("*").alias("__n"),
+    )
+    sides = F.concat(
+        F.transform(
+            "positive",
+            lambda x: F.struct(
+                F.lit(1).alias("sgn"), x["idx"].alias("idx"), x["cnt"].alias("cnt")
+            ),
+        ),
+        F.transform(
+            "negative",
+            lambda x: F.struct(
+                F.lit(-1).alias("sgn"), x["idx"].alias("idx"), x["cnt"].alias("cnt")
+            ),
+        ),
+    )
+    ex = f.select("__k", "timestamp_ms", "schema", F.explode(sides).alias("b"))
+    ex = ex.join(
+        g.select("__k", "timestamp_ms", "__st", "__zt"), ["__k", "timestamp_ms"]
+    )
+    factor = F.pow(F.lit(2.0), (F.col("schema") - F.col("__st")).cast("double"))
+    new_idx = F.ceil(F.col("b.idx") / factor).cast("int")
+    base_t = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("__st").cast("double")))
+    upper = F.pow(base_t, new_idx.cast("double"))
+    in_zero = upper <= F.col("__zt")
+    rescaled = ex.select(
+        "__k", "timestamp_ms", F.col("b.sgn").alias("sgn"),
+        new_idx.alias("idx"), F.col("b.cnt").alias("cnt"),
+        in_zero.alias("__fold"),
+    )
+    merged = (
+        rescaled.groupBy("__k", "timestamp_ms")
+        .agg(
+            F.sum(F.when(F.col("__fold"), F.col("cnt")).otherwise(0.0)).alias(
+                "__zfold"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ~F.col("__fold"),
+                        F.struct("sgn", "idx", "cnt"),
+                    )
+                )
+            ).alias("__bs"),
+        )
+    )
+    out = g.join(merged, ["__k", "timestamp_ms"], "left")
+    # regrouped buckets may collide on idx after rescaling — fold equal
+    # indexes together, per side, in one row-local pass
+    def side(sgn: int) -> Column:
+        picked = F.filter(
+            F.coalesce(
+                F.col("__bs"),
+                F.expr(
+                    "cast(array() as array<struct<sgn:int,idx:int,cnt:double>>)"
+                ),
+            ),
+            lambda x: x["sgn"] == sgn,
+        )
+        return F.aggregate(
+            picked,
+            F.expr("cast(array() as array<struct<idx:int,cnt:double>>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1)["idx"] == x["idx"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            x["idx"].alias("idx"),
+                            (F.element_at(acc, -1)["cnt"] + x["cnt"]).alias("cnt"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(x["idx"].alias("idx"), x["cnt"].alias("cnt"))
+                    ),
+                )
+            ),
+        )
+
+    n = F.col("__n").cast("double")
+    div = n if avg else F.lit(1.0)
+    scale_b = lambda c: F.transform(  # noqa: E731
+        c,
+        lambda x: F.struct(x["idx"].alias("idx"), (x["cnt"] / div).alias("cnt")),
+    )
+    return out.select(
+        "labels",
+        "timestamp_ms",
+        F.col("__st").alias("schema"),
+        F.col("__zt").alias("zero_threshold"),
+        ((F.col("__z0") + F.coalesce(F.col("__zfold"), F.lit(0.0))) / div).alias(
+            "zero_count"
+        ),
+        (F.col("count") / div).alias("count"),
+        (F.col("sum") / div).alias("sum"),
+        scale_b(side(1)).alias("positive"),
+        scale_b(side(-1)).alias("negative"),
+    )

@@ -467,12 +467,20 @@ class PromQLEngine:
             )
         return hists, series
 
-    @staticmethod
-    def _is_hist_arg(node) -> bool:
+    @classmethod
+    def _is_hist_arg(cls, node) -> bool:
         """The sub-expression shapes native histograms flow through: a
-        vector selector, or rate()/increase() over a range selector."""
+        vector selector, rate()/increase() over a range selector, and
+        sum()/avg() aggregation over either (the canonical
+        ``histogram_quantile(0.9, sum(rate(h[5m])))``)."""
         if isinstance(node, VectorSelector):
             return True
+        if (
+            isinstance(node, Aggregation)
+            and node.op in ("sum", "avg")
+            and node.param is None
+        ):
+            return cls._is_hist_arg(node.expr)
         return (
             isinstance(node, Call)
             and node.func in ("rate", "increase")
@@ -490,6 +498,21 @@ class PromQLEngine:
         one keyed agg)."""
         from promhouse_spark.operators.nativehist import hist_increase
 
+        if isinstance(node, Aggregation):  # sum()/avg() of histograms
+            from promhouse_spark.operators.nativehist import wire_hist_sum
+            from promhouse_spark.operators.vector_match import match_labels
+
+            inner = self._hist_wire_frame(node.expr)
+            if node.by is not None:
+                grouped = match_labels(F.col("labels"), on=node.by)
+            else:
+                # bare sum: ALL labels drop; without: drop listed + name
+                grouped = match_labels(
+                    F.col("labels"), ignoring=node.without or None,
+                    on=[] if node.without is None else None,
+                )
+            projected = inner.withColumn("labels", grouped)
+            return wire_hist_sum(projected, avg=node.op == "avg")
         if isinstance(node, VectorSelector):
             hists, series = self._hist_selected(node)
             at = self._at_ms(node)

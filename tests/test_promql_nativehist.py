@@ -53,6 +53,26 @@ def store(spark):
     return s
 
 
+@pytest.fixture(scope="module")
+def store2(spark):
+    """Two native-histogram series of one metric, for aggregation tests:
+    job=a the unit histogram, job=b the 2× histogram."""
+    s = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-nh-agg-"))
+    s.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "h2"), Label("job", "a")],
+                histograms=[_hist(T0)],
+            ),
+            TimeSeries(
+                labels=[Label("__name__", "h2"), Label("job", "b")],
+                histograms=[_hist(T0, scale=2.0)],
+            ),
+        ]
+    )
+    return s
+
+
 def _eng(store, at_ms=None, **kw):
     t = at_ms if at_ms is not None else T0 + 120_000
     return PromQLEngine.from_storage(store, t, t, 60_000, **kw)
@@ -159,7 +179,71 @@ def test_histogram_functions_without_tier(spark):
 def test_histogram_function_bad_arg_shape(store):
     e = _eng(store)
     with pytest.raises(ValueError):
-        e.eval("histogram_count(sum(lat))").collect()
+        e.eval("histogram_count(abs(lat))").collect()
+
+
+# -------------------------------------------------- aggregation
+
+
+def test_sum_of_histograms(store2):
+    """sum(h): two series with schema-0 unit histograms merge bucket-wise;
+    sum by (job) keeps the job label."""
+    e = PromQLEngine.from_storage(store2, T0, T0, 60_000)
+    r = _one(e.eval("histogram_count(sum(h2))"))
+    assert dict(r["labels"]) == {}
+    assert r["value"] == 6.0 + 12.0
+    r = e.eval("histogram_count(sum by (job) (h2))").collect()
+    got = sorted((dict(x["labels"])["job"], x["value"]) for x in r)
+    assert got == [("a", 6.0), ("b", 12.0)]
+
+
+def test_avg_of_histograms(store2):
+    e = PromQLEngine.from_storage(store2, T0, T0, 60_000)
+    assert _one(e.eval("histogram_count(avg(h2))"))["value"] == pytest.approx(9.0)
+    # avg preserves the overall mean: sums 10 and 20 over counts 6 and 12
+    assert _one(e.eval("histogram_sum(avg(h2))"))["value"] == pytest.approx(15.0)
+
+
+def test_quantile_over_summed_histograms(store2):
+    """The canonical histogram_quantile(q, sum(rate(...))) shape, here at
+    an instant: merged buckets zero→3, idx1→6, idx2→9, count 18;
+    rank 9 hits idx1 (cum 9) exactly → upper bound interp:
+    1 + 1·(9−3)/6 = 2."""
+    e = PromQLEngine.from_storage(store2, T0, T0, 60_000)
+    assert _one(e.eval("histogram_quantile(0.5, sum(h2))"))["value"] == pytest.approx(2.0)
+
+
+def test_sum_mixed_schemas(spark):
+    """schema 1 (base √2) buckets regroup exactly into schema 0 (base 2):
+    idx 1 (1, √2] and idx 2 (√2, 2] both → idx 1 (1, 2]."""
+    import tempfile as _tf
+
+    s = SparkParquetStorage(spark, _tf.mkdtemp(prefix="phs-nh-mix-"))
+    s.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "hm"), Label("i", "fine")],
+                histograms=[
+                    NativeHistogram(
+                        timestamp_ms=T0, count=3.0, sum=4.0, schema=1,
+                        zero_threshold=0.25, zero_count=0.0,
+                        positive=[(1, 1.0), (2, 2.0)], negative=[],
+                    )
+                ],
+            ),
+            TimeSeries(
+                labels=[Label("__name__", "hm"), Label("i", "coarse")],
+                histograms=[_hist(T0)],
+            ),
+        ]
+    )
+    e = PromQLEngine.from_storage(s, T0, T0, 60_000)
+    # merged at schema 0: zero 1, idx1 = (2 from coarse) + (1+2 rescaled),
+    # idx2 = 3  → fraction(0, 2) = (1·full + idx1 full 5 + 0)/9 … F(0)=0.5
+    assert _one(e.eval("histogram_count(sum(hm))"))["value"] == 9.0
+    assert _one(e.eval("histogram_fraction(0, 2, sum(hm))"))["value"] == pytest.approx(
+        (1.0 + 5.0 - 0.5) / 9.0
+    )
 
 
 def test_classic_histogram_quantile_still_works(spark):
