@@ -572,6 +572,66 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             conds = c if conds is None else (conds | c)
         return df.filter(conds)
 
+    @app.get("/federate")
+    def federate():
+        """Prometheus federation (web/federate.go): the most recent
+        sample of every series matched by the repeated ``match[]``
+        selectors, rendered in exposition text with millisecond
+        timestamps — the format a federating Prometheus scrapes.
+        ``time`` is accepted as a replay/testing extension (defaults to
+        wall clock); staleness is the usual 5 m lookback. The read is the
+        matcher-restricted date-pruned sample scan + ONE keyed max_by;
+        result cardinality = matched series (API-edge contract)."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from promhouse_spark.edge.exposition import render_exposition
+        from promhouse_spark.models import Label as MLabel, Sample as MSample
+        from promhouse_spark.models import TimeSeries as MTimeSeries
+        from promhouse_spark.plans.read import samples_in_range
+
+        try:
+            _require_frames()
+            if not request.values.getlist("match[]"):
+                raise ValueError("missing match[] parameter")
+            t_ms = (
+                _parse_time_ms(request.values["time"])
+                if request.values.get("time")
+                else int(_time.time() * 1000)
+            )
+            reg = _apply_match(storage.registry_df().select("fingerprint", "labels"))
+        except _Unsupported as e:
+            return _unsupported(e)
+        except ValueError as e:
+            return _promql_error(e)
+        lookback = int(request.values.get("lookback_delta_ms", 300_000))
+        latest = (
+            samples_in_range(storage.samples_df(), t_ms - lookback, t_ms)
+            .join(reg.select("fingerprint"), "fingerprint", "left_semi")
+            .groupBy("fingerprint")
+            .agg(
+                F.max_by(
+                    F.struct("timestamp_ms", "value"), F.col("timestamp_ms")
+                ).alias("s")
+            )
+        )
+        rows = latest.join(reg, "fingerprint").select(
+            "labels", "s.timestamp_ms", "s.value"
+        ).collect()
+        series = [
+            MTimeSeries(
+                labels=[MLabel(k, v) for k, v in sorted(r["labels"].items())],
+                samples=[MSample(r["value"], r["timestamp_ms"])],
+            )
+            for r in sorted(
+                rows, key=lambda r: tuple(sorted((r["labels"] or {}).items()))
+            )
+        ]
+        return Response(
+            render_exposition(series), mimetype="text/plain; version=0.0.4"
+        )
+
     @app.get("/api/v1/labels")
     def labels_endpoint():
         from pyspark.sql import functions as F
