@@ -86,6 +86,32 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         counters["written_samples"] += sum(len(ts.samples) for ts in series)
         return Response(status=200)
 
+    @app.post("/api/v1/otlp/v1/metrics")
+    def otlp_metrics():
+        """OTLP/HTTP metrics ingestion (Prometheus ≥ 3.0): protobuf
+        ExportMetricsServiceRequest body → OTLP→Prometheus translation
+        (edge/otlp.py) → the same storage write path as remote-write.
+        Success answers an empty ExportMetricsServiceResponse; DELTA
+        temporality and undecodable bodies answer 400."""
+        from promhouse_spark.edge import otlp
+
+        body = request.get_data()
+        if request.headers.get("Content-Encoding") == "gzip":
+            import gzip
+
+            try:
+                body = gzip.decompress(body)
+            except OSError as e:
+                return Response(f"decode error: {e}", status=400)
+        try:
+            series = otlp.translate(otlp.decode_export_request(body))
+        except ValueError as e:
+            return Response(f"decode error: {e}", status=400)
+        storage.write(series)
+        counters["written_time_series"] += len(series)
+        counters["written_samples"] += sum(len(ts.samples) for ts in series)
+        return Response(b"", status=200, mimetype="application/x-protobuf")
+
     @app.post("/read")
     def read():
         try:
