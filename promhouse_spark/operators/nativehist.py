@@ -701,3 +701,39 @@ def wire_hist_sum(frame: DataFrame, avg: bool = False) -> DataFrame:
         scale_b(side(1)).alias("positive"),
         scale_b(side(-1)).alias("negative"),
     )
+
+
+def hist_to_wire(
+    hists: DataFrame, label_cols: dict[str, Column], ts_col: Column
+) -> DataFrame:
+    """Cents-tier histogram rows (:func:`hist_build` / :func:`hist_merge`
+    output, schema 0 over integer cents) → the wire-shape frame the
+    wire_* operators and the PromQL engine consume. ``label_cols`` maps
+    label names to columns; values stay in CENTS (sum = sum_cents as a
+    double) — divide by 100 at presentation. The cents-tier zero bucket
+    (cents ≤ 0) becomes the wire zero bucket at threshold 0.5, which
+    covers exactly cents = 0; the idx-0 bucket (0.5, 1] is cents = 1 in
+    both conventions, so the conversion is lossless."""
+    pairs = []
+    for k, v in label_cols.items():
+        pairs += [F.lit(k), v.cast("string")]
+    return hists.select(
+        F.create_map(*pairs).alias("labels") if pairs
+        else F.create_map().cast("map<string,string>").alias("labels"),
+        ts_col.cast("long").alias("timestamp_ms"),
+        F.col("schema").cast("int").alias("schema"),
+        F.lit(0.5).alias("zero_threshold"),
+        F.col("zero_count").cast("double").alias("zero_count"),
+        F.col("count").cast("double").alias("count"),
+        F.col("sum_cents").cast("double").alias("sum"),
+        F.transform(
+            "buckets",
+            lambda x: F.struct(
+                x["idx"].cast("int").alias("idx"),
+                x["cnt"].cast("double").alias("cnt"),
+            ),
+        ).alias("positive"),
+        F.expr("cast(array() as array<struct<idx:int,cnt:double>>)").alias(
+            "negative"
+        ),
+    )
