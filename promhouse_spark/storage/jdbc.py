@@ -149,6 +149,9 @@ class JdbcStorage(SparkParquetStorage):
 
         return self.spark.createDataFrame([], EXEMPLARS_SCHEMA)
 
+    def _histograms_for(self, q) -> list[tuple]:
+        return []  # no histogram tier (see histograms_df)
+
     def _existing_fingerprints(self) -> DataFrame:
         df = self._read_table(REGISTRY_TABLE)
         if df is None:

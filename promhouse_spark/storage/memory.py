@@ -44,6 +44,9 @@ class MemoryStorage(Storage):
                 )
             ):
                 cur.samples.sort(key=lambda s: s.timestamp_ms)
+            if getattr(ts, "histograms", None):
+                cur.histograms.extend(ts.histograms)
+                cur.histograms.sort(key=lambda h: h.timestamp_ms)
 
     def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         out: list[list[TimeSeries]] = []
@@ -57,7 +60,18 @@ class MemoryStorage(Storage):
                 samples = [
                     s for s in ts.samples if q.start_ms <= s.timestamp_ms <= q.end_ms
                 ]
-                if samples:
-                    res.append(TimeSeries(labels=list(ts.labels), samples=samples))
+                hists = [
+                    h
+                    for h in ts.histograms
+                    if q.start_ms <= h.timestamp_ms <= q.end_ms
+                ]
+                if samples or hists:
+                    res.append(
+                        TimeSeries(
+                            labels=list(ts.labels),
+                            samples=samples,
+                            histograms=hists,
+                        )
+                    )
             out.append(res)
         return out

@@ -527,6 +527,64 @@ class SparkParquetStorage(Storage):
         )
         return group_into_series(restricted).join(series, FINGERPRINT, "inner")
 
+    def _histograms_for(self, q: Query) -> list[tuple]:
+        """(fingerprint, labels, NativeHistogram) rows in range for
+        read() attachment — empty when the tier is absent. Bounded by
+        matched native-series cardinality (API-edge contract)."""
+        from promhouse_spark.models import NativeHistogram
+        from promhouse_spark.plans.read import select_series
+
+        if not fs.exists(self.spark, self.histograms_path):
+            return []
+        matched = select_series(self.registry_df(), q.matchers)
+        hf = samples_in_range(self.histograms_df(), q.start_ms, q.end_ms)
+        hf = restrict_to_series(hf, matched.select(FINGERPRINT))
+        rows = hf.join(matched, FINGERPRINT).collect()
+        rows.sort(key=lambda r: (to_unsigned64(r[FINGERPRINT]), r[TIMESTAMP_MS]))
+        return [
+            (
+                r[FINGERPRINT],
+                dict(r[LABELS]),
+                NativeHistogram(
+                    timestamp_ms=r[TIMESTAMP_MS],
+                    count=r["count"],
+                    sum=r["sum"],
+                    schema=r["schema"],
+                    zero_threshold=r["zero_threshold"],
+                    zero_count=r["zero_count"],
+                    positive=[(b["idx"], b["cnt"]) for b in r["positive"]],
+                    negative=[(b["idx"], b["cnt"]) for b in r["negative"]],
+                ),
+            )
+            for r in rows
+        ]
+
+    def _attach_histograms(self, q: Query, res: list[TimeSeries]) -> list[TimeSeries]:
+        """Merge the query's native histograms into the float read result
+        (modern prompb TimeSeries carries both sample types); native-only
+        series append as new entries. Result stays sorted by unsigned
+        fingerprint, the read() output contract."""
+        hrows = self._histograms_for(q)
+        if not hrows:
+            return res
+        by_fp: dict[int, TimeSeries] = {}
+        for ts in res:
+            fp = to_signed64(
+                fingerprint((l.name, l.value) for l in ts.labels)
+            )
+            by_fp[fp] = ts
+        for fp, labels, hist in hrows:
+            ts = by_fp.get(fp)
+            if ts is None:
+                ts = TimeSeries(
+                    labels=[Label(n, v) for n, v in sorted(labels.items())]
+                )
+                by_fp[fp] = ts
+                res.append(ts)
+            ts.histograms.append(hist)
+        res.sort(key=lambda ts: fingerprint((l.name, l.value) for l in ts.labels))
+        return res
+
     def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         sql = rawsql_text(queries)
         if sql is not None:
@@ -536,7 +594,10 @@ class SparkParquetStorage(Storage):
             # multi-query requests collapse into ONE Spark job (union of
             # per-query restricted scans tagged with the slot index) —
             # Prometheus remote-read latency scales with jobs, not rows
-            return self._read_batched(queries)
+            return [
+                self._attach_histograms(q, res)
+                for q, res in zip(queries, self._read_batched(queries))
+            ]
 
         results: list[list[TimeSeries]] = []
         cold = self.samples_df()
@@ -590,7 +651,7 @@ class SparkParquetStorage(Storage):
                     )
                     for r in rows
                 ]
-            results.append(res)
+            results.append(self._attach_histograms(q, res))
         return results
 
     def cache_recent(self, days: int = 2) -> None:

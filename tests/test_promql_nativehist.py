@@ -284,3 +284,82 @@ def test_served_histogram_functions(store):
     assert len(res) == 1
     assert res[0]["metric"] == {"job": "api"}
     assert float(res[0]["value"][1]) == 18.0
+
+
+# -------------------------------------------------- remote-read round-trip
+
+
+def test_read_returns_native_histograms(store):
+    """storage.read attaches the query's native histograms to the float
+    result (modern prompb TimeSeries carries both sample types), so the
+    /read protocol round-trips them."""
+    from promhouse_spark.models import MatchType, Matcher, Query
+
+    q = Query(
+        start_ms=T0,
+        end_ms=T0 + 300_000,
+        matchers=(Matcher("__name__", MatchType.EQ, "lat"),),
+    )
+    (res,) = store.read([q])
+    assert len(res) == 1
+    ts = res[0]
+    assert ts.labels_map() == {"__name__": "lat", "job": "api"}
+    assert ts.samples == []  # lat is native-only
+    assert [h.timestamp_ms for h in ts.histograms] == [
+        T0 + k * 60_000 for k in range(5)
+    ]
+    assert ts.histograms[2].count == 18.0
+    # float series stay float
+    qf = Query(
+        start_ms=T0,
+        end_ms=T0 + 300_000,
+        matchers=(Matcher("__name__", MatchType.EQ, "reqs"),),
+    )
+    (resf,) = store.read([qf])
+    assert len(resf) == 1 and resf[0].histograms == []
+
+
+def test_read_wire_roundtrip_with_histograms(store):
+    from promhouse_spark.edge import prompb, snappy_codec
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.models import MatchType, Matcher, Query
+
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    q = Query(
+        start_ms=T0,
+        end_ms=T0 + 300_000,
+        matchers=(Matcher("__name__", MatchType.EQ, "lat"),),
+    )
+    req = snappy_codec.compress(prompb.encode_read_request([q]))
+    r = c.post("/read", data=req)
+    assert r.status_code == 200
+    (result,) = prompb.decode_read_response(snappy_codec.decompress(r.data))
+    assert len(result) == 1
+    hs = result[0].histograms
+    assert len(hs) == 5 and hs[0].positive == [(1, 2.0), (2, 3.0)]
+
+
+def test_memory_storage_histograms_roundtrip(spark):
+    from promhouse_spark.models import MatchType, Matcher, Query
+    from promhouse_spark.storage.memory import MemoryStorage
+
+    m = MemoryStorage()
+    m.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "lat")],
+                histograms=[_hist(T0), _hist(T0 + 60_000, 2.0)],
+            )
+        ]
+    )
+    (res,) = m.read(
+        [Query(T0, T0 + 60_000, (Matcher("__name__", MatchType.EQ, "lat"),))]
+    )
+    assert len(res) == 1 and len(res[0].histograms) == 2
+    # range filter applies to histograms too
+    (res2,) = m.read(
+        [Query(T0 + 1, T0 + 60_000, (Matcher("__name__", MatchType.EQ, "lat"),))]
+    )
+    assert [h.count for h in res2[0].histograms] == [12.0]
