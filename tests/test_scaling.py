@@ -41,6 +41,10 @@ GATE = [
     "doc_shingle_jaccard_lsh",
     "emb_cosine_topk",
     "ph_promql_rate",
+    # r8: exemplar-reservoir window + the histogram build→merge→quantile
+    # path (measured 2.3x / 1.0x at 10x — the tier is cardinality-bounded)
+    "ph_exemplar_topk",
+    "nhist_wire_sum_quantile",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
