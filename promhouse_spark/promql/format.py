@@ -14,6 +14,8 @@ re-parsing flat would bind it differently.
 
 from __future__ import annotations
 
+import re
+
 from promhouse_spark.promql.parser import (
     _PRECEDENCE,
     Aggregation,
@@ -74,8 +76,21 @@ def _quote(s: str) -> str:
     return f'"{out}"'
 
 
+_CLASSIC_LABEL = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*\Z")
+_CLASSIC_METRIC = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*\Z")
+
+
+def _label_key(name: str) -> str:
+    """Quote UTF-8 label names (Prometheus 3 syntax); classic names bare."""
+    return name if _CLASSIC_LABEL.match(name) else _quote(name)
+
+
 def _matchers(sel: VectorSelector) -> str:
-    ms = [f"{m.name}{m.op}{_quote(m.value)}" for m in sel.matchers]
+    ms = [f"{_label_key(m.name)}{m.op}{_quote(m.value)}" for m in sel.matchers]
+    if sel.name is not None and not _CLASSIC_METRIC.match(sel.name):
+        # UTF-8 metric name: the quoted in-braces form {"my.metric", ...}
+        ms.insert(0, _quote(sel.name))
+        return "{" + ",".join(ms) + "}"
     body = ",".join(ms)
     if sel.name is not None:
         return sel.name + (f"{{{body}}}" if ms else "")
@@ -152,9 +167,9 @@ def format_expr(node) -> str:
     if isinstance(node, Aggregation):
         grouping = ""
         if node.by is not None:
-            grouping = f" by ({', '.join(node.by)})"
+            grouping = f" by ({', '.join(_label_key(n) for n in node.by)})"
         elif node.without is not None:
-            grouping = f" without ({', '.join(node.without)})"
+            grouping = f" without ({', '.join(_label_key(n) for n in node.without)})"
         args = []
         if node.param is not None:
             args.append(format_expr(node.param))
@@ -167,9 +182,9 @@ def format_expr(node) -> str:
         if node.bool_mode:
             mods += " bool"
         if node.on is not None:
-            mods += f" on({', '.join(node.on)})"
+            mods += f" on({', '.join(_label_key(n) for n in node.on)})"
         elif node.ignoring is not None:
-            mods += f" ignoring({', '.join(node.ignoring)})"
+            mods += f" ignoring({', '.join(_label_key(n) for n in node.ignoring)})"
         # Go's printer always renders the include parens ("group_left()"):
         # a bare "group_left" followed by a parenthesized operand would
         # re-parse the operand's "(" as the include-label list

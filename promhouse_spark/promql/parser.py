@@ -269,9 +269,15 @@ class Parser:
         names = []
         while self.peek().text != ")":
             t = self.next()
-            if t.kind != "IDENT":
+            if t.kind == "STRING":  # Prometheus 3 UTF-8 grouping labels
+                raw = t.text[1:-1]
+                names.append(
+                    raw.encode().decode("unicode_escape") if "\\" in raw else raw
+                )
+            elif t.kind == "IDENT":
+                names.append(t.text)
+            else:
                 raise ValueError(f"expected label name, got {t.text!r}")
-            names.append(t.text)
             if self.peek().text == ",":
                 self.next()
         self.expect(")")
@@ -412,7 +418,22 @@ class Parser:
         out = []
         while self.peek().text != "}":
             name_t = self.next()
-            if name_t.kind != "IDENT":
+            if name_t.kind == "STRING":
+                # Prometheus 3 UTF-8 names: quoted label names in
+                # matchers, and the bare-quoted sugar {"my.metric"} ≡
+                # {__name__="my.metric"}
+                raw = name_t.text[1:-1]
+                name = (
+                    raw.encode().decode("unicode_escape") if "\\" in raw else raw
+                )
+                if self.peek().text in (",", "}"):
+                    out.append(Matcher("__name__", "=", name))
+                    if self.peek().text == ",":
+                        self.next()
+                    continue
+            elif name_t.kind == "IDENT":
+                name = name_t.text
+            else:
                 raise ValueError(f"expected label name, got {name_t.text!r}")
             op_t = self.next()
             if op_t.text not in ("=", "!=", "=~", "!~"):
@@ -422,7 +443,7 @@ class Parser:
                 raise ValueError(f"expected quoted value, got {val_t.text!r}")
             raw = val_t.text[1:-1]
             value = raw.encode().decode("unicode_escape") if "\\" in raw else raw
-            out.append(Matcher(name_t.text, op_t.text, value))
+            out.append(Matcher(name, op_t.text, value))
             if self.peek().text == ",":
                 self.next()
         self.expect("}")

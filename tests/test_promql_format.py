@@ -213,3 +213,64 @@ if _HYP:
     def test_random_ast_round_trip(ast):
         rendered = format_expr(ast)
         assert parse(rendered) == ast, rendered
+
+
+# ------------------------------------------- Prometheus 3 UTF-8 names
+
+
+def test_parse_quoted_metric_sugar():
+    from promhouse_spark.promql.parser import VectorSelector, parse
+
+    r = parse('{"my.metric"}')
+    assert isinstance(r, VectorSelector) and r.name is None
+    assert [(m.name, m.op, m.value) for m in r.matchers] == [
+        ("__name__", "=", "my.metric")
+    ]
+    r = parse('{"my.metric", env="prod"}')
+    assert [(m.name, m.value) for m in r.matchers] == [
+        ("__name__", "my.metric"),
+        ("env", "prod"),
+    ]
+
+
+def test_parse_quoted_label_names():
+    from promhouse_spark.promql.parser import parse
+
+    r = parse('{"label.with.dots"="v", plain="w"}')
+    assert [(m.name, m.op, m.value) for m in r.matchers] == [
+        ("label.with.dots", "=", "v"),
+        ("plain", "=", "w"),
+    ]
+    agg = parse('sum by ("k8s.cluster") (up)')
+    assert agg.by == ["k8s.cluster"]
+
+
+def test_format_quotes_utf8_names():
+    from promhouse_spark.promql.format import format_expr
+    from promhouse_spark.promql.parser import parse
+
+    for src, want in [
+        ('{"my.metric"}', '{__name__="my.metric"}'),
+        ('{"l.x"="v"}', '{"l.x"="v"}'),
+        ('sum by ("k8s.cluster") (up)', 'sum by ("k8s.cluster") (up)'),
+    ]:
+        assert format_expr(parse(src)) == want
+        # round-trip stability
+        assert format_expr(parse(format_expr(parse(src)))) == want
+
+
+def test_utf8_names_evaluate(spark):
+    from pyspark.sql import Row
+
+    from promhouse_spark.promql import PromQLEngine
+
+    T0 = 1_767_225_600_000
+    sdf = spark.createDataFrame([Row(fingerprint=1, timestamp_ms=T0, value=4.0)])
+    ser = spark.createDataFrame(
+        [Row(fingerprint=1, labels={"__name__": "http.req", "k8s.pod": "a"})]
+    )
+    e = PromQLEngine(sdf, ser, T0, T0, 60_000)
+    rows = e.eval('{"http.req", "k8s.pod"="a"}').collect()
+    assert len(rows) == 1 and rows[0]["value"] == 4.0
+    rows = e.eval('sum by ("k8s.pod") ({"http.req"})').collect()
+    assert len(rows) == 1 and dict(rows[0]["labels"]) == {"k8s.pod": "a"}
