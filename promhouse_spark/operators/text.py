@@ -442,3 +442,97 @@ def quality_score(
         linear = linear + F.lit(float(w)) * f
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-linear))
     return linear, prob
+
+
+# --------------------------------------------------- Gopher quality rules
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """The Gopher corpus-filtering rule set (Rae et al. 2021, Appendix A)
+    as pure column expressions — one projection, no shuffle, no UDF; each
+    signal is a per-document rational so a SQL engine reproduces it
+    bit-for-bit.
+
+    Signals: word count, mean word length, symbol-to-word ratio
+    (``#``/ellipsis), bullet-start and ellipsis-end line fractions,
+    alphabetic-word fraction, Gopher-stopword hits, duplicate line /
+    paragraph fractions, duplicate-line character fraction. ``gopher_pass``
+    applies the paper's thresholds."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = word_chars / n_words
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ) + F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # count stopwords PRESENT (filter+contains, not array_intersect, so a
+    # SQL replay needs no engine-specific dedup semantics)
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("- ")
+            | F.trim(l).startswith("* ")
+            | F.trim(l).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dist_lines = F.array_distinct(lines)
+    dist_line_chars = F.aggregate(
+        dist_lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    paras = F.filter(F.split(t, r"\n\n+"), lambda p: F.length(F.trim(p)) > 0)
+    n_paras = F.size(paras)
+    dup_para_frac = (n_paras - F.size(F.array_distinct(paras))) / n_paras
+
+    sig = df.select(
+        *id_cols,
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / n_words, 6).alias("symbol_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_words / n_words, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        F.round((n_lines - F.size(dist_lines)) / n_lines, 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(dup_para_frac, 6).alias("dup_para_frac"),
+        F.round((line_chars - dist_line_chars) / line_chars, 6).alias(
+            "dup_line_char_frac"
+        ),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_para_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+    )
+    return sig.withColumn("gopher_pass", passes)

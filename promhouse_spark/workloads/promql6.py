@@ -254,3 +254,77 @@ QUERIES["nhist_wire_sum_quantile"] = nhist_wire_sum_quantile
 ORACLES["nhist_wire_sum_quantile"] = NHIST_WIRE_SUM_QUANTILE_SQL
 QUERIES["nhist_wire_moments"] = nhist_wire_moments
 ORACLES["nhist_wire_moments"] = NHIST_WIRE_MOMENTS_SQL
+
+
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule-set signal vector per document
+    (operators/text.gopher_signals) — every signal hash-compared, plus
+    the composite verdict. One projection over the corpus; at 100 TB
+    this is a scan-time filter, no shuffle."""
+    from promhouse_spark.operators.text import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_signals(docs).orderBy("doc_id")
+
+
+DOC_GOPHER_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> length(x) > 0) AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+         list_filter(string_split_regex(text, '\n\n+'),
+                     p -> length(trim(p)) > 0) AS paras
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+          * 1.0 / len(words), 6) AS mean_word_len,
+    round(((length(text) - length(replace(text, '#', '')))
+           + CAST(floor((length(text) - length(replace(text, '...', '')))
+                        / 3.0) AS INT))
+          * 1.0 / len(words), 6) AS symbol_ratio,
+    round(len(list_filter(lines, l ->
+            starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')
+            OR starts_with(trim(l), '•')))
+          * 1.0 / len(lines), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+          * 1.0 / len(lines), 6) AS ellipsis_line_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          * 1.0 / len(words), 6) AS alpha_word_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(words, x -> lower(x)), s)))
+      AS stop_hits,
+    round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+      AS dup_line_frac,
+    round((len(paras) - len(list_distinct(paras))) * 1.0 / len(paras), 6)
+      AS dup_para_frac,
+    round((list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+           - list_aggregate(list_transform(list_distinct(lines),
+                                           l -> length(l)), 'sum'))
+          * 1.0
+          / list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 6)
+      AS dup_line_char_frac
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2
+        AND dup_line_frac <= 0.3
+        AND dup_para_frac <= 0.3
+        AND dup_line_char_frac <= 0.2) AS gopher_pass
+FROM s
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_gopher_quality"] = doc_gopher_quality
+ORACLES["doc_gopher_quality"] = DOC_GOPHER_QUALITY_SQL

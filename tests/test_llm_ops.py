@@ -581,3 +581,39 @@ def test_paragraph_dedup_finds_planted_boilerplate(spark):
         df, chunk_words=5, threshold=0.9, shingle_n=2
     ).collect()
     assert {(r.doc_a, r.para_a, r.doc_b, r.para_b) for r in mh} == {(1, 1, 2, 1)}
+
+
+def test_gopher_signals_hand_computed(spark):
+    """Gopher rule set on crafted documents: every signal pinned by hand."""
+    from promhouse_spark.operators.text import gopher_signals
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] * 12 + ["alpha", "beta"] * 5
+    )  # 70 words, all alphabetic, 5 stopword kinds
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            # bullets + ellipsis + duplicate lines
+            (2, "- one two...\n- one two...\nplain line here\n\npara\n\npara"),
+            # symbols: 4 '#' in 8 words
+            (3, "a# b# c# d# eeee ffff gggg hhhh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_signals(docs).collect()}
+    g = out[1]
+    assert g["n_words"] == 70 and g["alpha_word_frac"] == 1.0
+    assert g["stop_hits"] == 5 and g["dup_line_frac"] == 0.0
+    b = out[2]
+    # 5 non-empty lines: two identical bullets (1 dup), plain, para, para (1 dup)
+    assert b["bullet_line_frac"] == pytest.approx(2 / 5)
+    assert b["ellipsis_line_frac"] == pytest.approx(2 / 5)
+    assert b["dup_line_frac"] == pytest.approx(2 / 5)
+    # paragraphs split on blank lines: [2 bullet lines + plain, para, para]
+    assert b["dup_para_frac"] == pytest.approx(1 / 3)
+    # duplicate chars: one '- one two...' (12) + one 'para' (4) of 47 total
+    # (12+12+15+4+4)
+    assert b["dup_line_char_frac"] == pytest.approx(round(16 / 47, 6))
+    s = out[3]
+    assert s["symbol_ratio"] == pytest.approx(4 / 8)
+    assert not s["gopher_pass"]
