@@ -172,3 +172,44 @@ def pack_sequences(
             F.round(F.sum(token_count_col) / F.lit(seq_len), 4).alias("fill_ratio"),
         )
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    weights: dict[str, float] | None = None,
+    method: str = "lcg",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Leakage-free train/eval split: documents connected by a near-dup
+    pair NEVER straddle splits (a test document with a training-set
+    near-duplicate silently inflates eval scores — the reason production
+    pipelines split by CLUSTER, not by document).
+
+    Connected components over the pair graph
+    (:func:`promhouse_spark.operators.dedup.connected_components`) pick
+    each document's representative (component-minimum id); every document
+    then buckets by its REPRESENTATIVE's id, so whole clusters land in
+    one split atomically. Documents with no pairs keep their own id —
+    identical to :func:`hash_split` on a clean corpus. Adds ``rep`` and
+    ``split`` columns; one component fixpoint + one broadcast-sized join
+    (components exist only for paired docs, a small fraction of the
+    corpus)."""
+    from promhouse_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, src_col, dst_col, max_iter)
+    lab = (
+        df.join(
+            comp.withColumnRenamed("node", id_col).withColumnRenamed(
+                "component", "rep"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("rep", F.coalesce(F.col("rep"), F.col(id_col)))
+    )
+    out = hash_split(lab, id_col="rep", weights=weights, method=method)
+    return out

@@ -328,3 +328,51 @@ ORDER BY doc_id
 
 QUERIES["doc_gopher_quality"] = doc_gopher_quality
 ORACLES["doc_gopher_quality"] = DOC_GOPHER_QUALITY_SQL
+
+
+def doc_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split assignment (operators/sampling.py
+    cluster_safe_split): exact-duplicate clusters (star edges to the
+    text-group minimum) run through the REAL iterative
+    connected-components operator, then every document buckets by its
+    cluster representative. The DuckDB oracle computes the representative
+    as a window MIN over the text hash — an independent, non-iterative
+    mechanism — so the hash match validates the component fixpoint AND
+    the split algebra."""
+    from promhouse_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.select(
+        "doc_id", F.md5("text").alias("__h")
+    )
+    star = (
+        groups.groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_a"), F.collect_list("doc_id").alias("all"))
+        .select("doc_a", F.explode("all").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    out = cluster_safe_split(docs.select("doc_id"), star)
+    return out.select("doc_id", "rep", "split").orderBy("doc_id")
+
+
+DOC_CLUSTER_SAFE_SPLIT_SQL = """
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+b AS (
+  SELECT doc_id, rep,
+         ((rep * 1103515245 + 12345) % 2147483648) / 2147483648.0 AS bucket
+  FROM g
+)
+SELECT doc_id, rep,
+       CASE WHEN bucket < 0.8 THEN 'train'
+            WHEN bucket < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_cluster_safe_split"] = doc_cluster_safe_split
+ORACLES["doc_cluster_safe_split"] = DOC_CLUSTER_SAFE_SPLIT_SQL

@@ -617,3 +617,28 @@ def test_gopher_signals_hand_computed(spark):
     s = out[3]
     assert s["symbol_ratio"] == pytest.approx(4 / 8)
     assert not s["gopher_pass"]
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Near-dup pairs NEVER straddle splits; singletons match hash_split."""
+    from promhouse_spark.operators.sampling import cluster_safe_split, hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], "doc_id long"
+    )
+    # chain 1-2-3 (one cluster via transitivity) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = cluster_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    rep_of = {r["doc_id"]: r["rep"] for r in out}
+    assert rep_of[1] == rep_of[2] == rep_of[3] == 1
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[10] == split_of[11]
+    # singletons: identical to plain hash_split on their own id
+    plain = {
+        r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+    }
+    for d in range(4, 10):
+        assert split_of[d] == plain[d]
