@@ -390,16 +390,22 @@ class SparkParquetStorage(Storage):
             (now_ms - keep_days * 86_400_000) / 1000.0, tz=_dt.timezone.utc
         ).date()
         dropped: list[str] = []
-        for name in fs.list_names(self.spark, self.samples_path):
-            if not name.startswith(f"{DATE}="):
-                continue  # _SUCCESS markers etc.
-            try:
-                part_date = _dt.date.fromisoformat(name.split("=", 1)[1])
-            except ValueError:
+        # sweep every date-partitioned tier the same way: samples plus the
+        # native-histogram and exemplar sidecars (exemplars especially are
+        # high-churn short-retention data in production Prometheus)
+        for root in (self.samples_path, self.histograms_path, self.exemplars_path):
+            if not fs.exists(self.spark, root):
                 continue
-            if part_date < cutoff:
-                fs.delete(self.spark, os.path.join(self.samples_path, name))
-                dropped.append(name)
+            for name in fs.list_names(self.spark, root):
+                if not name.startswith(f"{DATE}="):
+                    continue  # _SUCCESS markers etc.
+                try:
+                    part_date = _dt.date.fromisoformat(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if part_date < cutoff:
+                    fs.delete(self.spark, os.path.join(root, name))
+                    dropped.append(name)
         if dropped:
             self._drop_recent_cache()
         return dropped

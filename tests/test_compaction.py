@@ -128,3 +128,48 @@ def test_retention_tiering_rollup_outlives_raw(spark, tmp_path):
     # coarse hinted read: served from the rollup, which outlived the sweep
     [tiered] = store.read_with_hints([full_range], [{"step_ms": STEP}])
     assert sorted(s.value for ts in tiered for s in ts.samples) == [0.0, 1.0, 40.0]
+
+
+def test_retention_sweeps_histogram_and_exemplar_tiers(spark, tmp_path):
+    """The date-partitioned sidecar tiers (native histograms, exemplars)
+    sweep with the same cutoff as samples."""
+    from promhouse_spark.models import (
+        Exemplar,
+        Label,
+        MatchType,
+        Matcher,
+        NativeHistogram,
+        Query,
+        TimeSeries,
+    )
+    from promhouse_spark.storage import fs
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+    from tests.fixtures import T0
+
+    DAY = 86_400_000
+    store = SparkParquetStorage(spark, str(tmp_path / "store"))
+
+    def h(ts_ms):
+        return NativeHistogram(
+            timestamp_ms=ts_ms, count=1.0, sum=1.0, schema=0,
+            zero_threshold=0.0, zero_count=0.0, positive=[(1, 1.0)],
+        )
+
+    store.write([
+        TimeSeries(
+            labels=[Label("__name__", "lat")],
+            histograms=[h(T0), h(T0 + 40 * DAY)],
+            exemplars=[
+                Exemplar([Label("trace_id", "old")], 1.0, T0),
+                Exemplar([Label("trace_id", "new")], 2.0, T0 + 40 * DAY),
+            ],
+        )
+    ])
+    dropped = store.retention_sweep(keep_days=7, now_ms=T0 + 41 * DAY)
+    # one old partition per tier: samples has none, hist + exemplars one each
+    assert dropped.count("date=2026-01-01") == 2
+    q = Query(0, T0 + 100 * DAY, (Matcher("__name__", MatchType.EQ, "lat"),))
+    hists = store.read_histograms(q).collect()
+    assert [r["timestamp_ms"] for r in hists] == [T0 + 40 * DAY]
+    ex = store.read_exemplars(q).collect()
+    assert [dict(r["exemplar_labels"])["trace_id"] for r in ex] == ["new"]

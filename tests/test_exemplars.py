@@ -204,3 +204,31 @@ def test_query_exemplars_bad_query_is_400(client):
     )
     assert r.status_code == 400
     assert r.get_json()["errorType"] == "bad_data"
+
+
+# ----------------------------------------------------- framed dump parity
+
+
+def test_framed_dump_roundtrips_exemplars_and_histograms(tmp_path):
+    """The promload dump format frames whole TimeSeries messages, so the
+    round-8 sample types ride along: a dump written from series with
+    exemplars and native histograms restores them bit-for-bit."""
+    from promhouse_spark.edge.framed import read_frames, write_frames
+    from promhouse_spark.models import NativeHistogram
+
+    series = _series()
+    series[0].histograms = [
+        NativeHistogram(
+            timestamp_ms=T0, count=3.0, sum=4.5, schema=1,
+            zero_threshold=0.1, zero_count=1.0,
+            positive=[(2, 2.0)], negative=[(-1, 1.0)],
+        )
+    ]
+    p = tmp_path / "dump.framed"
+    with open(p, "wb") as f:
+        assert write_frames(f, series) == 2
+    with open(p, "rb") as f:
+        back = list(read_frames(f))
+    assert [t.labels for t in back] == [t.labels for t in series]
+    assert [t.exemplars for t in back] == [t.exemplars for t in series]
+    assert back[0].histograms == series[0].histograms
