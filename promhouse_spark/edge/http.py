@@ -351,8 +351,44 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
             out["warnings"] = warnings
         return out
 
+    def _histogram_streams(node, start_ms, end_ms, step_ms) -> list[dict]:
+        """Native-histogram matrix streams for a bare selector over the
+        evaluation grid (instant semantics per step), rendered under the
+        Prometheus "histograms" key."""
+        from promhouse_spark.promql import PromQLEngine
+        from promhouse_spark.promql.parser import VectorSelector
+
+        if not isinstance(node, VectorSelector):
+            return []
+        if not hasattr(storage, "histograms_df"):
+            return []
+        lookback = int(request.values.get("lookback_delta_ms", 300_000))
+        eng = PromQLEngine.from_storage(
+            storage, start_ms, end_ms, step_ms, lookback_ms=lookback
+        )
+        if eng.histograms is None:
+            return []
+        rows = eng._hist_wire_frame(node).collect()
+        grouped: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(sorted((r["labels"] or {}).items()))
+            grouped.setdefault(key, []).append((r["timestamp_ms"], r))
+        return [
+            {
+                "metric": dict(key),
+                "histograms": [
+                    [t / 1000.0, _histogram_json(r)] for t, r in sorted(
+                        vals, key=lambda x: x[0]
+                    )
+                ],
+            }
+            for key, vals in sorted(grouped.items())
+        ]
+
     @app.route("/api/v1/query_range", methods=["GET", "POST"])
     def query_range():
+        from promhouse_spark.promql.parser import parse
+
         try:
             query = request.values["query"]
             start_ms = _parse_time_ms(request.values["start"])
@@ -361,7 +397,12 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
         except (KeyError, ValueError) as e:
             return _promql_error(e)
         try:
-            result = _evaluate(query, start_ms, end_ms, step_ms)
+            node = parse(query)
+            result = _evaluate(node, start_ms, end_ms, step_ms)
+            try:
+                result += _histogram_streams(node, start_ms, end_ms, step_ms)
+            except Exception:  # histogram tier is additive: never break floats
+                log.exception("native-histogram range lookup failed")
             result, warnings = _apply_limit(result)
         except _Unsupported as e:  # ValueError subclass: catch first
             return _unsupported(e)

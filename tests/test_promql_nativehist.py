@@ -363,3 +363,43 @@ def test_memory_storage_histograms_roundtrip(spark):
         [Query(T0 + 1, T0 + 60_000, (Matcher("__name__", MatchType.EQ, "lat"),))]
     )
     assert [h.count for h in res2[0].histograms] == [12.0]
+
+
+def test_query_range_serves_native_histogram_matrix(store):
+    from promhouse_spark.edge.http import create_app
+
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "lat",
+            "start": str(T0 / 1000),
+            "end": str(T0 / 1000 + 120),
+            "step": "60",
+        },
+    )
+    assert r.status_code == 200
+    res = r.get_json()["data"]["result"]
+    hs = [s for s in res if "histograms" in s]
+    assert len(hs) == 1
+    s = hs[0]
+    assert s["metric"] == {"__name__": "lat", "job": "api"}
+    assert [t for t, _ in s["histograms"]] == [
+        T0 / 1000, T0 / 1000 + 60, T0 / 1000 + 120,
+    ]
+    # step 2 serves the scale-3 histogram: count 18
+    assert s["histograms"][2][1]["count"] == "18"
+    # float queries over the same storage are unaffected
+    r2 = c.get(
+        "/api/v1/query_range",
+        query_string={
+            "query": "reqs",
+            "start": str(T0 / 1000),
+            "end": str(T0 / 1000 + 60),
+            "step": "60",
+        },
+    )
+    res2 = r2.get_json()["data"]["result"]
+    assert len(res2) == 1 and "values" in res2[0]
