@@ -66,6 +66,31 @@ def client(spark, tmp_path_factory):
                 ],
             )
         )
+    # native histograms: the unit schema-0 histogram scaled k+1 per step
+    # (perfectly linear cumulative growth) for job=api, 2x for job=db
+    from promhouse_spark.models import NativeHistogram
+
+    for job, mult in (("api", 1.0), ("db", 2.0)):
+        series.append(
+            TimeSeries(
+                labels=[Label("__name__", "nlat"), Label("job", job)],
+                histograms=[
+                    NativeHistogram(
+                        timestamp_ms=T0 + i * 15_000,
+                        count=6.0 * (i + 1) * mult,
+                        sum=10.0 * (i + 1) * mult,
+                        schema=0,
+                        zero_threshold=0.25,
+                        zero_count=1.0 * (i + 1) * mult,
+                        positive=[
+                            (1, 2.0 * (i + 1) * mult),
+                            (2, 3.0 * (i + 1) * mult),
+                        ],
+                    )
+                    for i in range(41)
+                ],
+            )
+        )
     store.write(series)
     app = create_app(store)
     app.config["TESTING"] = True
@@ -398,3 +423,64 @@ def test_value_serialization_strconv(client):
     code, body = _range(client, 'temp{room="a"} * 5000000000000000')
     vals = body["data"]["result"][0]["values"]
     assert vals and all(v == "100000000000000000" for _, v in vals)
+
+
+def test_native_histogram_family(client):
+    """histogram_* functions over native-histogram series through
+    query_range: instant moments, quantile, fraction, aggregation, and
+    rate() — closed-form values from the linearly-growing fixture."""
+    # count at step i = 6·(i+1)·mult; at t = T0+300s (i = 20) → 126
+    v = _ok(client, 'histogram_count(nlat{job="api"})')
+    assert v and all(
+        val == 6.0 * (t - T0 / 1000 + 15) / 15
+        for vals in v.values()
+        for t, val in vals.items()
+    )
+    v = _ok(client, 'histogram_avg(nlat{job="api"})')
+    assert v and all(
+        val == pytest.approx(10.0 / 6.0)
+        for vals in v.values()
+        for val in vals.values()
+    )
+    # shape is scale-invariant: the median is always 2
+    v = _ok(client, "histogram_quantile(0.5, nlat)")
+    assert len(v) == 2 and all(
+        val == pytest.approx(2.0) for vals in v.values() for val in vals.values()
+    )
+    v = _ok(client, 'histogram_fraction(0, 2, nlat{job="db"})')
+    assert v and all(
+        val == pytest.approx(2.5 / 6.0)
+        for vals in v.values()
+        for val in vals.values()
+    )
+    v = _ok(client, 'histogram_stddev(nlat{job="api"})')
+    mean = 10.0 / 6.0
+    want = math.sqrt(
+        (1 * mean**2 + 2 * (2**0.5 - mean) ** 2 + 3 * (2**1.5 - mean) ** 2) / 6
+    )
+    assert v and all(
+        val == pytest.approx(want) for vals in v.values() for val in vals.values()
+    )
+    # sum() merges the api + db histograms; count triples (1x + 2x)
+    v = _ok(client, "histogram_count(sum(nlat))")
+    assert v and all(
+        val == 18.0 * (t - T0 / 1000 + 15) / 15
+        for vals in v.values()
+        for t, val in vals.items()
+    )
+    # rate over the linear counter: count grows 6·mult per 15 s
+    v = _ok(client, 'histogram_count(rate(nlat{job="api"}[2m]))')
+    assert v and all(
+        val == pytest.approx(6.0 / 15.0)
+        for vals in v.values()
+        for val in vals.values()
+    )
+
+
+def test_utf8_names_family(client):
+    """Prometheus 3 quoted-name syntax through the API: classic metrics
+    addressed via the quoted sugar and quoted grouping labels."""
+    v = _ok(client, '{"requests_total", job="api"}')
+    assert len(v) == 1
+    v = _ok(client, 'sum by ("room") ({"temp"})')
+    assert len(v) == 2
