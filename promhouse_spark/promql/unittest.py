@@ -11,7 +11,11 @@ Supported value notation (promtool's): literal numbers (``Inf``/``-Inf``/
 ``NaN`` included), ``_`` for a missing scrape, ``a+bxn`` / ``a-bxn``
 expanding to the n+1 samples a, a±b, …, a±n·b, and ``axn`` repeating a
 for n+1 samples. ``stale`` is treated as a missing scrape (the engine
-models staleness by lookback, not marker samples).
+models staleness by lookback, not marker samples). Native-histogram
+literals ``{{schema:… sum:… count:… z_bucket:… z_bucket_w:…
+buckets:[…] offset:… n_buckets:[…] n_offset:…}}`` are supported with
+plain ``x n`` repetition (promtool's additive ``{{…}}+{{…}}xn`` form is
+not).
 
 Alert annotations expand ``{{ $labels.<name> }}`` and ``{{ $value }}``
 (promql/templates.py) against each firing alert; other Go-template
@@ -38,11 +42,64 @@ _DEFAULT_INTERVAL = "1m"
 _LOOKBACK_MS = 300_000
 
 
-def parse_series_values(spec: str) -> list[float | None]:
+def _parse_hist_literal(tok: str):
+    """One promtool native-histogram literal ``{{schema:0 sum:10 count:6
+    z_bucket:1 z_bucket_w:0.25 buckets:[2 3] offset:1 n_buckets:[...]
+    n_offset:...}}`` → models.NativeHistogram. Bucket position k carries
+    absolute index offset+k (the single-span convention, matching the
+    prompb span expansion)."""
+    import re as _re
+
+    from promhouse_spark.models import NativeHistogram
+
+    body = tok[2:-2].strip()
+    fields = dict(_re.findall(r"(\w+):(\[[^\]]*\]|\S+)", body))
+
+    def arr(key: str) -> list[float]:
+        raw = fields.get(key, "[]").strip("[]")
+        return [float(x) for x in raw.split()] if raw else []
+
+    pos_off = int(fields.get("offset", 0))
+    neg_off = int(fields.get("n_offset", 0))
+    return NativeHistogram(
+        timestamp_ms=0,
+        count=float(fields.get("count", 0)),
+        sum=float(fields.get("sum", 0)),
+        schema=int(fields.get("schema", 0)),
+        zero_threshold=float(fields.get("z_bucket_w", 0)),
+        zero_count=float(fields.get("z_bucket", 0)),
+        positive=[
+            (pos_off + k, c) for k, c in enumerate(arr("buckets")) if c
+        ],
+        negative=[
+            (neg_off + k, c) for k, c in enumerate(arr("n_buckets")) if c
+        ],
+    )
+
+
+def _value_tokens(spec: str) -> list[str]:
+    """Split a values spec into tokens, keeping ``{{…}}`` histogram
+    literals (which contain spaces) intact, with optional ``x n``
+    repetition suffix."""
+    import re as _re
+
+    return _re.findall(r"\{\{[^}]*\}\}(?:x\d+)?|\S+", spec)
+
+
+def parse_series_values(spec: str) -> list:
     """Expand promtool value notation into one slot per scrape interval
-    (None = no sample)."""
-    out: list[float | None] = []
-    for tok in spec.split():
+    (None = no sample; floats for scalar samples; NativeHistogram for
+    ``{{…}}`` literals)."""
+    out: list = []
+    for tok in _value_tokens(spec):
+        if tok.startswith("{{"):
+            body, _, n_s = tok.rpartition("}}")
+            reps = 1
+            if n_s.startswith("x"):
+                reps = int(n_s[1:]) + 1
+            h = _parse_hist_literal(body + "}}")
+            out.extend(h for _ in range(reps))
+            continue
         if tok == "_":
             out.append(None)
             continue
@@ -72,8 +129,13 @@ def parse_series_values(spec: str) -> list[float | None]:
 
 
 def _series_frames(spark, input_series: list[dict], interval_ms: int):
-    """(samples, series) engine frames from promtool input_series."""
-    samples, series, fp = [], [], 0
+    """(samples, series, histograms) engine frames from promtool
+    input_series — histograms is None unless some series used the
+    ``{{…}}`` native-histogram literal notation."""
+    from promhouse_spark.models import NativeHistogram
+    from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+    samples, series, hists, fp = [], [], [], 0
     for s in input_series:
         sel = parse(s["series"])
         if not isinstance(sel, VectorSelector):
@@ -85,6 +147,21 @@ def _series_frames(spark, input_series: list[dict], interval_ms: int):
         series.append((fp, labels))
         for i, v in enumerate(parse_series_values(str(s["values"]))):
             if v is None:
+                continue
+            if isinstance(v, NativeHistogram):
+                hists.append(
+                    (
+                        fp,
+                        i * interval_ms,
+                        int(v.schema),
+                        float(v.zero_threshold),
+                        float(v.zero_count),
+                        float(v.count),
+                        float(v.sum),
+                        [(int(i2), float(c)) for i2, c in sorted(v.positive)],
+                        [(int(i2), float(c)) for i2, c in sorted(v.negative)],
+                    )
+                )
                 continue
             samples.append((fp, i * interval_ms, float(v)))
     sdf = spark.createDataFrame(
@@ -98,7 +175,8 @@ def _series_frames(spark, input_series: list[dict], interval_ms: int):
     )
     if not series:
         ser = ser.filter("1=0")
-    return sdf, ser
+    hdf = spark.createDataFrame(hists, HISTOGRAMS_SCHEMA) if hists else None
+    return sdf, ser, hdf
 
 
 def _expected_labels(spec: str) -> dict:
@@ -134,7 +212,7 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
         interval_ms = parse_duration_ms(
             str(test.get("interval", default_interval))
         )
-        samples, series = _series_frames(
+        samples, series, hdf = _series_frames(
             spark, test.get("input_series", []) or [], interval_ms
         )
 
@@ -142,7 +220,8 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
             expr = et["expr"]
             t_ms = parse_duration_ms(str(et["eval_time"]))
             eng = PromQLEngine(
-                samples, series, t_ms, t_ms, max(interval_ms, 1), _LOOKBACK_MS
+                samples, series, t_ms, t_ms, max(interval_ms, 1), _LOOKBACK_MS,
+                histograms_df=hdf,
             )
             try:
                 rows = eng.eval(expr).filter("value IS NOT NULL").collect()
@@ -194,7 +273,8 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
             # last evaluation at or before it
             t_chk = (t_ms // interval_ms) * interval_ms
             eng = PromQLEngine(
-                samples, series, 0, t_chk, interval_ms, _LOOKBACK_MS
+                samples, series, 0, t_chk, interval_ms, _LOOKBACK_MS,
+                histograms_df=hdf,
             )
             runs = alert_intervals_promql(eng, rule["expr"], for_ms=0).collect()
             active = [
@@ -215,7 +295,7 @@ def run_rule_tests(spark, doc: dict, base_dir: str = ".") -> list[str]:
 
                 veng = PromQLEngine(
                     samples, series, t_chk, t_chk, max(interval_ms, 1),
-                    _LOOKBACK_MS,
+                    _LOOKBACK_MS, histograms_df=hdf,
                 )
                 val_by = instant_values(veng, rule["expr"])
             from promhouse_spark.promql.alerts import materialize_alerts

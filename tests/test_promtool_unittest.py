@@ -282,3 +282,61 @@ def test_template_value_renders_go_g():
     assert f(float("nan")) == "NaN"
     assert f(0.0) == "0"
     assert f(-0.0) == "-0"
+
+
+def test_native_histogram_literals():
+    from promhouse_spark.models import NativeHistogram
+    from promhouse_spark.promql.unittest import parse_series_values
+
+    vals = parse_series_values(
+        "{{schema:0 sum:10 count:6 z_bucket:1 z_bucket_w:0.25 "
+        "buckets:[2 3] offset:1}}x2 _ 5"
+    )
+    assert len(vals) == 5
+    assert all(isinstance(h, NativeHistogram) for h in vals[:3])
+    h = vals[0]
+    assert h.schema == 0 and h.count == 6.0 and h.sum == 10.0
+    assert h.zero_count == 1.0 and h.zero_threshold == 0.25
+    assert h.positive == [(1, 2.0), (2, 3.0)]
+    assert vals[3] is None and vals[4] == 5.0
+
+
+def test_rule_tests_with_native_histograms(spark):
+    from promhouse_spark.promql.unittest import run_rule_tests
+
+    doc = {
+        "tests": [
+            {
+                "interval": "1m",
+                "input_series": [
+                    {
+                        "series": 'lat{job="api"}',
+                        "values": (
+                            "{{schema:0 sum:10 count:6 z_bucket:1 "
+                            "z_bucket_w:0.25 buckets:[2 3] offset:1}}x5"
+                        ),
+                    }
+                ],
+                "promql_expr_test": [
+                    {
+                        "expr": "histogram_count(lat)",
+                        "eval_time": "2m",
+                        "exp_samples": [
+                            {"labels": '{job="api"}', "value": 6.0}
+                        ],
+                    },
+                    {
+                        "expr": "histogram_quantile(0.5, lat)",
+                        "eval_time": "2m",
+                        "exp_samples": [
+                            {"labels": '{job="api"}', "value": 2.0}
+                        ],
+                    },
+                ],
+            }
+        ]
+    }
+    assert run_rule_tests(spark, doc) == []
+    # a wrong expectation is reported, not swallowed
+    doc["tests"][0]["promql_expr_test"][0]["exp_samples"][0]["value"] = 7.0
+    assert run_rule_tests(spark, doc) != []
