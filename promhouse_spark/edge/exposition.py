@@ -16,7 +16,7 @@ import math
 import re
 from typing import Iterator
 
-from promhouse_spark.models import Label, Sample, TimeSeries
+from promhouse_spark.models import Exemplar, Label, Sample, TimeSeries
 
 _METRIC_RE = re.compile(
     r"^(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
@@ -25,6 +25,14 @@ _METRIC_RE = re.compile(
     r"(?:\s+(?P<ts>-?\d+))?\s*$"
 )
 _LABEL_RE = re.compile(r'\s*(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"(?P<value>(?:\\.|[^"\\])*)"\s*,?')
+# OpenMetrics exemplar suffix: ``… # {labels} value [ts_seconds]``.
+# The " # {" separator is required by the OpenMetrics ABNF; a label VALUE
+# containing that exact byte sequence would misparse (documented
+# limitation of the line-split approach).
+_EXEMPLAR_RE = re.compile(
+    r"\s#\s\{(?P<elabels>.*)\}\s+(?P<evalue>[^\s]+)"
+    r"(?:\s+(?P<ets>[^\s]+))?\s*$"
+)
 
 
 def _unescape(v: str) -> str:
@@ -50,6 +58,26 @@ def parse_exposition(text: str, default_timestamp_ms: int = 0) -> Iterator[TimeS
         line = line.strip()
         if not line or line.startswith("#"):
             continue
+        exemplars: list[Exemplar] = []
+        em = _EXEMPLAR_RE.search(line)
+        if em:
+            elabels = [
+                Label(lm.group("name"), _unescape(lm.group("value")))
+                for lm in _LABEL_RE.finditer(em.group("elabels"))
+            ]
+            ets_ms = (
+                int(round(float(em.group("ets")) * 1000))
+                if em.group("ets")
+                else default_timestamp_ms
+            )
+            exemplars = [
+                Exemplar(
+                    labels=elabels,
+                    value=_parse_value(em.group("evalue")),
+                    timestamp_ms=ets_ms,
+                )
+            ]
+            line = line[: em.start()].rstrip()
         m = _METRIC_RE.match(line)
         if not m:
             continue  # tolerate junk lines like expfmt's lenient readers
@@ -61,6 +89,7 @@ def parse_exposition(text: str, default_timestamp_ms: int = 0) -> Iterator[TimeS
         yield TimeSeries(
             labels=labels,
             samples=[Sample(value=_parse_value(m.group("value")), timestamp_ms=ts_ms)],
+            exemplars=exemplars,
         )
 
 
@@ -72,11 +101,17 @@ def merge_series(series: Iterator[TimeSeries] | list[TimeSeries]) -> list[TimeSe
         key = tuple(sorted((l.name, l.value) for l in ts.labels))
         cur = merged.get(key)
         if cur is None:
-            merged[key] = TimeSeries(labels=list(ts.labels), samples=list(ts.samples))
+            merged[key] = TimeSeries(
+                labels=list(ts.labels),
+                samples=list(ts.samples),
+                exemplars=list(getattr(ts, "exemplars", ()) or ()),
+            )
         else:
             cur.samples.extend(ts.samples)
+            cur.exemplars.extend(getattr(ts, "exemplars", ()) or ())
     for ts in merged.values():
         ts.samples.sort(key=lambda s: s.timestamp_ms)
+        ts.exemplars.sort(key=lambda e: e.timestamp_ms)
     return list(merged.values())
 
 
@@ -96,6 +131,24 @@ def render_exposition(series: list[TimeSeries]) -> str:
 
             inner = ",".join(f'{k}="{esc(v)}"' for k, v in sorted(lm.items()))
             label_part = "{" + inner + "}"
-        for s in ts.samples:
-            lines.append(f"{name}{label_part} {s.value} {s.timestamp_ms}")
+        exemplar_suffix = ""
+        for e in getattr(ts, "exemplars", ()) or ():
+
+            def esc2(v: str) -> str:
+                return (
+                    v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+                )
+
+            einner = ",".join(
+                f'{k}="{esc2(v)}"' for k, v in sorted(e.labels_map().items())
+            )
+            # OpenMetrics exemplar: one per line max — attach to the first
+            # sample line; timestamps in SECONDS per the OpenMetrics ABNF
+            exemplar_suffix = (
+                f" # {{{einner}}} {e.value} {e.timestamp_ms / 1000.0}"
+            )
+            break
+        for i, s in enumerate(ts.samples):
+            suffix = exemplar_suffix if i == 0 else ""
+            lines.append(f"{name}{label_part} {s.value} {s.timestamp_ms}{suffix}")
     return "\n".join(lines) + "\n"

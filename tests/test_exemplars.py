@@ -232,3 +232,45 @@ def test_framed_dump_roundtrips_exemplars_and_histograms(tmp_path):
     assert [t.labels for t in back] == [t.labels for t in series]
     assert [t.exemplars for t in back] == [t.exemplars for t in series]
     assert back[0].histograms == series[0].histograms
+
+
+# ------------------------------------------------ OpenMetrics exemplars
+
+
+def test_exposition_parses_openmetrics_exemplars():
+    from promhouse_spark.edge.exposition import merge_series, parse_exposition
+
+    text = (
+        'reqs{code="200"} 41 1700000000000 '
+        '# {trace_id="abc",span_id="s1"} 12.5 1700000000.5\n'
+        "plain 3.5\n"
+    )
+    series = merge_series(parse_exposition(text, default_timestamp_ms=7))
+    by_name = {ts.labels_map()["__name__"]: ts for ts in series}
+    (e,) = by_name["reqs"].exemplars
+    assert e.labels_map() == {"trace_id": "abc", "span_id": "s1"}
+    assert e.value == 12.5 and e.timestamp_ms == 1_700_000_000_500
+    assert by_name["plain"].exemplars == []
+
+
+def test_exposition_renders_and_roundtrips_exemplars():
+    from promhouse_spark.edge.exposition import (
+        merge_series,
+        parse_exposition,
+        render_exposition,
+    )
+    from promhouse_spark.models import Label, Sample
+
+    series = [
+        TimeSeries(
+            labels=[Label("__name__", "m"), Label("job", "x")],
+            samples=[Sample(1.5, 1_700_000_000_000)],
+            exemplars=[
+                Exemplar([Label("trace_id", "t1")], 9.0, 1_700_000_000_250)
+            ],
+        )
+    ]
+    text = render_exposition(series)
+    assert " # {" in text and "1700000000.25" in text
+    back = merge_series(parse_exposition(text))
+    assert back[0].exemplars == series[0].exemplars
