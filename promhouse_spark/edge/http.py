@@ -843,6 +843,15 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     def status_flags():
         return {"status": "success", "data": {}}
 
+    @app.get("/api/v1/targets")
+    def targets():
+        # a remote-write-fed store has no scrape pool; the empty shape
+        # keeps Grafana's service-discovery probe quiet
+        return {
+            "status": "success",
+            "data": {"activeTargets": [], "droppedTargets": []},
+        }
+
     @app.get("/api/v1/status/tsdb")
     def status_tsdb():
         """REAL cardinality statistics from the storage frames (the

@@ -534,6 +534,10 @@ def test_grafana_probe_endpoints(client):
     body = client.get("/api/v1/query_exemplars").get_json()
     assert body == {"status": "success", "data": []}
     assert client.get("/api/v1/status/flags").get_json()["data"] == {}
+    assert client.get("/api/v1/targets").get_json()["data"] == {
+        "activeTargets": [],
+        "droppedTargets": [],
+    }
     rt = client.get("/api/v1/status/runtimeinfo").get_json()["data"]
     assert rt["reloadConfigSuccess"] is True and "startTime" in rt
 
