@@ -65,10 +65,23 @@ def sanitize_label_name(name: str) -> str:
 
 
 @dataclass
+class OtlpExemplar:
+    """metrics.proto Exemplar: filtered_attributes=7, time_unix_nano=2,
+    as_double=3 / as_int=6, span_id=8 (8 bytes), trace_id=9 (16 bytes)."""
+
+    attributes: dict = field(default_factory=dict)
+    time_unix_nano: int = 0
+    value: float = 0.0
+    span_id: bytes = b""
+    trace_id: bytes = b""
+
+
+@dataclass
 class NumberPoint:
     attributes: dict = field(default_factory=dict)
     time_unix_nano: int = 0
     value: float = 0.0
+    exemplars: list = field(default_factory=list)
 
 
 @dataclass
@@ -137,10 +150,23 @@ def _encode_attrs(field_no: int, attrs: dict) -> bytes:
     )
 
 
+def _encode_otlp_exemplar(e: OtlpExemplar) -> bytes:
+    out = _encode_attrs(7, e.attributes)
+    out += _tag(2, 1) + struct.pack("<Q", e.time_unix_nano)
+    out += _tag(3, 1) + struct.pack("<d", float(e.value))
+    if e.span_id:
+        out += _len_delim(8, e.span_id)
+    if e.trace_id:
+        out += _len_delim(9, e.trace_id)
+    return out
+
+
 def _encode_number_point(p: NumberPoint) -> bytes:
     out = _encode_attrs(7, p.attributes)
     out += _tag(3, 1) + struct.pack("<Q", p.time_unix_nano)
     out += _tag(4, 1) + struct.pack("<d", float(p.value))
+    for e in p.exemplars:
+        out += _len_delim(5, _encode_otlp_exemplar(e))
     return out
 
 
@@ -250,6 +276,25 @@ def _decode_kv(buf: bytes) -> tuple[str, object]:
     return k, val
 
 
+def _decode_otlp_exemplar(buf: bytes) -> OtlpExemplar:
+    e = OtlpExemplar()
+    for f, wire, v, _ in _fields(buf):
+        if f == 7 and wire == 2:
+            k, val = _decode_kv(v)
+            e.attributes[k] = val
+        elif f == 2 and wire == 1:
+            e.time_unix_nano = int(v)
+        elif f == 3 and wire == 1:
+            e.value = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif f == 6 and wire == 0:  # as_int
+            e.value = float(_to_int64(v))
+        elif f == 8 and wire == 2:
+            e.span_id = v
+        elif f == 9 and wire == 2:
+            e.trace_id = v
+    return e
+
+
 def _decode_number_point(buf: bytes) -> NumberPoint:
     p = NumberPoint()
     for f, wire, v, _ in _fields(buf):
@@ -262,6 +307,8 @@ def _decode_number_point(buf: bytes) -> NumberPoint:
             p.value = struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
         elif f == 6 and wire == 0:  # as_int
             p.value = float(_to_int64(v))
+        elif f == 5 and wire == 2:
+            p.exemplars.append(_decode_otlp_exemplar(v))
     return p
 
 
@@ -392,6 +439,29 @@ def _attr_labels(attrs: dict) -> list[Label]:
     ]
 
 
+def _prom_exemplars(otlp_exemplars: list) -> list:
+    """OTLP exemplars → model Exemplars: filtered attributes become
+    labels, trace/span ids render as lowercase hex under the canonical
+    ``trace_id``/``span_id`` names (the Prometheus OTLP translation)."""
+    from promhouse_spark.models import Exemplar
+
+    out = []
+    for e in otlp_exemplars:
+        labels = _attr_labels(e.attributes)
+        if e.trace_id:
+            labels.append(Label("trace_id", e.trace_id.hex()))
+        if e.span_id:
+            labels.append(Label("span_id", e.span_id.hex()))
+        out.append(
+            Exemplar(
+                labels=sorted(labels),
+                value=float(e.value),
+                timestamp_ms=e.time_unix_nano // 1_000_000,
+            )
+        )
+    return out
+
+
 def translate(resources: list[OtlpResourceMetrics]) -> list[TimeSeries]:
     """OTLP→Prometheus data-model translation (the storage-agnostic core
     of Prometheus's otlp write handler). Raises ValueError on DELTA
@@ -433,6 +503,7 @@ def translate(resources: list[OtlpResourceMetrics]) -> list[TimeSeries]:
                                     timestamp_ms=p.time_unix_nano // 1_000_000,
                                 )
                             ],
+                            exemplars=_prom_exemplars(p.exemplars),
                         )
                     )
             elif m.kind == "histogram":

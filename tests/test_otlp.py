@@ -219,3 +219,64 @@ def test_endpoint_rejects_delta(spark):
         "/api/v1/otlp/v1/metrics", data=otlp.encode_export_request(bad)
     )
     assert r.status_code == 400
+
+
+def test_otlp_exemplars_flow_to_the_exemplar_tier(spark):
+    """OTLP number-point exemplars translate (trace/span ids as hex
+    labels) and land in the exemplar tier, queryable through
+    /api/v1/query_exemplars."""
+    payload = [
+        otlp.OtlpResourceMetrics(
+            resource_attributes={"service.name": "checkout"},
+            metrics=[
+                otlp.OtlpMetric(
+                    name="hits",
+                    kind="sum",
+                    temporality=otlp.CUMULATIVE,
+                    is_monotonic=True,
+                    number_points=[
+                        otlp.NumberPoint(
+                            attributes={},
+                            time_unix_nano=T_NS,
+                            value=3.0,
+                            exemplars=[
+                                otlp.OtlpExemplar(
+                                    attributes={"user.tier": "gold"},
+                                    time_unix_nano=T_NS,
+                                    value=1.25,
+                                    trace_id=bytes(range(16)),
+                                    span_id=bytes(range(8)),
+                                )
+                            ],
+                        )
+                    ],
+                )
+            ],
+        )
+    ]
+    buf = otlp.encode_export_request(payload)
+    back = otlp.decode_export_request(buf)
+    e = back[0].metrics[0].number_points[0].exemplars[0]
+    assert e.trace_id == bytes(range(16)) and e.value == 1.25
+
+    store = SparkParquetStorage(spark, tempfile.mkdtemp(prefix="phs-otlp-ex-"))
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    assert c.post("/api/v1/otlp/v1/metrics", data=buf).status_code == 200
+    r = c.get(
+        "/api/v1/query_exemplars",
+        query_string={
+            "query": "hits_total",
+            "start": str(T_NS / 1e9 - 1),
+            "end": str(T_NS / 1e9 + 1),
+        },
+    ).get_json()
+    (s,) = r["data"]
+    (ex,) = s["exemplars"]
+    assert ex["labels"] == {
+        "user_tier": "gold",
+        "trace_id": bytes(range(16)).hex(),
+        "span_id": bytes(range(8)).hex(),
+    }
+    assert ex["value"] == "1.25"
