@@ -467,12 +467,18 @@ class PromQLEngine:
             )
         return hists, series
 
+    # range functions that stay histogram-typed over native histograms
+    _HIST_RANGE_FUNCS = (
+        "rate", "increase", "sum_over_time", "avg_over_time", "last_over_time",
+    )
+
     @classmethod
     def _is_hist_arg(cls, node) -> bool:
         """The sub-expression shapes native histograms flow through: a
-        vector selector, rate()/increase() over a range selector, and
-        sum()/avg() aggregation over either (the canonical
-        ``histogram_quantile(0.9, sum(rate(h[5m])))``)."""
+        vector selector, the histogram-typed range functions (rate/
+        increase/sum_over_time/avg_over_time/last_over_time) over a range
+        selector, and sum()/avg() aggregation over any of those (the
+        canonical ``histogram_quantile(0.9, sum(rate(h[5m])))``)."""
         if isinstance(node, VectorSelector):
             return True
         if (
@@ -483,7 +489,7 @@ class PromQLEngine:
             return cls._is_hist_arg(node.expr)
         return (
             isinstance(node, Call)
-            and node.func in ("rate", "increase")
+            and node.func in cls._HIST_RANGE_FUNCS
             and len(node.args) == 1
             and isinstance(node.args[0], RangeSelector)
         )
@@ -559,35 +565,88 @@ class PromQLEngine:
                 F.col("eval_ms").alias("timestamp_ms"),
                 *[F.col(f"__h.{c}").alias(c) for c in self._WIRE_COLS],
             )
-        if self._is_hist_arg(node):  # rate/increase over a range selector
+        if self._is_hist_arg(node):  # a histogram range function
             rs = node.args[0]
             sel = rs.selector
             hists, series = self._hist_selected(sel)
             labeled = hists.join(series, "fingerprint").select(
                 "labels", "timestamp_ms", *self._WIRE_COLS
             )
-            as_rate = node.func == "rate"
             at = self._at_ms(sel)
+            start, end, step = self.start_ms, self.end_ms, self.step_ms
             if at is not None:
-                pinned = hist_increase(
-                    labeled, at, at, max(self.step_ms, 1), rs.range_ms,
-                    rate=as_rate,
-                ).drop("timestamp_ms")
-                return pinned.crossJoin(
+                start = end = at
+            if node.func in ("rate", "increase"):
+                out = hist_increase(
+                    labeled, start, end, max(step, 1), rs.range_ms,
+                    rate=node.func == "rate",
+                )
+            else:
+                out = self._hist_over_time(
+                    labeled, node.func, start, end, max(step, 1), rs.range_ms
+                )
+            if at is not None:  # broadcast the pinned eval to the grid
+                out = out.drop("timestamp_ms").crossJoin(
                     labeled.sparkSession.range(1).select(self._grid())
                 ).select(
                     "labels",
                     F.col("eval_ms").alias("timestamp_ms"),
                     *self._WIRE_COLS,
                 )
-            return hist_increase(
-                labeled, self.start_ms, self.end_ms, self.step_ms,
-                rs.range_ms, rate=as_rate,
-            )
+            return out
         raise ValueError(
             "histogram functions need a selector or rate()/increase() "
             "over one as the histogram argument"
         )
+
+    def _hist_over_time(
+        self,
+        labeled: DataFrame,
+        func: str,
+        start: int,
+        end: int,
+        step: int,
+        range_ms: int,
+    ) -> DataFrame:
+        """sum_over_time / avg_over_time / last_over_time of native
+        histograms: bounded range/step explode to the grid windows
+        (t−range, t], then either one keyed max_by (last) or the
+        wire_hist_sum merge (sum/avg — bucket-wise, schema-reconciling)."""
+        from promhouse_spark.operators.nativehist import wire_hist_sum
+
+        ts = F.col("timestamp_ms")
+        k_min = F.greatest(
+            F.ceil((ts - F.lit(start)) / F.lit(step)).cast("long"), F.lit(0)
+        )
+        k_max = F.floor(
+            (ts + F.lit(range_ms - 1) - F.lit(start)) / F.lit(step)
+        ).cast("long")
+        k_cap = (end - start) // step
+        e_lo = F.lit(start) + k_min * F.lit(step)
+        e_hi = F.lit(start) + F.least(k_max, F.lit(k_cap)) * F.lit(step)
+        evs = F.when(e_lo <= e_hi, F.sequence(e_lo, e_hi, F.lit(step)))
+        h_struct = F.struct("timestamp_ms", *self._WIRE_COLS)
+        exploded = labeled.select(
+            "labels", h_struct.alias("__h"), F.explode(evs).alias("eval_ms")
+        )
+        if func == "last_over_time":
+            g = exploded.groupBy(
+                F.to_json("labels").alias("__k"), "eval_ms"
+            ).agg(
+                F.first("labels").alias("labels"),
+                F.max_by("__h", F.col("__h.timestamp_ms")).alias("__h"),
+            )
+            return g.select(
+                "labels",
+                F.col("eval_ms").alias("timestamp_ms"),
+                *[F.col(f"__h.{c}").alias(c) for c in self._WIRE_COLS],
+            )
+        windowed = exploded.select(
+            "labels",
+            F.col("eval_ms").alias("timestamp_ms"),
+            *[F.col(f"__h.{c}").alias(c) for c in self._WIRE_COLS],
+        )
+        return wire_hist_sum(windowed, avg=func == "avg_over_time")
 
     def _hist_vector(self, wf: DataFrame, value: Column) -> DataFrame:
         """Wire-shape frame → engine vector frame, dropping the metric

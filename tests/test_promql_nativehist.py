@@ -403,3 +403,26 @@ def test_query_range_serves_native_histogram_matrix(store):
     )
     res2 = r2.get_json()["data"]["result"]
     assert len(res2) == 1 and "values" in res2[0]
+
+
+# ------------------------------------------- histogram-typed *_over_time
+
+
+def test_hist_over_time_functions(store):
+    """sum/avg/last_over_time stay histogram-typed over native series and
+    compose under the histogram functions."""
+    t = T0 + 240_000
+    e = PromQLEngine.from_storage(store, t, t, 60_000)
+    # window (t-5m, t] holds scales 1..5 → counts 6,12,18,24,30
+    r = _one(e.eval("histogram_count(sum_over_time(lat[5m]))"))
+    assert r["value"] == 6.0 + 12 + 18 + 24 + 30
+    r = _one(e.eval("histogram_count(avg_over_time(lat[5m]))"))
+    assert r["value"] == pytest.approx(90.0 / 5)
+    r = _one(e.eval("histogram_count(last_over_time(lat[5m]))"))
+    assert r["value"] == 30.0
+    # shape is scale-invariant, so quantile over the window-sum matches
+    r = _one(e.eval("histogram_quantile(0.5, sum_over_time(lat[5m]))"))
+    assert r["value"] == pytest.approx(2.0)
+    # offset shifts the window
+    r = _one(e.eval("histogram_count(last_over_time(lat[5m] offset 2m))"))
+    assert r["value"] == 18.0
