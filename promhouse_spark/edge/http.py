@@ -73,18 +73,69 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
     counters = {"written_samples": 0, "written_time_series": 0, "read_queries": 0}
     rule_groups = rule_groups or []
     _started = _time_mod.time()
+    # Metric metadata cache fed by Remote-Write 2.0 writes (type/help/unit
+    # travel IN the write message since the 2.0 spec); last write wins,
+    # like Prometheus's own metadata cache.
+    metadata_store: dict = {}
 
     @app.post("/write")
     def write():
+        """Remote write. Content negotiation per the public Remote-Write
+        2.0 spec: the Content-Type ``proto=`` parameter selects the
+        message (bare ``application/x-protobuf`` ≡ the 1.0
+        ``prometheus.WriteRequest``, matching the reference's only
+        dialect, ``handlers/prom.go:281-310``); 2.0 requests
+        (``io.prometheus.write.v2.Request``) answer 204 with the
+        spec-mandated written-stats headers; any other proto answers 415.
+        """
+        from promhouse_spark.edge import prompb2
+
+        proto = prompb2.negotiate_proto(request.headers.get("Content-Type", ""))
         try:
             body = snappy_codec.decompress(request.get_data())
-            series = prompb.decode_write_request(body)
-        except ValueError as e:
+        except Exception as e:
             return Response(f"decode error: {e}", status=400)
-        storage.write(series)
-        counters["written_time_series"] += len(series)
-        counters["written_samples"] += sum(len(ts.samples) for ts in series)
-        return Response(status=200)
+        if proto == "prometheus.WriteRequest":
+            try:
+                series = prompb.decode_write_request(body)
+            except ValueError as e:
+                return Response(f"decode error: {e}", status=400)
+            storage.write(series)
+            counters["written_time_series"] += len(series)
+            counters["written_samples"] += sum(len(ts.samples) for ts in series)
+            return Response(status=200)
+        if proto == "io.prometheus.write.v2.Request":
+            try:
+                req = prompb2.decode_write_request_v2(body)
+            except ValueError as e:
+                return Response(f"decode error: {e}", status=400)
+            for ts in req.series:
+                for h in ts.histograms:
+                    if h.custom_values:
+                        # NHCB carries custom boundaries the exponential
+                        # tier can't represent; reject non-retryably (400)
+                        # rather than mis-bucket the data.
+                        return Response(
+                            "custom-bucket (NHCB) histograms not supported",
+                            status=400,
+                        )
+            storage.write(req.series)
+            metadata_store.update(req.metadata)
+            counters["written_time_series"] += len(req.series)
+            counters["written_samples"] += req.samples_written
+            return Response(
+                status=204,
+                headers={
+                    "X-Prometheus-Remote-Write-Samples-Written": str(req.samples_written),
+                    "X-Prometheus-Remote-Write-Histograms-Written": str(req.histograms_written),
+                    "X-Prometheus-Remote-Write-Exemplars-Written": str(req.exemplars_written),
+                },
+            )
+        return Response(
+            f"unsupported remote-write proto {proto!r}",
+            status=415,
+            headers={"Accept": f"{prompb2.CONTENT_TYPE_V1}, {prompb2.CONTENT_TYPE_V2}"},
+        )
 
     @app.post("/api/v1/otlp/v1/metrics")
     def otlp_metrics():
@@ -747,29 +798,42 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
 
     @app.get("/api/v1/metadata")
     def metadata_endpoint():
-        """Metric metadata: the storage model carries no scrape metadata
-        (type/help/unit come from exposition scrapes, which the reference
-        pipeline forwards without persisting) — answer every known metric
-        name with an empty metadata list, the shape clients expect."""
+        """Metric metadata. Remote-Write 1.0 carries none (the reference
+        pipeline forwards exposition scrapes without persisting metadata),
+        so 1.0-fed metrics answer an empty list, the shape clients expect;
+        Remote-Write 2.0 writes DO carry type/help/unit, which land in the
+        in-memory metadata cache and are served here."""
         from pyspark.sql import functions as F
 
         try:
             limit = _parse_limit()
             df = _series_frame()
         except _Unsupported:
-            return {"status": "success", "data": {}}
+            df = None
         except ValueError as e:
             return _promql_error(e)
-        names = (
-            df.select(
-                F.element_at("labels", F.lit("__name__")).alias("n")
+        if df is not None:
+            names = (
+                df.select(
+                    F.element_at("labels", F.lit("__name__")).alias("n")
+                )
+                .filter("n IS NOT NULL")
+                .distinct()
+                .orderBy("n")
+                .collect()
             )
-            .filter("n IS NOT NULL")
-            .distinct()
-            .orderBy("n")
-            .collect()
-        )
-        data = {r["n"]: [] for r in names}
+            data = {r["n"]: [] for r in names}
+        else:
+            # frameless storages (memory/blackhole) still serve the
+            # 2.0-write-fed metadata cache
+            limit = _parse_limit()
+            data = {}
+        for name, m in sorted(metadata_store.items()):
+            data.setdefault(name, [])
+            data[name] = [{"type": m.type, "help": m.help, "unit": m.unit}]
+        if request.values.get("metric") is not None:
+            want = request.values["metric"]
+            data = {want: data[want]} if want in data else {}
         if request.values.get("limit") is not None:
             # metadata's limit is a plain count: limit=0 returns none
             data = dict(list(data.items())[:limit])

@@ -69,6 +69,11 @@ class NativeHistogram:
     positive: list[tuple[int, float]] = field(default_factory=list)
     negative: list[tuple[int, float]] = field(default_factory=list)
     is_float: bool = False  # wire used the *_float/absolute-counts form
+    # Remote-Write 2.0 custom-bucket (NHCB) boundaries (write.v2 Histogram
+    # field 16). Non-empty ⇒ ``positive`` indexes buckets BETWEEN these
+    # boundaries instead of the exponential grid; the exponential
+    # analytics tier rejects such histograms explicitly.
+    custom_values: list[float] = field(default_factory=list)
 
 
 @dataclass
