@@ -54,7 +54,11 @@ def _format_value(v: float) -> str:
 
 
 
-def create_app(storage: Storage, rule_groups: list[dict] | None = None):
+def create_app(
+    storage: Storage,
+    rule_groups: list[dict] | None = None,
+    enable_admin: bool = True,
+):
     """``rule_groups`` (optional) registers Prometheus-shaped rule groups
     served read-only at /api/v1/rules and evaluated on demand at
     /api/v1/alerts::
@@ -905,7 +909,87 @@ def create_app(storage: Storage, rule_groups: list[dict] | None = None):
 
     @app.get("/api/v1/status/flags")
     def status_flags():
-        return {"status": "success", "data": {}}
+        return {
+            "status": "success",
+            "data": {"web.enable-admin-api": "true" if enable_admin else "false"},
+        }
+
+    # ----------------------------------------------------- TSDB admin API
+    # Prometheus's web/api/v1 admin endpoints (gated by
+    # --web.enable-admin-api upstream; the enable_admin flag here). The
+    # storage methods behind them are the columnar re-expression of the
+    # TSDB tombstone model: delete marks intervals, clean rewrites only
+    # the intersecting day partitions, snapshot copies the tiers.
+
+    def _admin_error():
+        if not enable_admin:
+            return (
+                {"status": "error", "errorType": "unavailable",
+                 "error": "admin APIs disabled"},
+                403,
+            )
+        if not hasattr(storage, "delete_series"):
+            return (
+                {"status": "error", "errorType": "unavailable",
+                 "error": "storage does not support admin operations"},
+                501,
+            )
+        return None
+
+    def _model_matchers(selector: str):
+        from promhouse_spark.models import MatchType, Matcher as MMatcher
+        from promhouse_spark.promql.parser import VectorSelector, parse
+
+        node = parse(selector)
+        if not isinstance(node, VectorSelector):
+            raise ValueError(f"match[] must be a selector: {selector!r}")
+        op = {
+            "=": MatchType.EQ,
+            "!=": MatchType.NEQ,
+            "=~": MatchType.RE,
+            "!~": MatchType.NRE,
+        }
+        ms = [MMatcher(m.name, op[m.op], m.value) for m in node.matchers]
+        if node.name:
+            ms.append(MMatcher("__name__", MatchType.EQ, node.name))
+        return tuple(ms)
+
+    @app.route("/api/v1/admin/tsdb/delete_series", methods=["POST", "PUT"])
+    def admin_delete_series():
+        err = _admin_error()
+        if err:
+            return err
+        sels = request.values.getlist("match[]")
+        if not sels:
+            return _promql_error(ValueError("no match[] parameter provided"))
+        start_s, end_s = request.values.get("start"), request.values.get("end")
+        try:
+            start_ms = _parse_time_ms(start_s) if start_s else None
+            end_ms = _parse_time_ms(end_s) if end_s else None
+            for sel in sels:
+                storage.delete_series(_model_matchers(sel), start_ms, end_ms)
+        except ValueError as e:
+            return _promql_error(e)
+        return Response(status=204)
+
+    @app.route("/api/v1/admin/tsdb/clean_tombstones", methods=["POST", "PUT"])
+    def admin_clean_tombstones():
+        err = _admin_error()
+        if err:
+            return err
+        storage.clean_tombstones()
+        return Response(status=204)
+
+    @app.route("/api/v1/admin/tsdb/snapshot", methods=["POST", "PUT"])
+    def admin_snapshot():
+        err = _admin_error()
+        if err:
+            return err
+        # skip_head is accepted for API compatibility; there is no
+        # in-memory head tier to skip — all data is already on disk.
+        _ = request.values.get("skip_head")
+        name = storage.snapshot()
+        return {"status": "success", "data": {"name": name}}
 
     @app.get("/api/v1/targets")
     def targets():

@@ -49,6 +49,26 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(jpath, recursive))
 
 
+def copy(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursively copy ``src`` to ``dst`` (Hadoop ``FileUtil.copy``), so
+    snapshots work against any store Spark can reach. Not atomic — callers
+    copy into a staging name and rename into place."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_fs, jsrc = _fs_path(spark, src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    dst_fs = jdst.getFileSystem(conf)
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+        src_fs, jsrc, dst_fs, jdst, False, False, conf
+    ):
+        raise OSError(f"copy failed: {src} -> {dst}")
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_path(spark, path)
+    fs.mkdirs(jpath)
+
+
 def list_names(spark: SparkSession, path: str) -> list[str]:
     """Names of the direct children of ``path`` (empty if it is absent)."""
     fs, jpath = _fs_path(spark, path)

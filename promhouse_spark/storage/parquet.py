@@ -71,6 +71,7 @@ class SparkParquetStorage(Storage):
         self.registry_path = os.path.join(root, "time_series")
         self.histograms_path = os.path.join(root, "histograms")
         self.exemplars_path = os.path.join(root, "exemplars")
+        self.tombstones_path = os.path.join(root, "tombstones")
         self.max_series_inlist = max_series_inlist
         self.cache_registry = cache_registry
         # fingerprint (unsigned) -> labels dict; the reference's in-memory
@@ -96,12 +97,50 @@ class SparkParquetStorage(Storage):
     def samples_df(self) -> DataFrame:
         if not fs.exists(self.spark, self.samples_path):
             return self.spark.createDataFrame([], SAMPLES_SCHEMA)
-        return self.spark.read.parquet(self.samples_path)
+        return self._apply_tombstones(self.spark.read.parquet(self.samples_path))
+
+    def tombstones_df(self) -> DataFrame:
+        """Pending delete intervals: (fingerprint, min_ms, max_ms) — the
+        Prometheus-TSDB tombstone model (public tsdb/tombstones): a delete
+        marks, a later clean rewrites. Empty frame when none pending."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(FINGERPRINT, LongType(), False),
+                StructField("min_ms", LongType(), False),
+                StructField("max_ms", LongType(), False),
+            ]
+        )
+        if not fs.exists(self.spark, self.tombstones_path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self.tombstones_path)
+
+    def _apply_tombstones(self, df: DataFrame) -> DataFrame:
+        """Mask tombstoned (fingerprint, time-range) cells out of a fact
+        frame. Equi-keyed left-anti join on fingerprint with the interval
+        test as the residual condition — Catalyst auto-broadcasts the
+        (normally tiny) tombstone side, so the mask costs one hash probe
+        per fact row and adds NO shuffle; a pathologically large pending
+        delete set degrades to a sort-merge anti-join instead of OOMing
+        the driver. When no deletes are pending the frame passes through
+        untouched (zero plan change for the common case)."""
+        if not fs.exists(self.spark, self.tombstones_path):
+            return df
+        t = self.tombstones_df().select(
+            F.col(FINGERPRINT).alias("__t_fp"), "min_ms", "max_ms"
+        )
+        cond = (
+            (df[FINGERPRINT] == t["__t_fp"])
+            & (df[TIMESTAMP_MS] >= t["min_ms"])
+            & (df[TIMESTAMP_MS] <= t["max_ms"])
+        )
+        return df.join(t, cond, "left_anti")
 
     def histograms_df(self) -> DataFrame:
         if not fs.exists(self.spark, self.histograms_path):
             return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
-        return self.spark.read.parquet(self.histograms_path)
+        return self._apply_tombstones(self.spark.read.parquet(self.histograms_path))
 
     def read_histograms(self, query) -> DataFrame:
         """Native-histogram read: the same matcher-resolution +
@@ -132,7 +171,7 @@ class SparkParquetStorage(Storage):
     def exemplars_df(self) -> DataFrame:
         if not fs.exists(self.spark, self.exemplars_path):
             return self.spark.createDataFrame([], EXEMPLARS_SCHEMA)
-        return self.spark.read.parquet(self.exemplars_path)
+        return self._apply_tombstones(self.spark.read.parquet(self.exemplars_path))
 
     def read_exemplars(self, query) -> DataFrame:
         """Exemplar read (web/api/v1 query_exemplars shape): matcher
@@ -409,6 +448,170 @@ class SparkParquetStorage(Storage):
         if dropped:
             self._drop_recent_cache()
         return dropped
+
+    # ------------------------------------------------------- admin (TSDB)
+
+    def delete_series(
+        self,
+        matchers,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> int:
+        """Prometheus admin ``delete_series`` semantics (public web/api/v1
+        + tsdb/tombstones model): resolve matchers against the registry,
+        append one (fingerprint, min_ms, max_ms) tombstone per matched
+        series, and let every read path mask the interval immediately; the
+        bytes are reclaimed later by :meth:`clean_tombstones`. The registry
+        itself is untouched — series identity outlives its samples, exactly
+        as the reference never deletes from ``time_series``.
+
+        Scale: resolution and the tombstone append are both distributed
+        (no driver-side collect of the matched set); a matcher hitting
+        millions of series writes millions of 24-byte rows, not samples.
+        Returns the number of series tombstoned.
+        """
+        from promhouse_spark.plans.read import select_series
+
+        matched = select_series(self.registry_df(), matchers).select(FINGERPRINT)
+        lo = -(2**62) if start_ms is None else int(start_ms)
+        hi = (2**62) if end_ms is None else int(end_ms)
+        t = matched.withColumn("min_ms", F.lit(lo).cast("long")).withColumn(
+            "max_ms", F.lit(hi).cast("long")
+        )
+        n = matched.count()
+        if n:
+            t.coalesce(1).write.mode("append").parquet(self.tombstones_path)
+            self._drop_recent_cache()
+        return n
+
+    def clean_tombstones(self, files_per_day: int = 1) -> dict[str, int]:
+        """Apply pending tombstones physically and clear them — the
+        Prometheus ``clean_tombstones`` analog, done the columnar way:
+        rewrite ONLY the day partitions that actually intersect a pending
+        delete (partition-pruned by the tombstones' global time bounds,
+        then narrowed by a distributed semi-join), leaving the rest of a
+        100 TB table's partitions untouched. Affected partitions come back
+        consolidated and re-clustered by (fingerprint, ts), so a clean
+        doubles as local compaction. Returns {tier: partitions rewritten}.
+
+        Same single-writer/offline contract as :meth:`compact_samples`
+        (partition swaps are rename-based).
+        """
+        if not fs.exists(self.spark, self.tombstones_path):
+            return {}
+        t = self.tombstones_df().select(
+            F.col(FINGERPRINT).alias("__t_fp"), "min_ms", "max_ms"
+        )
+        bounds = t.agg(
+            F.min("min_ms").alias("lo"), F.max("max_ms").alias("hi")
+        ).first()
+        # Clamp the unbounded-delete sentinels (±2^62) into timestamp_millis'
+        # domain (ms→µs multiply overflows int64 beyond ~±2^53 ms anyway);
+        # ±4e15 ms is ±125k years — outside any real partition.
+        lo_ms = max(int(bounds["lo"]), -4_000_000_000_000_000)
+        hi_ms = min(int(bounds["hi"]), 4_000_000_000_000_000)
+        rewritten: dict[str, int] = {}
+        for root in (self.samples_path, self.histograms_path, self.exemplars_path):
+            if not fs.exists(self.spark, root):
+                continue
+            raw = self.spark.read.parquet(root)
+            if DATE not in raw.columns:
+                continue
+            # partition-prune to the tombstones' global envelope first —
+            # a bounded delete never scans partitions outside its window
+            cand = raw.filter(
+                (F.col(DATE) >= F.to_date(F.timestamp_millis(F.lit(lo_ms))))
+                & (F.col(DATE) <= F.to_date(F.timestamp_millis(F.lit(hi_ms))))
+            )
+            cond = (
+                (cand[FINGERPRINT] == t["__t_fp"])
+                & (cand[TIMESTAMP_MS] >= t["min_ms"])
+                & (cand[TIMESTAMP_MS] <= t["max_ms"])
+            )
+            affected = [
+                r[DATE]
+                for r in cand.join(t, cond, "left_semi").select(DATE).distinct().collect()
+            ]
+            if not affected:
+                continue
+            keep = cand.filter(F.col(DATE).isin(affected))
+            cond2 = (
+                (keep[FINGERPRINT] == t["__t_fp"])
+                & (keep[TIMESTAMP_MS] >= t["min_ms"])
+                & (keep[TIMESTAMP_MS] <= t["max_ms"])
+            )
+            surviving = keep.join(t, cond2, "left_anti")
+            tmp = root + ".clean"
+            if fs.exists(self.spark, tmp):
+                raise RuntimeError(
+                    f"stale {tmp} exists — previous clean crashed mid-swap; "
+                    "inspect/remove it before cleaning again"
+                )
+            (
+                surviving.repartition(
+                    max(files_per_day * len(affected), 1),
+                    F.col(DATE),
+                    F.pmod(F.col(FINGERPRINT), F.lit(files_per_day)),
+                )
+                .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+                .write.partitionBy(DATE)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            for d in affected:
+                part = f"{DATE}={d.isoformat()}"
+                fs.delete(self.spark, os.path.join(root, part))
+                if fs.exists(self.spark, os.path.join(tmp, part)):
+                    fs.rename(
+                        self.spark,
+                        os.path.join(tmp, part),
+                        os.path.join(root, part),
+                    )
+                # else: the whole partition was deleted — stays dropped
+            fs.delete(self.spark, tmp)
+            if not any(
+                n.startswith(f"{DATE}=") for n in fs.list_names(self.spark, root)
+            ):
+                # every partition of this tier was deleted — drop the root so
+                # readers take the empty-frame path instead of failing schema
+                # inference on a partitionless directory
+                fs.delete(self.spark, root)
+            rewritten[os.path.basename(root)] = len(affected)
+        fs.delete(self.spark, self.tombstones_path)
+        self._drop_recent_cache()
+        return rewritten
+
+    def snapshot(self, name: str | None = None) -> str:
+        """Copy every tier (registry, facts, sidecars, pending tombstones)
+        into ``<root>/snapshots/<name>`` — the Prometheus admin ``snapshot``
+        analog. Copies go to a staging dir first and rename into place, so
+        a crashed snapshot never looks complete. Returns the snapshot name.
+
+        O(bytes) copy through the Hadoop FS API (works on HDFS/object
+        stores); on snapshot-capable stores mount the result read-only —
+        the engine can open it directly as a storage root.
+        """
+        import time as _time
+        import uuid as _uuid
+
+        if name is None:
+            name = (
+                _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+                + "-"
+                + _uuid.uuid4().hex[:8]
+            )
+        dest = os.path.join(self.root, "snapshots", name)
+        if fs.exists(self.spark, dest):
+            raise ValueError(f"snapshot {name!r} already exists")
+        staging = dest + ".tmp"
+        fs.delete(self.spark, staging)
+        fs.mkdirs(self.spark, staging)
+        for sub in ("time_series", "samples", "histograms", "exemplars", "tombstones"):
+            src = os.path.join(self.root, sub)
+            if fs.exists(self.spark, src):
+                fs.copy(self.spark, src, os.path.join(staging, sub))
+        fs.rename(self.spark, staging, dest)
+        return name
 
     # ----------------------------------------------------------------- read
 
