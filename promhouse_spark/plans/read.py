@@ -54,6 +54,34 @@ def samples_in_range(samples_df: DataFrame, start_ms: int, end_ms: int) -> DataF
     return samples_df.filter(cond)
 
 
+def apply_tombstones(
+    df: DataFrame,
+    tombstones: DataFrame,
+    key_col: str = FINGERPRINT,
+    ts_col: str = TIMESTAMP_MS,
+) -> DataFrame:
+    """Mask tombstoned (key, time-interval) cells out of a fact frame — the
+    Prometheus-TSDB delete model (tombstones mark, a later clean rewrites)
+    as one declarative op. ``tombstones`` carries (``key_col``, ``min_ms``,
+    ``max_ms``) rows.
+
+    Shape: equi-keyed LEFT ANTI join on the key with the interval test as
+    the residual condition — Catalyst auto-broadcasts a small tombstone
+    side (one hash probe per fact row, NO shuffle of the fact table) and
+    degrades to sort-merge for pathological delete sets instead of OOMing
+    the driver.
+    """
+    t = tombstones.select(
+        F.col(key_col).alias("__t_key"), "min_ms", "max_ms"
+    )
+    cond = (
+        (df[key_col] == t["__t_key"])
+        & (df[ts_col] >= t["min_ms"])
+        & (df[ts_col] <= t["max_ms"])
+    )
+    return df.join(t, cond, "left_anti")
+
+
 def restrict_to_series(
     samples_df: DataFrame,
     fingerprints: Iterable[int] | DataFrame,

@@ -125,17 +125,11 @@ class SparkParquetStorage(Storage):
         delete set degrades to a sort-merge anti-join instead of OOMing
         the driver. When no deletes are pending the frame passes through
         untouched (zero plan change for the common case)."""
+        from promhouse_spark.plans.read import apply_tombstones
+
         if not fs.exists(self.spark, self.tombstones_path):
             return df
-        t = self.tombstones_df().select(
-            F.col(FINGERPRINT).alias("__t_fp"), "min_ms", "max_ms"
-        )
-        cond = (
-            (df[FINGERPRINT] == t["__t_fp"])
-            & (df[TIMESTAMP_MS] >= t["min_ms"])
-            & (df[TIMESTAMP_MS] <= t["max_ms"])
-        )
-        return df.join(t, cond, "left_anti")
+        return apply_tombstones(df, self.tombstones_df())
 
     def histograms_df(self) -> DataFrame:
         if not fs.exists(self.spark, self.histograms_path):

@@ -30,6 +30,7 @@ from promhouse_spark.workloads import promql3 as _promql3
 from promhouse_spark.workloads import promql4 as _promql4
 from promhouse_spark.workloads import promql5 as _promql5
 from promhouse_spark.workloads import promql6 as _promql6
+from promhouse_spark.workloads import promql7 as _promql7
 from promhouse_spark.workloads import tpch as _tpch
 from promhouse_spark.workloads import tpch2 as _tpch2
 from promhouse_spark.workloads import tpch3 as _tpch3
@@ -49,7 +50,8 @@ _ALL_QUERIES = {
     **_promql5.QUERIES,
     **_extra.QUERIES,
     **_nhist.QUERIES,
-    **_promql6.QUERIES,  # imported last: appends to the judged tail
+    **_promql6.QUERIES,
+    **_promql7.QUERIES,  # imported last: appends to the judged tail
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 registry entries
@@ -141,6 +143,7 @@ ORACLES = {
     **_extra.ORACLES,
     **_nhist.ORACLES,
     **_promql6.ORACLES,
+    **_promql7.ORACLES,
 }
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"
