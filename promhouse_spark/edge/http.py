@@ -171,7 +171,7 @@ def create_app(
     def read():
         try:
             body = snappy_codec.decompress(request.get_data())
-            decoded = prompb.decode_read_request(body)
+            decoded, accepted_types = prompb.decode_read_request_full(body)
         except ValueError as e:
             return Response(f"decode error: {e}", status=400)
         queries = []
@@ -207,6 +207,39 @@ def create_app(
                 return Response(f"invalid matcher regex: {e}"[:500], status=400)
             raise
         counters["read_queries"] += len(queries)
+        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types:
+            # Streamed chunked remote read (Prometheus ≥ 2.13,
+            # read_recent/remote-read streaming): one frame per series,
+            # each carrying Gorilla-XOR-compressed chunks — constant
+            # server memory per frame instead of materializing the whole
+            # snappy response. The reference never negotiates this
+            # (prom.go answers sampled unconditionally).
+            from promhouse_spark.edge import chunkenc
+
+            def frames():
+                for qi, series_list in enumerate(results):
+                    for ts in series_list:
+                        chunks = [
+                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
+                            for mn, mx, data in chunkenc.chunk_samples(
+                                (s.timestamp_ms, s.value) for s in ts.samples
+                            )
+                        ]
+                        msg = prompb.encode_chunked_read_response(
+                            [(ts.labels, chunks)], query_index=qi
+                        )
+                        yield chunkenc.frame_message(msg)
+
+            return Response(
+                frames(),
+                status=200,
+                headers={
+                    "Content-Type": (
+                        "application/x-streamed-protobuf; "
+                        "proto=prometheus.ChunkedReadResponse"
+                    )
+                },
+            )
         payload = snappy_codec.compress(prompb.encode_read_response(results))
         return Response(
             payload,

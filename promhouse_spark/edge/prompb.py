@@ -515,6 +515,117 @@ def decode_read_request(buf: bytes) -> list[tuple[Query, dict | None]]:
     return [decode_query(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]
 
 
+# Remote-read response-type negotiation (public prometheus/prompb
+# remote.proto ReadRequest.accepted_response_types, field 2):
+RESPONSE_TYPE_SAMPLES = 0
+RESPONSE_TYPE_STREAMED_XOR_CHUNKS = 1
+
+
+def decode_read_request_full(
+    buf: bytes,
+) -> tuple[list[tuple[Query, dict | None]], list[int]]:
+    """Like :func:`decode_read_request` but also returns the client's
+    ``accepted_response_types`` (packed or unpacked varints; absent means
+    SAMPLES-only, the proto3 default). The reference never looks at this
+    field — it always answers sampled."""
+    queries: list[tuple[Query, dict | None]] = []
+    accepted: list[int] = []
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            queries.append(decode_query(v))
+        elif field == 2 and wire == 2:
+            accepted.extend(_read_packed_varints(v))
+        elif field == 2 and wire == 0:
+            accepted.append(int(v))
+    return queries, accepted
+
+
+def encode_read_request_full(
+    queries: Sequence[Query], accepted_response_types: Sequence[int] = ()
+) -> bytes:
+    out = encode_read_request(queries)
+    if accepted_response_types:
+        out += _len_delim(2, _packed_varints(list(accepted_response_types)))
+    return out
+
+
+# ------------------------------------------- streamed chunked read messages
+# Public prometheus/prompb types.proto: Chunk{min_time_ms=1, max_time_ms=2,
+# type=3 (XOR=1), data=4}; ChunkedSeries{labels=1, chunks=2};
+# remote.proto ChunkedReadResponse{chunked_series=1, query_index=2}.
+
+
+def encode_chunk(min_time_ms: int, max_time_ms: int, ctype: int, data: bytes) -> bytes:
+    out = b""
+    if min_time_ms:
+        out += _tag(1, 0) + _varint(int(min_time_ms))
+    if max_time_ms:
+        out += _tag(2, 0) + _varint(int(max_time_ms))
+    if ctype:
+        out += _tag(3, 0) + _varint(ctype)
+    if data:
+        out += _len_delim(4, data)
+    return out
+
+
+def decode_chunk(buf: bytes) -> tuple[int, int, int, bytes]:
+    min_t = max_t = ctype = 0
+    data = b""
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 0:
+            min_t = _to_int64(int(v))
+        elif field == 2 and wire == 0:
+            max_t = _to_int64(int(v))
+        elif field == 3 and wire == 0:
+            ctype = int(v)
+        elif field == 4 and wire == 2:
+            data = bytes(v)
+    return min_t, max_t, ctype, data
+
+
+def encode_chunked_series(
+    labels: Sequence[Label], chunks: Sequence[tuple[int, int, int, bytes]]
+) -> bytes:
+    out = b""
+    for l in labels:
+        out += _len_delim(1, encode_label(l))
+    for c in chunks:
+        out += _len_delim(2, encode_chunk(*c))
+    return out
+
+
+def decode_chunked_series(buf: bytes) -> tuple[list[Label], list[tuple[int, int, int, bytes]]]:
+    labels: list[Label] = []
+    chunks: list[tuple[int, int, int, bytes]] = []
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            labels.append(decode_label(v))
+        elif field == 2 and wire == 2:
+            chunks.append(decode_chunk(v))
+    return labels, chunks
+
+
+def encode_chunked_read_response(
+    series: Sequence[tuple[Sequence[Label], Sequence[tuple[int, int, int, bytes]]]],
+    query_index: int = 0,
+) -> bytes:
+    out = b"".join(_len_delim(1, encode_chunked_series(ls, cs)) for ls, cs in series)
+    if query_index:
+        out += _tag(2, 0) + _varint(query_index)
+    return out
+
+
+def decode_chunked_read_response(buf: bytes):
+    series = []
+    query_index = 0
+    for field, wire, v, _ in _fields(buf):
+        if field == 1 and wire == 2:
+            series.append(decode_chunked_series(v))
+        elif field == 2 and wire == 0:
+            query_index = _to_int64(int(v))
+    return series, query_index
+
+
 def decode_query_result(buf: bytes) -> list[TimeSeries]:
     return [decode_timeseries(v) for field, wire, v, _ in _fields(buf) if field == 1 and wire == 2]
 
