@@ -190,6 +190,50 @@ def create_app(
                     except re.error as e:
                         return Response(f"invalid matcher regex: {e}", status=400)
             queries.append(q)
+        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types and hasattr(
+            storage, "read_chunks"
+        ):
+            # Zero-decode fast path (chunked storage tier): at-rest chunks
+            # ARE wire chunks, so the streamed response is prune + frame —
+            # no per-sample work, and the sampled read below never runs.
+            # Falls through when unsound (pending tombstones).
+            from promhouse_spark.edge import chunkenc
+            from promhouse_spark.models import Label as MLabel
+
+            per_query = [storage.read_chunks(q) for q in queries]
+            if all(r is not None for r in per_query):
+                counters["read_queries"] += len(queries)
+
+                def raw_frames():
+                    for qi, series_list in enumerate(per_query):
+                        for labels, chunks in series_list:
+                            msg = prompb.encode_chunked_read_response(
+                                [
+                                    (
+                                        [
+                                            MLabel(n, v)
+                                            for n, v in sorted(labels.items())
+                                        ],
+                                        [
+                                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
+                                            for mn, mx, data in chunks
+                                        ],
+                                    )
+                                ],
+                                query_index=qi,
+                            )
+                            yield chunkenc.frame_message(msg)
+
+                return Response(
+                    raw_frames(),
+                    status=200,
+                    headers={
+                        "Content-Type": (
+                            "application/x-streamed-protobuf; "
+                            "proto=prometheus.ChunkedReadResponse"
+                        )
+                    },
+                )
         try:
             if any(h is not None for h in hint_list) and hasattr(
                 storage, "read_with_hints"

@@ -1,0 +1,326 @@
+"""ChunkedParquetStorage — the samples tier stored as Gorilla XOR chunks.
+
+The reference quotes ~1.4-5.3 bytes/sample for its ClickHouse layout
+(README.md:63-67); Prometheus's own TSDB reaches ~1.37 B/sample because
+of the Gorilla XOR chunk encoding (Pelkonen et al., VLDB 2015). This
+backend stores exactly that: instead of flat (fingerprint, ts, value)
+rows, the fact tier is
+
+  chunks(fingerprint long, date date-partition,
+         min_ms long, max_ms long, n int, chunk binary)
+
+one row per ≤120-sample XOR chunk (``edge/chunkenc.py`` — the same codec
+the streamed remote-read path serves over the wire, so a chunk can go
+from disk to the wire without re-encoding).
+
+Scale design:
+
+- **Write**: the incoming batch groups by (fingerprint, day) and encodes
+  per group in an Arrow-batched ``applyInPandas`` — one shuffle keyed
+  exactly like the table layout, Python cost O(samples) with ~µs/sample
+  bit-packing, output 10-100× smaller than the flat rows it replaces.
+- **Read**: matcher-resolved fingerprints restrict the CHUNK frame
+  (IN-list / semi-join, same J1/J2 strategies), the day-partition
+  predicate prunes directories, and the (min_ms, max_ms) envelope
+  columns prune chunks via parquet row-group min/max stats — all BEFORE
+  a single chunk byte is decoded. Only surviving chunks pass through the
+  ``mapInPandas`` decoder, then the exact [start, end] row filter
+  applies. A 5-minute read over a 100 TB table touches minutes' worth of
+  chunks, not days'.
+- **Everything else inherits**: registry, matchers, histogram/exemplar
+  sidecars, tombstone masking (applied post-decode), retention (the
+  chunks tier joins the date-partition sweep), admin APIs, remote
+  read/write — the whole storages spec runs against this backend
+  unchanged.
+
+Trade-offs vs the flat tier, stated: rawsql/``samples`` views and
+hint-driven rollup reads see a decode-everything frame (correct, but no
+pushdown below the decode barrier) — analytics-heavy deployments keep
+the flat tier, ingest-heavy long-retention ones take the 10× storage
+win. ``clean_tombstones`` decodes, masks, and re-encodes only the
+affected day partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from promhouse_spark.models import Query
+from promhouse_spark.plans.read import restrict_to_series
+from promhouse_spark.schemas import DATE, FINGERPRINT, SAMPLES_SCHEMA, TIMESTAMP_MS, VALUE
+from promhouse_spark.storage import fs
+from promhouse_spark.storage.parquet import SparkParquetStorage
+
+CHUNK_SCHEMA = (
+    f"{FINGERPRINT} long, {DATE} date, min_ms long, max_ms long, "
+    "n int, chunk binary"
+)
+_DECODED_SCHEMA = f"{FINGERPRINT} long, {TIMESTAMP_MS} long, {VALUE} double"
+
+
+def _encode_group(pdf):
+    """(fingerprint, date) group → XOR chunk rows. Runs on executors."""
+    import pandas as pd
+
+    from promhouse_spark.edge.chunkenc import chunk_samples
+
+    pdf = pdf.sort_values(TIMESTAMP_MS)
+    fp = int(pdf[FINGERPRINT].iloc[0])
+    date = pdf[DATE].iloc[0]
+    rows = []
+    for min_ms, max_ms, data in chunk_samples(
+        zip(pdf[TIMESTAMP_MS].astype("int64"), pdf[VALUE].astype("float64"))
+    ):
+        rows.append((fp, date, min_ms, max_ms, 0, data))
+    out = pd.DataFrame(
+        rows, columns=[FINGERPRINT, DATE, "min_ms", "max_ms", "n", "chunk"]
+    )
+    # n is informative (sample count per chunk); recompute from sizes
+    out["n"] = [
+        int.from_bytes(bytes(c[:2]), "big") if len(c) >= 2 else 0
+        for c in out["chunk"]
+    ]
+    return out
+
+
+def _decode_chunks(batches: Iterator) -> Iterator:
+    """Chunk rows → flat sample rows. Runs on executors."""
+    import pandas as pd
+
+    from promhouse_spark.edge.chunkenc import decode_xor_chunk
+
+    for pdf in batches:
+        fps: list[int] = []
+        ts: list[int] = []
+        vals: list[float] = []
+        for fp, chunk in zip(pdf[FINGERPRINT], pdf["chunk"]):
+            for t, v in decode_xor_chunk(bytes(chunk)):
+                fps.append(int(fp))
+                ts.append(t)
+                vals.append(v)
+        yield pd.DataFrame({FINGERPRINT: fps, TIMESTAMP_MS: ts, VALUE: vals})
+
+
+class ChunkedParquetStorage(SparkParquetStorage):
+    def __init__(self, spark: SparkSession, root: str, **kwargs) -> None:
+        super().__init__(spark, root, **kwargs)
+        self.chunks_path = os.path.join(root, "chunks")
+
+    # ---------------------------------------------------------------- write
+
+    def ingest_df(self, samples_df: DataFrame, files_per_day: int | None = None) -> None:
+        """Encode-and-append: one shuffle on (fingerprint, day), Arrow-
+        batched Gorilla encoding per group, day-partitioned parquet out.
+        Append-only like the flat tier — a re-sent batch adds overlapping
+        chunks, and reads tolerate them (decode → sort; the protocol is
+        duplicate-tolerant, SURVEY §7 risk 6)."""
+        df = samples_df.withColumn(
+            DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+        )
+        chunks = df.groupBy(FINGERPRINT, DATE).applyInPandas(
+            _encode_group, schema=CHUNK_SCHEMA
+        )
+        chunks.write.partitionBy(DATE).mode("append").parquet(self.chunks_path)
+        self._drop_recent_cache()
+
+    # ----------------------------------------------------------------- read
+
+    def chunks_df(self) -> DataFrame:
+        if not fs.exists(self.spark, self.chunks_path):
+            return self.spark.createDataFrame([], CHUNK_SCHEMA)
+        return self.spark.read.parquet(self.chunks_path)
+
+    def samples_df(self) -> DataFrame:
+        """The decoded flat view (rawsql/views/compat): every surviving
+        chunk through the Arrow decoder. Correct everywhere the flat frame
+        is expected; time-range pushdown happens in :meth:`_restricted_scan`
+        instead, where chunk envelopes can prune before decode."""
+        if not fs.exists(self.spark, self.chunks_path):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        decoded = self.chunks_df().mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
+        return self._apply_tombstones(decoded)
+
+    def _restricted_scan(self, samples: DataFrame, q: Query, fps) -> DataFrame:
+        """Chunk-granularity pushdown: fingerprint restriction + day
+        pruning + (min_ms, max_ms) envelope overlap run on the 6-column
+        chunk frame (parquet row-group stats prune on the envelope
+        columns); ONLY surviving chunks decode. The passed flat frame is
+        ignored — pruning below the decode barrier beats any cached
+        decoded view."""
+        chunks = self.chunks_df()
+        cond = (F.col("max_ms") >= q.start_ms) & (F.col("min_ms") <= q.end_ms)
+        start_d = F.to_date(F.timestamp_millis(F.lit(int(q.start_ms))))
+        end_d = F.to_date(F.timestamp_millis(F.lit(int(q.end_ms))))
+        cond = cond & (F.col(DATE) >= start_d) & (F.col(DATE) <= end_d)
+        pruned = restrict_to_series(
+            chunks.filter(cond), fps, self.max_series_inlist
+        )
+        decoded = pruned.select(FINGERPRINT, "chunk").mapInPandas(
+            _decode_chunks, schema=_DECODED_SCHEMA
+        )
+        decoded = decoded.filter(
+            (F.col(TIMESTAMP_MS) >= q.start_ms) & (F.col(TIMESTAMP_MS) <= q.end_ms)
+        )
+        return self._apply_tombstones(decoded)
+
+    def read_chunks(self, q: Query):
+        """Zero-decode read for the streamed remote-read path: the pruned
+        CHUNK rows go to the wire verbatim — storage format ≡ wire format
+        (both are tsdb/chunkenc XOR), so a streamed read does NO per-sample
+        work at all: prune, collect, frame. Chunks intersecting the range
+        are returned whole (the remote-read streamed contract: the querier
+        trims by time).
+
+        Returns ``[(labels_dict, [(min_ms, max_ms, chunk_bytes), ...])]``
+        sorted by fingerprint, or ``None`` when the fast path is unsound
+        (pending tombstones — deleted samples may hide inside a chunk, so
+        the caller must fall back to the decode-and-re-encode path)."""
+        if fs.exists(self.spark, self.tombstones_path):
+            return None
+        fps = self._resolve_fingerprints(q)
+        if not fps:
+            return []
+        chunks = self.chunks_df()
+        cond = (F.col("max_ms") >= q.start_ms) & (F.col("min_ms") <= q.end_ms)
+        start_d = F.to_date(F.timestamp_millis(F.lit(int(q.start_ms))))
+        end_d = F.to_date(F.timestamp_millis(F.lit(int(q.end_ms))))
+        cond = cond & (F.col(DATE) >= start_d) & (F.col(DATE) <= end_d)
+        rows = (
+            restrict_to_series(chunks.filter(cond), fps, self.max_series_inlist)
+            .select(FINGERPRINT, "min_ms", "max_ms", "chunk")
+            .collect()
+        )
+        from promhouse_spark.functions.fingerprint import to_unsigned64
+        from promhouse_spark.schemas import LABELS
+
+        by_fp: dict[int, list] = {}
+        for r in rows:
+            by_fp.setdefault(r[FINGERPRINT], []).append(
+                (r["min_ms"], r["max_ms"], bytes(r["chunk"]))
+            )
+        if self.cache_registry:
+            label_map = {
+                fp: self._registry.get(to_unsigned64(fp), {}) for fp in by_fp
+            }
+        else:  # distributed label resolution for uncached registries
+            reg_rows = (
+                restrict_to_series(self.registry_df(), list(by_fp), self.max_series_inlist)
+                .select(FINGERPRINT, LABELS)
+                .collect()
+            )
+            label_map = {r[FINGERPRINT]: dict(r[LABELS]) for r in reg_rows}
+        out = []
+        for fp in sorted(by_fp, key=to_unsigned64):
+            out.append((label_map.get(fp, {}), sorted(by_fp[fp])))
+        return out
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _date_partitioned_tiers(self) -> tuple[str, ...]:
+        return super()._date_partitioned_tiers() + (self.chunks_path,)
+
+    def clean_tombstones(self, files_per_day: int = 1) -> dict[str, int]:
+        """Flat sidecars clean via the inherited rewrite; the chunks tier
+        decodes → masks → re-encodes ONLY the day partitions whose chunk
+        envelopes intersect a pending tombstone, then the tombstones clear."""
+        if not fs.exists(self.spark, self.tombstones_path):
+            return {}
+        t = self.tombstones_df()
+        rewritten: dict[str, int] = {}
+        if fs.exists(self.spark, self.chunks_path):
+            chunks = self.chunks_df()
+            tt = t.select(
+                F.col(FINGERPRINT).alias("__t_fp"), "min_ms", "max_ms"
+            )
+            hit = (
+                (chunks[FINGERPRINT] == tt["__t_fp"])
+                & (chunks["max_ms"] >= tt["min_ms"])
+                & (chunks["min_ms"] <= tt["max_ms"])
+            )
+            affected = [
+                r[DATE]
+                for r in chunks.join(tt, hit, "left_semi").select(DATE).distinct().collect()
+            ]
+            if affected:
+                keep = chunks.filter(F.col(DATE).isin(affected))
+                decoded = keep.select(FINGERPRINT, "chunk").mapInPandas(
+                    _decode_chunks, schema=_DECODED_SCHEMA
+                )
+                surviving = self._apply_tombstones(decoded).withColumn(
+                    DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+                )
+                reencoded = surviving.groupBy(FINGERPRINT, DATE).applyInPandas(
+                    _encode_group, schema=CHUNK_SCHEMA
+                )
+                tmp = self.chunks_path + ".clean"
+                if fs.exists(self.spark, tmp):
+                    raise RuntimeError(
+                        f"stale {tmp} exists — previous clean crashed mid-swap; "
+                        "inspect/remove it before cleaning again"
+                    )
+                reencoded.write.partitionBy(DATE).mode("overwrite").parquet(tmp)
+                for d in affected:
+                    part = f"{DATE}={d.isoformat()}"
+                    fs.delete(self.spark, os.path.join(self.chunks_path, part))
+                    if fs.exists(self.spark, os.path.join(tmp, part)):
+                        fs.rename(
+                            self.spark,
+                            os.path.join(tmp, part),
+                            os.path.join(self.chunks_path, part),
+                        )
+                fs.delete(self.spark, tmp)
+                if not any(
+                    n.startswith(f"{DATE}=")
+                    for n in fs.list_names(self.spark, self.chunks_path)
+                ):
+                    fs.delete(self.spark, self.chunks_path)
+                rewritten["chunks"] = len(affected)
+        rewritten.update(super().clean_tombstones(files_per_day))
+        return rewritten
+
+    def snapshot(self, name: str | None = None) -> str:
+        name = super().snapshot(name)
+        dest = os.path.join(self.root, "snapshots", name)
+        if fs.exists(self.spark, self.chunks_path):
+            fs.copy(self.spark, self.chunks_path, os.path.join(dest, "chunks"))
+        return name
+
+    def compact_samples(self, files_per_day: int = 1) -> None:
+        """Chunk-tier compaction: decode, re-group per (fingerprint, day),
+        re-encode full-size chunks, swap — merges the overlapping mini-
+        chunks micro-batch ingestion accumulates (the Prometheus head-
+        compaction analog). Same offline/single-writer contract as the
+        flat tier's compaction."""
+        if not fs.exists(self.spark, self.chunks_path):
+            return
+        old = self.chunks_path + ".old"
+        if fs.exists(self.spark, old):
+            raise RuntimeError(
+                f"stale {old} exists — previous compaction crashed mid-swap; "
+                "inspect/remove it before compacting again"
+            )
+        decoded = self.chunks_df().select(FINGERPRINT, "chunk").mapInPandas(
+            _decode_chunks, schema=_DECODED_SCHEMA
+        ).withColumn(DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS))))
+        reencoded = decoded.groupBy(FINGERPRINT, DATE).applyInPandas(
+            _encode_group, schema=CHUNK_SCHEMA
+        )
+        tmp = self.chunks_path + ".compact"
+        (
+            reencoded.repartition(
+                max(files_per_day * 8, 32),
+                F.col(DATE),
+                F.pmod(F.col(FINGERPRINT), F.lit(files_per_day)),
+            )
+            .sortWithinPartitions(FINGERPRINT, "min_ms")
+            .write.partitionBy(DATE)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.rename(self.spark, self.chunks_path, old)
+        fs.rename(self.spark, tmp, self.chunks_path)
+        fs.delete(self.spark, old)
+        self._drop_recent_cache()

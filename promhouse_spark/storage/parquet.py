@@ -426,7 +426,7 @@ class SparkParquetStorage(Storage):
         # sweep every date-partitioned tier the same way: samples plus the
         # native-histogram and exemplar sidecars (exemplars especially are
         # high-churn short-retention data in production Prometheus)
-        for root in (self.samples_path, self.histograms_path, self.exemplars_path):
+        for root in self._date_partitioned_tiers():
             if not fs.exists(self.spark, root):
                 continue
             for name in fs.list_names(self.spark, root):
@@ -442,6 +442,11 @@ class SparkParquetStorage(Storage):
         if dropped:
             self._drop_recent_cache()
         return dropped
+
+    def _date_partitioned_tiers(self) -> tuple[str, ...]:
+        """Every date-partitioned tier retention must sweep — subclasses
+        with extra tiers (the chunked layout) extend this."""
+        return (self.samples_path, self.histograms_path, self.exemplars_path)
 
     # ------------------------------------------------------- admin (TSDB)
 
@@ -875,6 +880,16 @@ class SparkParquetStorage(Storage):
         self._recent_cache = recent
         self._recent_start_ms = cutoff_ms
 
+    def _restricted_scan(self, samples: DataFrame, q: Query, fps) -> DataFrame:
+        """One query's restricted fact scan (F2 + J1/J2) — the layout seam:
+        the flat tier filters rows; a chunked tier prunes whole chunks by
+        their (min_ms, max_ms) envelope before decoding a byte."""
+        return restrict_to_series(
+            samples_in_range(samples, q.start_ms, q.end_ms),
+            fps,
+            self.max_series_inlist,
+        )
+
     def _read_batched(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         """O1 as a single job: per-query restricted scans, each tagged with
         its slot index, unioned and grouped once. Order preserved; empty
@@ -892,13 +907,9 @@ class SparkParquetStorage(Storage):
             samples = (
                 recent
                 if recent is not None and recent_start is not None and q.start_ms >= recent_start
-                else cold
+                else None
             )
-            branch = restrict_to_series(
-                samples_in_range(samples, q.start_ms, q.end_ms),
-                fps,
-                self.max_series_inlist,
-            ).select(
+            branch = self._restricted_scan(samples if samples is not None else cold, q, fps).select(
                 F.lit(idx).alias("qidx"), FINGERPRINT, TIMESTAMP_MS, VALUE
             )
             branches.append(branch)

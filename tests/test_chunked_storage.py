@@ -1,0 +1,264 @@
+"""ChunkedParquetStorage specifics: at-rest Gorilla compression wins,
+chunk-envelope pruning BEFORE decode, tombstone clean via re-encode,
+chunk compaction, retention. Protocol behavior is covered by the
+backend-parametrized storages spec (tests/test_storages.py
+spark_chunked)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from promhouse_spark.models import Label, Query, Sample, TimeSeries, make_matchers
+from promhouse_spark.storage import fs
+from promhouse_spark.storage.chunked import ChunkedParquetStorage
+from promhouse_spark.storage.parquet import SparkParquetStorage
+
+T0 = 1767225600000  # 2026-01-01T00:00:00Z
+DAY = 86_400_000
+
+
+def _dense_series(n_series=4, days=3, per_day=200):
+    out = []
+    for k in range(n_series):
+        samples = []
+        for d in range(days):
+            for i in range(per_day):
+                samples.append(
+                    Sample(
+                        value=100.0 + k + (i % 7),
+                        timestamp_ms=T0 + d * DAY + i * 15_000,
+                    )
+                )
+        out.append(
+            TimeSeries(
+                labels=[Label("__name__", "dense"), Label("k", str(k))],
+                samples=samples,
+            )
+        )
+    return out
+
+
+def _tree_bytes(root):
+    total = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def _read_all(store, matchers=None, lo=0, hi=T0 + 100 * DAY):
+    matchers = matchers or make_matchers(("__name__", "=", "dense"))
+    res = store.read([Query(lo, hi, matchers)])[0]
+    return sorted(
+        (ts.labels_map().get("k", ""), s.timestamp_ms, s.value)
+        for ts in res
+        for s in ts.samples
+    )
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    data = _dense_series()
+    flat = SparkParquetStorage(spark, str(tmp_path_factory.mktemp("flat")))
+    chunked = ChunkedParquetStorage(spark, str(tmp_path_factory.mktemp("chunked")))
+    flat.write(data)
+    chunked.write(data)
+    return flat, chunked
+
+
+def test_chunked_equals_flat(stores):
+    flat, chunked = stores
+    assert _read_all(chunked) == _read_all(flat)
+
+
+def test_chunked_is_much_smaller_at_rest(stores):
+    flat, chunked = stores
+    n_samples = 4 * 3 * 200
+    flat_b = _tree_bytes(flat.samples_path)
+    chunk_b = _tree_bytes(chunked.chunks_path)
+    # regular 15s cadence, small value alphabet: Gorilla crushes it.
+    # parquet's own encodings make flat smaller than 24B/sample raw, but
+    # the chunk tier must still win by a clear margin.
+    assert chunk_b < flat_b / 2, (flat_b, chunk_b, flat_b / n_samples)
+    # and the codec itself: payload bits ≈ ≤2.5 B/sample for this shape
+    rows = chunked.chunks_df().select(F.sum(F.length("chunk"))).first()[0]
+    assert rows / n_samples < 2.5
+
+
+def test_restricted_scan_prunes_before_decode(stores, spark):
+    _, chunked = stores
+    q = Query(
+        T0 + DAY, T0 + DAY + 3600_000, make_matchers(("__name__", "=", "dense"))
+    )
+    fps = chunked._resolve_fingerprints(q)
+    plan = chunked._restricted_scan(None, q, fps)._jdf.queryExecution().toString()
+    # the envelope predicates sit below the Arrow decode in the physical
+    # plan: pushed to the parquet scan of the CHUNK table
+    assert "PushedFilters:" in plan
+    assert "min_ms" in plan and "max_ms" in plan
+    # day-partition pruning on the chunk table as well
+    assert "date" in plan
+
+
+def test_chunk_rows_carry_sample_counts(stores):
+    _, chunked = stores
+    rows = chunked.chunks_df().select("n").collect()
+    assert sum(r["n"] for r in rows) == 4 * 3 * 200
+    assert all(1 <= r["n"] <= 120 for r in rows)
+
+
+def test_delete_and_clean_reencode(spark, tmp_path):
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    store.write(_dense_series(n_series=2, days=2, per_day=50))
+    n_before = store.chunks_df().count()
+    store.delete_series(
+        make_matchers(("k", "=", "0")), start_ms=T0 + DAY, end_ms=T0 + 2 * DAY
+    )
+    masked = _read_all(store)
+    assert all(not (k == "0" and ts >= T0 + DAY) for k, ts, _ in masked)
+    cleaned = store.clean_tombstones()
+    assert cleaned.get("chunks") == 1  # only the day-1 partition rewrote
+    assert not fs.exists(spark, store.tombstones_path)
+    assert _read_all(store) == masked
+    # day-0 chunks untouched, day-1 lost series k=0
+    assert store.chunks_df().count() < n_before
+
+
+def test_compact_merges_minichunks(spark, tmp_path):
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    # 10 micro-batches of 20 samples each → 10 mini-chunks per series-day
+    for b in range(10):
+        store.write(
+            [
+                TimeSeries(
+                    labels=[Label("__name__", "dense"), Label("k", "0")],
+                    samples=[
+                        Sample(value=float(i), timestamp_ms=T0 + (b * 20 + i) * 15_000)
+                        for i in range(20)
+                    ],
+                )
+            ]
+        )
+    before = _read_all(store)
+    assert store.chunks_df().count() == 10
+    store.compact_samples()
+    assert store.chunks_df().count() == 2  # 200 samples → 120 + 80
+    assert _read_all(store) == before
+
+
+def test_retention_sweeps_chunks(spark, tmp_path):
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    store.write(_dense_series(n_series=1, days=3, per_day=10))
+    now_ms = T0 + 3 * DAY
+    dropped = store.retention_sweep(keep_days=2, now_ms=now_ms)
+    d0 = dt.datetime.fromtimestamp(T0 / 1000, tz=dt.timezone.utc).date()
+    assert f"date={d0.isoformat()}" in dropped
+    got = _read_all(store)
+    assert all(ts >= T0 + DAY for _, ts, _ in got)
+
+
+def _streamed_read(client, q):
+    from promhouse_spark.edge import chunkenc, prompb, snappy_codec
+
+    rq = snappy_codec.compress(
+        prompb.encode_read_request_full(
+            [q], [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS]
+        )
+    )
+    resp = client.post("/read", data=rq)
+    assert resp.status_code == 200
+    got = []
+    for payload in chunkenc.iter_frames(resp.data):
+        series, _qi = prompb.decode_chunked_read_response(payload)
+        for labels, chunks in series:
+            samples = [
+                s
+                for _, _, _, d in chunks
+                for s in chunkenc.decode_xor_chunk(d)
+            ]
+            got.append(
+                (tuple((l.name, l.value) for l in labels), tuple(samples))
+            )
+    return sorted(got)
+
+
+def test_streamed_read_zero_decode_fast_path(spark, tmp_path):
+    """A streamed read from the chunked tier serves the at-rest chunks
+    verbatim — and equals the flat tier's streamed response sample-for-
+    sample (whole intersecting chunks; the querier trims by time)."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from promhouse_spark.edge.http import create_app
+
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    data = _dense_series(n_series=2, days=1, per_day=150)
+    store.write(data)
+    app = create_app(store)
+    app.testing = True
+    client = app.test_client()
+
+    q = Query(T0, T0 + DAY, make_matchers(("__name__", "=", "dense")))
+    got = _streamed_read(client, q)
+    want = sorted(
+        (
+            tuple((l.name, l.value) for l in ts.labels),
+            tuple((s.timestamp_ms, s.value) for s in ts.samples),
+        )
+        for ts in data
+    )
+    assert got == want
+    # the served bytes ARE the stored bytes: compare against chunks_df
+    stored = sorted(bytes(r["chunk"]) for r in store.chunks_df().collect())
+    from promhouse_spark.edge import chunkenc, prompb, snappy_codec
+
+    rq = snappy_codec.compress(
+        prompb.encode_read_request_full(
+            [q], [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS]
+        )
+    )
+    resp = client.post("/read", data=rq)
+    served = sorted(
+        d
+        for payload in chunkenc.iter_frames(resp.data)
+        for _, chunks in prompb.decode_chunked_read_response(payload)[0]
+        for _, _, _, d in chunks
+    )
+    assert served == stored
+
+
+def test_streamed_read_falls_back_under_tombstones(spark, tmp_path):
+    """Pending deletes make raw chunks unsound — the handler must fall
+    back to the decode path and mask the deleted interval."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from promhouse_spark.edge.http import create_app
+
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    store.write(_dense_series(n_series=1, days=1, per_day=50))
+    store.delete_series(
+        make_matchers(("__name__", "=", "dense")),
+        start_ms=T0,
+        end_ms=T0 + 10 * 15_000,
+    )
+    app = create_app(store)
+    app.testing = True
+    client = app.test_client()
+    q = Query(T0, T0 + DAY, make_matchers(("__name__", "=", "dense")))
+    got = _streamed_read(client, q)
+    assert len(got) == 1
+    ts_values = [t for t, _ in got[0][1]]
+    assert min(ts_values) > T0 + 10 * 15_000
+    assert len(ts_values) == 50 - 11  # inclusive interval masked
+
+
+def test_snapshot_includes_chunks(spark, tmp_path):
+    store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
+    store.write(_dense_series(n_series=1, days=1, per_day=10))
+    name = store.snapshot()
+    snap = ChunkedParquetStorage(
+        spark, os.path.join(store.root, "snapshots", name)
+    )
+    assert _read_all(snap) == _read_all(store)

@@ -24,6 +24,7 @@ BACKENDS = [
     "spark_inlist",
     "spark_semijoin",
     "spark_distributed",
+    "spark_chunked",
     "jdbc_derby",
 ]
 
@@ -47,6 +48,14 @@ def storage(request, spark, tmp_path_factory):
 
         st = JdbcStorage(
             spark, derby_memory_url(f"spec{uuid.uuid4().hex[:8]}"), driver=DERBY_DRIVER
+        )
+    elif name == "spark_chunked":
+        # the Gorilla-XOR chunked fact tier (storage/chunked.py) — same
+        # spec, same data, samples at rest as ≤120-sample XOR chunks
+        from promhouse_spark.storage.chunked import ChunkedParquetStorage
+
+        st = ChunkedParquetStorage(
+            spark, str(tmp_path_factory.mktemp("store_chunked"))
         )
     else:
         root = str(tmp_path_factory.mktemp(f"store_{name}"))

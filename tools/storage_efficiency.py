@@ -27,17 +27,24 @@ from promhouse_spark.session import get_spark, load_table  # noqa: E402
 from promhouse_spark.storage.parquet import SparkParquetStorage  # noqa: E402
 
 
-def bytes_per_sample(spark, samples) -> float:
+def bytes_per_sample(spark, samples, chunked: bool = False) -> float:
     """Write `samples` (fingerprint, timestamp_ms, value) through the
-    engine's ingest path (sorted, zstd parquet) and return compressed
-    bytes per sample on disk."""
+    engine's ingest path (sorted, zstd parquet; or the Gorilla-XOR
+    chunked tier) and return compressed bytes per sample on disk."""
     n = samples.count()
     root = tempfile.mkdtemp(prefix="phs-eff-")
     try:
-        store = SparkParquetStorage(spark, root)
+        if chunked:
+            from promhouse_spark.storage.chunked import ChunkedParquetStorage
+
+            store = ChunkedParquetStorage(spark, root)
+            data_path = store.chunks_path
+        else:
+            store = SparkParquetStorage(spark, root)
+            data_path = store.samples_path
         store.ingest_df(samples, files_per_day=1)
         total = 0
-        for dirpath, _dirs, files in os.walk(store.samples_path):
+        for dirpath, _dirs, files in os.walk(data_path):
             for f in files:
                 if f.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(dirpath, f))
@@ -70,9 +77,12 @@ def realistic_samples(spark, n_series: int = 200, n_scrapes: int = 5000):
 
 
 def _measure(spark, samples, label: str) -> None:
+    samples = samples.cache()
     bps = bytes_per_sample(spark, samples)
-    print(f"{label}: {bps:.2f} B/sample "
-          f"(raw struct: 24; reference compressed: ~5.3)")
+    bps_c = bytes_per_sample(spark, samples, chunked=True)
+    print(f"{label}: flat {bps:.2f} B/sample, XOR-chunked {bps_c:.2f} B/sample "
+          f"(raw struct: 24; reference compressed: ~5.3; TSDB: 1.37)")
+    samples.unpersist()
 
 
 def main() -> None:
