@@ -10,6 +10,11 @@ Endpoints use the reference's ``type:addr`` syntax
                         empty-matcher queries — S11 — write via the engine
                         write pipeline)
 - ``exporter:URL``      scrape a Prometheus exporter's /metrics once (S10)
+- ``remote:URL``        a remote-read/-write server (this engine's /read
+                        and /write, or any Prometheus remote endpoint):
+                        reads negotiate STREAMED_XOR_CHUNKS and fall back
+                        to sampled; writes speak Remote-Write 1.0, or 2.0
+                        with ``--rw2``
 - ``null:``             discard writes / empty reads (S12)
 
 Reads are sliced into ``--step`` windows over ``--last`` (defaults 1 m /
@@ -90,6 +95,96 @@ def read_store(path: str, step_ms: int, last_ms: int, end_ms: int) -> Iterator[l
         cur_ts.samples.append(Sample(value=r["value"], timestamp_ms=r["timestamp_ms"]))
     if window_series:
         yield window_series
+
+
+def read_remote(
+    url: str, step_ms: int, last_ms: int, end_ms: int
+) -> Iterator[list[TimeSeries]]:
+    """Step-sliced remote read over HTTP. Each window issues one
+    empty-matcher ReadRequest advertising STREAMED_XOR_CHUNKS; a streamed
+    answer decodes Gorilla chunks client-side (whole intersecting chunks
+    come back, so samples trim to the window — the querier-side contract),
+    a sampled answer falls back to the classic decode. Works against this
+    engine's /read and any Prometheus-compatible remote endpoint."""
+    from promhouse_spark.edge import chunkenc, prompb, snappy_codec
+    from promhouse_spark.models import Sample
+
+    start = end_ms - last_ms
+    w_start = start
+    while w_start <= end_ms:
+        w_end = min(w_start + step_ms - 1, end_ms)
+        body = snappy_codec.compress(
+            prompb.encode_read_request_full(
+                [Query(w_start, w_end, ())],
+                [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
+            )
+        )
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+                "X-Prometheus-Remote-Read-Version": "0.1.0",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+            ctype = resp.headers.get("Content-Type", "")
+            data = resp.read()
+        series: list[TimeSeries] = []
+        if "x-streamed-protobuf" in ctype:
+            for payload in chunkenc.iter_frames(data):
+                for labels, chunks in prompb.decode_chunked_read_response(payload)[0]:
+                    samples = sorted(
+                        (t, v)
+                        for _mn, _mx, _ct, d in chunks
+                        for t, v in chunkenc.decode_xor_chunk(d)
+                        if w_start <= t <= w_end
+                    )
+                    if samples:
+                        series.append(
+                            TimeSeries(
+                                labels=list(labels),
+                                samples=[Sample(value=v, timestamp_ms=t) for t, v in samples],
+                            )
+                        )
+        else:
+            results = prompb.decode_read_response(snappy_codec.decompress(data))
+            series = list(results[0]) if results else []
+        if series:
+            yield series
+        w_start += step_ms
+
+
+class RemoteWriter:
+    """Remote-write client: 1.0 by default, 2.0 (symbol-interned, 204 +
+    stats headers) with ``v2=True``. Raises on any non-2xx answer."""
+
+    def __init__(self, url: str, v2: bool = False) -> None:
+        self.url = url
+        self.v2 = v2
+
+    def write(self, series: Sequence[TimeSeries]) -> None:
+        from promhouse_spark.edge import prompb, prompb2, snappy_codec
+
+        if self.v2:
+            body = prompb2.encode_write_request_v2(series)
+            ctype = prompb2.CONTENT_TYPE_V2
+        else:
+            body = prompb.encode_write_request(series)
+            ctype = "application/x-protobuf"
+        req = urllib.request.Request(
+            self.url,
+            data=snappy_codec.compress(body),
+            headers={
+                "Content-Type": ctype,
+                "Content-Encoding": "snappy",
+                "X-Prometheus-Remote-Write-Version": "2.0.0" if self.v2 else "0.1.0",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+            if not 200 <= resp.status < 300:
+                raise RuntimeError(f"remote write failed: HTTP {resp.status}")
 
 
 def read_exporter(url: str) -> Iterator[list[TimeSeries]]:
@@ -253,17 +348,21 @@ def _make_reader(spec: str, args) -> Iterator[list[TimeSeries]]:
             args.step_ms,
             cache=getattr(args, "cache", False),
         )
+    if kind == "remote":
+        return read_remote(addr, args.step_ms, last_ms, end_ms)
     if kind == "null":
         return iter(())
     raise SystemExit(f"unknown source type: {spec!r}")
 
 
-def _make_writer(spec: str):
+def _make_writer(spec: str, args=None):
     kind, _, addr = spec.partition(":")
     if kind == "file":
         return FileWriter(addr)
     if kind == "store":
         return StoreWriter(addr)
+    if kind == "remote":
+        return RemoteWriter(addr, v2=bool(getattr(args, "rw2", False)))
     if kind == "null":
         return NullWriter()
     raise SystemExit(f"unknown destination type: {spec!r}")
@@ -284,7 +383,7 @@ def copy(source: str, destination: str, args) -> int:
             ch.put(_SENTINEL)
 
     threading.Thread(target=reader, daemon=True).start()
-    writer = _make_writer(destination)
+    writer = _make_writer(destination, args)
     n_series = n_samples = 0
     last_log = time.time()
     while True:
@@ -320,6 +419,8 @@ def main(argv: list[str] | None = None) -> int:
     # exporter source: replay the last scrape when the upstream is slower
     # than the step cadence (main.go cacheF / exporter.go:229-237)
     c.add_argument("--cache", action="store_true")
+    # remote destination: speak Remote-Write 2.0 instead of 1.0
+    c.add_argument("--rw2", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "copy" and args.step_ms <= 0:
         raise SystemExit(f"--step-ms must be > 0, got {args.step_ms}")
