@@ -46,20 +46,20 @@ class BitWriter:
 
     def __init__(self) -> None:
         self._bytes = bytearray()
-        self._free = 0  # free bits in the last byte
+        self._acc = 0  # pending sub-byte bits, MSB side
+        self._nacc = 0
 
     def write_bit(self, bit: int) -> None:
-        if self._free == 0:
-            self._bytes.append(0)
-            self._free = 8
-        if bit:
-            self._bytes[-1] |= 1 << (self._free - 1)
-        self._free -= 1
+        self.write_bits(1 if bit else 0, 1)
 
     def write_bits(self, value: int, nbits: int) -> None:
-        value &= (1 << nbits) - 1 if nbits < 64 else _MASK64
-        for i in range(nbits - 1, -1, -1):
-            self.write_bit((value >> i) & 1)
+        # accumulate then flush whole bytes — constant work per call
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nacc += nbits
+        while self._nacc >= 8:
+            self._nacc -= 8
+            self._bytes.append((self._acc >> self._nacc) & 0xFF)
+        self._acc &= (1 << self._nacc) - 1
 
     def write_byte(self, b: int) -> None:
         self.write_bits(b, 8)
@@ -80,26 +80,39 @@ class BitWriter:
         self.write_uvarint((n << 1) ^ (n >> 63))
 
     def bytes(self) -> bytes:
+        if self._nacc:
+            return bytes(self._bytes) + bytes(
+                [(self._acc << (8 - self._nacc)) & 0xFF]
+            )
         return bytes(self._bytes)
 
 
 class BitReader:
     def __init__(self, data: bytes) -> None:
         self._data = data
+        self._nbits = len(data) * 8
         self._pos = 0  # bit position
 
     def read_bit(self) -> int:
-        byte_i, bit_i = divmod(self._pos, 8)
-        if byte_i >= len(self._data):
+        pos = self._pos
+        if pos >= self._nbits:
             raise ValueError("chunkenc: bitstream exhausted")
-        self._pos += 1
-        return (self._data[byte_i] >> (7 - bit_i)) & 1
+        self._pos = pos + 1
+        return (self._data[pos >> 3] >> (7 - (pos & 7))) & 1
 
     def read_bits(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            out = (out << 1) | self.read_bit()
-        return out
+        # windowed extraction: one int.from_bytes over the covering byte
+        # span + shift/mask — constant work per call instead of per bit
+        pos = self._pos
+        end = pos + nbits
+        if end > self._nbits:
+            raise ValueError("chunkenc: bitstream exhausted")
+        byte_start = pos >> 3
+        byte_end = (end + 7) >> 3
+        window = int.from_bytes(self._data[byte_start:byte_end], "big")
+        tail = byte_end * 8 - end
+        self._pos = end
+        return (window >> tail) & ((1 << nbits) - 1)
 
     def read_byte(self) -> int:
         return self.read_bits(8)

@@ -140,7 +140,12 @@ class ChunkedParquetStorage(SparkParquetStorage):
         instead, where chunk envelopes can prune before decode."""
         if not fs.exists(self.spark, self.chunks_path):
             return self.spark.createDataFrame([], SAMPLES_SCHEMA)
-        decoded = self.chunks_df().mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            self.chunks_df()
+            .repartition(par)
+            .mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
+        )
         return self._apply_tombstones(decoded)
 
     def _restricted_scan(self, samples: DataFrame, q: Query, fps) -> DataFrame:
@@ -158,8 +163,14 @@ class ChunkedParquetStorage(SparkParquetStorage):
         pruned = restrict_to_series(
             chunks.filter(cond), fps, self.max_series_inlist
         )
-        decoded = pruned.select(FINGERPRINT, "chunk").mapInPandas(
-            _decode_chunks, schema=_DECODED_SCHEMA
+        # spread the Python decode across every core: the surviving chunk
+        # frame is tiny (≤120 samples per row), but a single parquet file
+        # would otherwise pin the whole decode on one task
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            pruned.select(FINGERPRINT, "chunk")
+            .repartition(par)
+            .mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
         )
         decoded = decoded.filter(
             (F.col(TIMESTAMP_MS) >= q.start_ms) & (F.col(TIMESTAMP_MS) <= q.end_ms)
