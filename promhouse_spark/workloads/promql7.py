@@ -82,10 +82,94 @@ FROM surv GROUP BY user_id ORDER BY user_id
 """
 
 
+def ph_chunk_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked tier's read-path arithmetic (storage/chunked.py
+    ``_restricted_scan``), pinned as data: cut each series' day of samples
+    into 120-sample chunks, compute the (min_ms, max_ms, n) envelopes the
+    layout stores, and count — per series — how many chunks an hour-long
+    window would decode vs how many exist. At 100 TB this ratio IS the
+    read cost; the oracle replays the same row_number()-based chunking."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts_ms", "user_id")
+    chunks = (
+        samples.withColumn(
+            "chunk_idx", ((F.row_number().over(w) - F.lit(1)) / 120).cast("long")
+        )
+        .groupBy("user_id", "day", "chunk_idx")
+        .agg(
+            F.min("ts_ms").alias("min_ms"),
+            F.max("ts_ms").alias("max_ms"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    bounds = samples.agg(
+        F.expr("min(ts_ms) + (max(ts_ms) - min(ts_ms)) div 2").alias("w_lo")
+    ).withColumn("w_hi", F.col("w_lo") + F.lit(3_600_000))
+    return (
+        chunks.crossJoin(bounds)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    (F.col("max_ms") >= F.col("w_lo"))
+                    & (F.col("min_ms") <= F.col("w_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_decoded"),
+            F.sum("n").cast("long").alias("n_samples"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PH_CHUNK_PRUNE_SQL = """
+WITH samples AS (
+  SELECT user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+chunks AS (
+  SELECT user_id, day, (rn - 1) // 120 AS chunk_idx,
+         min(ts_ms) AS min_ms, max(ts_ms) AS max_ms,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT user_id, day, ts_ms,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts_ms, user_id) AS rn
+    FROM samples
+  ) GROUP BY user_id, day, (rn - 1) // 120
+),
+bounds AS (
+  SELECT min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 2 AS w_lo,
+         min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 2 + 3600000 AS w_hi
+  FROM samples
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN max_ms >= b.w_lo AND min_ms <= b.w_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+       CAST(sum(n) AS BIGINT) AS n_samples
+FROM chunks CROSS JOIN bounds b
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ph_tombstone_mask": ph_tombstone_mask,
+    "ph_chunk_prune": ph_chunk_prune,
 }
 
 ORACLES = {
     "ph_tombstone_mask": PH_TOMBSTONE_MASK_SQL,
+    "ph_chunk_prune": PH_CHUNK_PRUNE_SQL,
 }

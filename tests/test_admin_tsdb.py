@@ -171,6 +171,22 @@ def test_delete_masks_histogram_and_exemplar_tiers(spark, tmp_path):
     assert store.read_exemplars(q).count() == 0
 
 
+def test_no_tombstones_means_zero_plan_change(spark, tmp_path):
+    """The tombstone mask must cost NOTHING when no deletes are pending:
+    the samples frame's physical plan contains no anti-join until a
+    tombstone exists, and goes back to join-free after a clean."""
+    store = _mk_store(spark, tmp_path)
+
+    def plan():
+        return store.samples_df()._jdf.queryExecution().executedPlan().toString()
+
+    assert "Join" not in plan()
+    store.delete_series(make_matchers(("job", "=", "a")), T0, T0)
+    assert "LeftAnti" in plan()
+    store.clean_tombstones()
+    assert "Join" not in plan()
+
+
 def test_snapshot_opens_as_storage_root(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     name = store.snapshot()
