@@ -270,6 +270,11 @@ class PromQLEngine:
         # — enables exact aggregation pushdown for decomposable
         # *_over_time range functions (streaming/rollup.rollup_range_agg)
         self._rollup: tuple[DataFrame, int] | None = None
+        # set by from_storage for layouts with a time-bounded source (the
+        # chunked tier): callable (min_ms, max_ms) -> samples frame; eval()
+        # swaps self.samples for the query's FindMinMaxTime window so the
+        # layout prunes before its decode barrier
+        self._samples_source = None
 
     # -- public ------------------------------------------------------------
 
@@ -326,6 +331,8 @@ class PromQLEngine:
         )
         if tier == "rollup":
             eng._rollup = (partials, storage._rollup_step_ms)
+        if tier == "raw" and hasattr(storage, "samples_window_df"):
+            eng._samples_source = storage.samples_window_df
         return eng
 
     def eval(self, src: str | object) -> DataFrame:
@@ -336,6 +343,13 @@ class PromQLEngine:
         # start/end reaching one of those would resolve against the wrong
         # range (Prometheus preprocesses @ the same way)
         node = _resolve_start_end(node, self.start_ms, self.end_ms)
+        if self._samples_source is not None:
+            from promhouse_spark.promql.parser import find_min_max_time
+
+            lo, hi = find_min_max_time(
+                node, self.start_ms, self.end_ms, self.lookback_ms
+            )
+            self.samples = self._samples_source(lo, hi)
         try:
             out = self._compile(node)
         except ValueError:

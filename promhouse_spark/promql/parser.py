@@ -458,6 +458,61 @@ def parse(src: str) -> object:
     return expr
 
 
+def find_min_max_time(
+    node, start_ms: int, end_ms: int, lookback_ms: int = 300_000
+) -> tuple[int, int]:
+    """The absolute sample-time window a query can touch — the
+    promql engine.go ``FindMinMaxTime`` analog. Walks the AST carrying the
+    evaluation context [s, e] (shifted by subquery range/offset exactly as
+    evaluation will shift it), so a layout that can prune on time (the
+    chunked tier) scans only this window. Conservative: lookback pads
+    range selectors too. ``@ start()/end()`` must be resolved to literal
+    timestamps first (the engine preprocesses them before calling this).
+    """
+    lo: list[int | None] = [None]
+    hi: list[int | None] = [None]
+
+    def upd(a: int, b: int) -> None:
+        lo[0] = a if lo[0] is None else min(lo[0], a)
+        hi[0] = b if hi[0] is None else max(hi[0], b)
+
+    def walk(n, s: int, e: int) -> None:
+        if isinstance(n, VectorSelector):
+            at = n.at_ms
+            s2, e2 = (at, at) if isinstance(at, int) else (s, e)
+            off = n.offset_ms or 0
+            upd(s2 - off - lookback_ms, e2 - off)
+        elif isinstance(n, RangeSelector):
+            sel = n.selector
+            at = sel.at_ms
+            s2, e2 = (at, at) if isinstance(at, int) else (s, e)
+            off = sel.offset_ms or 0
+            upd(s2 - off - n.range_ms - lookback_ms, e2 - off)
+        elif isinstance(n, Subquery):
+            at = n.at_ms
+            s2, e2 = (at, at) if isinstance(at, int) else (s, e)
+            off = n.offset_ms or 0
+            walk(n.expr, s2 - off - n.range_ms, e2 - off)
+        elif isinstance(n, Call):
+            for a in n.args:
+                walk(a, s, e)
+        elif isinstance(n, Aggregation):
+            walk(n.expr, s, e)
+            if n.param is not None:
+                walk(n.param, s, e)
+        elif isinstance(n, BinaryOp):
+            walk(n.lhs, s, e)
+            walk(n.rhs, s, e)
+        elif isinstance(n, Unary):
+            walk(n.expr, s, e)
+        # literals contribute nothing
+
+    walk(node, start_ms, end_ms)
+    if lo[0] is None:  # selector-free expression (pure scalar math)
+        return start_ms - lookback_ms, end_ms
+    return lo[0], hi[0]
+
+
 def collect_selectors(node) -> list[VectorSelector]:
     """All VectorSelectors anywhere in the expression, in source order —
     the selector set Prometheus's exemplar API extracts from a query

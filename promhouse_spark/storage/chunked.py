@@ -148,6 +148,32 @@ class ChunkedParquetStorage(SparkParquetStorage):
         )
         return self._apply_tombstones(decoded)
 
+    def samples_window_df(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Time-bounded decoded view — the hook the PromQL engine uses
+        (``PromQLEngine.from_storage`` + ``find_min_max_time``): chunk
+        envelopes and day partitions prune to the query's reachable
+        window BEFORE the decode barrier, which a filter above
+        ``mapInPandas`` could never push down. Returns a superset of
+        [start_ms, end_ms] at chunk granularity; callers apply their own
+        exact time predicates."""
+        if not fs.exists(self.spark, self.chunks_path):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        lo = max(int(start_ms), -4_000_000_000_000_000)
+        hi = min(int(end_ms), 4_000_000_000_000_000)
+        chunks = self.chunks_df()
+        cond = (F.col("max_ms") >= lo) & (F.col("min_ms") <= hi)
+        cond = cond & (
+            F.col(DATE) >= F.to_date(F.timestamp_millis(F.lit(lo)))
+        ) & (F.col(DATE) <= F.to_date(F.timestamp_millis(F.lit(hi))))
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            chunks.filter(cond)
+            .select(FINGERPRINT, "chunk")
+            .repartition(par)
+            .mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
+        )
+        return self._apply_tombstones(decoded)
+
     def _restricted_scan(self, samples: DataFrame, q: Query, fps) -> DataFrame:
         """Chunk-granularity pushdown: fingerprint restriction + day
         pruning + (min_ms, max_ms) envelope overlap run on the 6-column

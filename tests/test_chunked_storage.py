@@ -254,6 +254,37 @@ def test_streamed_read_falls_back_under_tombstones(spark, tmp_path):
     assert len(ts_values) == 50 - 11  # inclusive interval masked
 
 
+def test_promql_over_chunked_prunes_and_matches_flat(stores, spark):
+    """The PromQL serving path over the chunked tier: results identical to
+    the flat tier, and the compiled plan carries the chunk-envelope
+    predicates below the Arrow decode (find_min_max_time →
+    samples_window_df)."""
+    from promhouse_spark.promql.engine import PromQLEngine
+
+    flat, chunked = stores
+    start, end, step = T0 + DAY, T0 + DAY + 3600_000, 60_000
+    expr = 'sum(rate(dense[5m]))'
+    out_flat = PromQLEngine.from_storage(flat, start, end, step).eval(expr)
+    out_chunk = PromQLEngine.from_storage(chunked, start, end, step).eval(expr)
+    rows_f = sorted(map(tuple, out_flat.collect()))
+    rows_c = sorted(map(tuple, out_chunk.collect()))
+    assert rows_f == rows_c and len(rows_f) > 0
+
+    eng = PromQLEngine.from_storage(chunked, start, end, step)
+    plan = eng.explain(expr)
+    assert "min_ms" in plan and "max_ms" in plan  # envelope pruning fired
+    # offsets reaching outside the window stay correct (window extends)
+    o_flat = PromQLEngine.from_storage(flat, start, end, step).eval(
+        "sum(dense offset 1d)"
+    )
+    o_chunk = PromQLEngine.from_storage(chunked, start, end, step).eval(
+        "sum(dense offset 1d)"
+    )
+    assert sorted(map(tuple, o_flat.collect())) == sorted(
+        map(tuple, o_chunk.collect())
+    )
+
+
 def test_snapshot_includes_chunks(spark, tmp_path):
     store = ChunkedParquetStorage(spark, str(tmp_path / "s"))
     store.write(_dense_series(n_series=1, days=1, per_day=10))

@@ -34,6 +34,11 @@ ALLOWED_NESTED_LOOP = {
     "doc_curation_pipeline2",
     # 1-row max-rate aggregate joined onto the |domains|-row rate frame
     "doc_domain_resample",
+    # 1-ROW global time-bounds aggregate crossJoined onto a 3-row (top-3
+    # series) / per-chunk frame — constant-size broadcast, not data-scale;
+    # the tombstone anti-join itself is equi-keyed on the series id
+    "ph_tombstone_mask",
+    "ph_chunk_prune",
 }
 
 # streaming-harness queries actually run a stream when invoked; their

@@ -533,7 +533,9 @@ def test_grafana_probe_endpoints(client):
     assert body["data"] == {}
     body = client.get("/api/v1/query_exemplars").get_json()
     assert body == {"status": "success", "data": []}
-    assert client.get("/api/v1/status/flags").get_json()["data"] == {}
+    assert client.get("/api/v1/status/flags").get_json()["data"] == {
+        "web.enable-admin-api": "true"
+    }
     assert client.get("/api/v1/targets").get_json()["data"] == {
         "activeTargets": [],
         "droppedTargets": [],
