@@ -58,6 +58,7 @@ def create_app(
     storage: Storage,
     rule_groups: list[dict] | None = None,
     enable_admin: bool = True,
+    ct_zero_ingestion: bool = False,
 ):
     """``rule_groups`` (optional) registers Prometheus-shaped rule groups
     served read-only at /api/v1/rules and evaluated on demand at
@@ -123,6 +124,21 @@ def create_app(
                             "custom-bucket (NHCB) histograms not supported",
                             status=400,
                         )
+            if ct_zero_ingestion:
+                # Prometheus's created-timestamp-zero-ingestion feature
+                # flag: a counter's created_timestamp materializes as a
+                # synthetic 0 sample just before its first real sample, so
+                # rate()/increase() see the true start instead of losing
+                # the first increment. Only when CT precedes the earliest
+                # sample (a CT inside the batch window would rewrite
+                # history).
+                from promhouse_spark.models import Sample as MSample
+
+                for ts, ct in zip(req.series, req.created_timestamps_ms):
+                    if ct and ts.samples:
+                        first = min(s.timestamp_ms for s in ts.samples)
+                        if ct < first:
+                            ts.samples.insert(0, MSample(value=0.0, timestamp_ms=ct))
             storage.write(req.series)
             metadata_store.update(req.metadata)
             counters["written_time_series"] += len(req.series)
@@ -990,6 +1006,19 @@ def create_app(
             "status": "success",
             "data": {"web.enable-admin-api": "true" if enable_admin else "false"},
         }
+
+    @app.get("/api/v1/status/walreplay")
+    def status_walreplay():
+        # no WAL tier: ingestion is durable on write (parquet append), so
+        # replay is always instantaneously "done" — the shape clients poll
+        return {
+            "status": "success",
+            "data": {"min": 0, "max": 0, "current": 0, "state": "done"},
+        }
+
+    @app.get("/api/v1/notifications")
+    def notifications():
+        return {"status": "success", "data": []}
 
     # ----------------------------------------------------- TSDB admin API
     # Prometheus's web/api/v1 admin endpoints (gated by

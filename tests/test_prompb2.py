@@ -308,6 +308,41 @@ def test_http_v2_bad_payload_400(client):
     assert resp.status_code == 400
 
 
+def test_http_v2_ct_zero_ingestion():
+    """With the feature flag on, a created_timestamp before the first
+    sample materializes as a synthetic 0 sample (Prometheus's
+    created-timestamp-zero-ingestion); off (default), CT is carried but
+    not injected."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.models import Query as MQuery
+
+    series = [
+        TimeSeries(
+            labels=[Label("__name__", "ct_total")],
+            samples=[Sample(value=5.0, timestamp_ms=T0 + 10_000)],
+        )
+    ]
+    body = snappy_codec.compress(
+        prompb2.encode_write_request_v2(series, created_timestamps_ms=[T0])
+    )
+
+    for flag, want in ((True, [(T0, 0.0), (T0 + 10_000, 5.0)]),
+                       (False, [(T0 + 10_000, 5.0)])):
+        storage = MemoryStorage()
+        app = create_app(storage, ct_zero_ingestion=flag)
+        app.testing = True
+        resp = app.test_client().post(
+            "/write", data=body, headers={"Content-Type": prompb2.CONTENT_TYPE_V2}
+        )
+        assert resp.status_code == 204
+        res = storage.read(
+            [MQuery(0, T0 + 60_000, make_matchers(("__name__", "=", "ct_total")))]
+        )[0]
+        got = [(s.timestamp_ms, s.value) for s in res[0].samples]
+        assert got == want, (flag, got)
+
+
 def test_v2_special_floats_roundtrip():
     series = [
         TimeSeries(
