@@ -45,6 +45,10 @@ GATE = [
     # path (measured 2.3x / 1.0x at 10x — the tier is cardinality-bounded)
     "ph_exemplar_topk",
     "nhist_wire_sum_quantile",
+    # r8 continuation: the tombstone anti-join mask and the chunk-envelope
+    # pruning arithmetic (keyed window + agg — both linear shapes)
+    "ph_tombstone_mask",
+    "ph_chunk_prune",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
