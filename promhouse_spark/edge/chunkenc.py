@@ -246,7 +246,17 @@ def encode_xor_chunk(samples: Sequence[tuple[int, float]]) -> bytes:
 
 
 def _sign_extend(u: int, nbits: int) -> int:
-    if u >> (nbits - 1):
+    """Undo the asymmetric-bucket encoding (xor.go readBits consumers):
+    upstream negates only when bits > 1<<(sz-1), because the bucket is
+    [-(2^(n-1))+1, 2^(n-1)] — the value 2^(n-1) itself is POSITIVE.
+    Plain two's-complement (negate at >=) would round-trip a dod of
+    exactly 8192/65536/524288 to its negative.  The 64-bit escape
+    bucket is symmetric two's complement (upstream writes int64 raw)."""
+    if nbits == 64:
+        if u >> 63:
+            return u - (1 << 64)
+        return u
+    if u > (1 << (nbits - 1)):
         return u - (1 << nbits)
     return u
 

@@ -57,7 +57,7 @@ def _format_value(v: float) -> str:
 def create_app(
     storage: Storage,
     rule_groups: list[dict] | None = None,
-    enable_admin: bool = True,
+    enable_admin: bool = False,
     ct_zero_ingestion: bool = False,
 ):
     """``rule_groups`` (optional) registers Prometheus-shaped rule groups
@@ -132,13 +132,33 @@ def create_app(
                 # the first increment. Only when CT precedes the earliest
                 # sample (a CT inside the batch window would rewrite
                 # history).
+                from promhouse_spark.models import NativeHistogram as MHist
                 from promhouse_spark.models import Sample as MSample
 
                 for ts, ct in zip(req.series, req.created_timestamps_ms):
-                    if ct and ts.samples:
+                    if not ct:
+                        continue
+                    if ts.samples:
                         first = min(s.timestamp_ms for s in ts.samples)
                         if ct < first:
                             ts.samples.insert(0, MSample(value=0.0, timestamp_ms=ct))
+                    if ts.histograms:
+                        # histogram series get a synthetic all-zero histogram
+                        # (upstream's created-timestamp-zero-ingestion inserts
+                        # a zero histogram, not a float 0) carrying the first
+                        # histogram's schema so bucket merges stay same-grid
+                        firsth = min(ts.histograms, key=lambda h: h.timestamp_ms)
+                        if ct < firsth.timestamp_ms:
+                            ts.histograms.insert(
+                                0,
+                                MHist(
+                                    timestamp_ms=ct,
+                                    schema=firsth.schema,
+                                    zero_threshold=firsth.zero_threshold,
+                                    is_float=firsth.is_float,
+                                    custom_values=list(firsth.custom_values),
+                                ),
+                            )
             storage.write(req.series)
             metadata_store.update(req.metadata)
             counters["written_time_series"] += len(req.series)
@@ -1021,8 +1041,9 @@ def create_app(
         return {"status": "success", "data": []}
 
     # ----------------------------------------------------- TSDB admin API
-    # Prometheus's web/api/v1 admin endpoints (gated by
-    # --web.enable-admin-api upstream; the enable_admin flag here). The
+    # Prometheus's web/api/v1 admin endpoints (gated by the opt-in
+    # --web.enable-admin-api upstream, default OFF; the enable_admin flag
+    # here matches that default-off posture). The
     # storage methods behind them are the columnar re-expression of the
     # TSDB tombstone model: delete marks intervals, clean rewrites only
     # the intersecting day partitions, snapshot copies the tiers.
@@ -1405,7 +1426,8 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 7781,
     rule_groups: list[dict] | None = None,
+    enable_admin: bool = False,
 ) -> None:
-    create_app(storage, rule_groups=rule_groups).run(
+    create_app(storage, rule_groups=rule_groups, enable_admin=enable_admin).run(
         host=host, port=port, threaded=True
     )

@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
         "and evaluated at /api/v1/alerts",
     )
     p.add_argument(
+        "--web.enable-admin-api",
+        dest="enable_admin",
+        action="store_true",
+        help="Enable the destructive TSDB admin endpoints "
+        "(delete_series/clean_tombstones/snapshot); off by default, "
+        "matching Prometheus",
+    )
+    p.add_argument(
         "--check-rules",
         dest="check_rules",
         action="store_true",
@@ -205,7 +213,9 @@ def main(argv: Sequence[str] | None = None) -> None:
 
     from promhouse_spark.edge.http import create_app, serve
 
-    app = create_app(storage, rule_groups=rule_groups)
+    app = create_app(
+        storage, rule_groups=rule_groups, enable_admin=args.enable_admin
+    )
     debug = Flask("promhouse-debug")
     debug.add_url_rule("/healthz", "healthz", lambda: ("ok\n", 200))
     # the debug server re-exports the API app's metrics endpoint, like the

@@ -211,7 +211,7 @@ def admin_client(spark, tmp_path):
     from promhouse_spark.edge.http import create_app
 
     store = _mk_store(spark, tmp_path)
-    app = create_app(store)
+    app = create_app(store, enable_admin=True)
     app.testing = True
     return app.test_client(), store
 
@@ -252,7 +252,8 @@ def test_http_admin_disabled_403(spark, tmp_path):
     from promhouse_spark.edge.http import create_app
 
     store = _mk_store(spark, tmp_path)
-    app = create_app(store, enable_admin=False)
+    # default is OFF, matching upstream's --web.enable-admin-api posture
+    app = create_app(store)
     app.testing = True
     client = app.test_client()
     for ep in ("delete_series", "clean_tombstones", "snapshot"):
@@ -266,7 +267,7 @@ def test_http_admin_unsupported_storage_501(spark):
     from promhouse_spark.edge.http import create_app
     from promhouse_spark.storage.memory import MemoryStorage
 
-    app = create_app(MemoryStorage())
+    app = create_app(MemoryStorage(), enable_admin=True)
     app.testing = True
     client = app.test_client()
     assert client.post("/api/v1/admin/tsdb/snapshot").status_code == 501

@@ -80,6 +80,28 @@ def test_roundtrip_cases(samples):
     assert _eq_samples(decode_xor_chunk(encode_xor_chunk(samples)), samples)
 
 
+def test_dod_bucket_boundaries_roundtrip():
+    """The dod buckets are ASYMMETRIC ([-(2^(n-1))+1, 2^(n-1)], xor.go
+    bitRange): a dod of exactly 8192/65536/524288 is encoded in the
+    small bucket with its top bit set, and upstream negates only when
+    bits > 1<<(sz-1).  Plain two's-complement decoding flips these
+    boundary values to their negatives (e.g. [(0,1.0),(1000,2.0),
+    (10192,3.0)] used to decode with timestamp -6192)."""
+    s = [(0, 1.0), (1000, 2.0), (10192, 3.0)]  # dod = exactly 8192
+    assert decode_xor_chunk(encode_xor_chunk(s)) == s
+    for nbits in (14, 17, 20):
+        top = 1 << (nbits - 1)
+        base = 2 * top  # base delta keeps negative dods sorted
+        for dod in (top, top - 1, -(top - 1), -(top - 2), 1, -1, 0):
+            s = [(0, 1.0), (base, 2.0), (base + base + dod, 3.0)]
+            assert decode_xor_chunk(encode_xor_chunk(s)) == s, (nbits, dod)
+    # 64-bit escape bucket stays plain two's complement
+    for dod in ((1 << 19) + 1, -(1 << 19) - 1, 10**12, -(10**11)):
+        base = 2 * 10**12
+        s = [(0, 1.0), (base, 2.0), (base + base + dod, 3.0)]
+        assert decode_xor_chunk(encode_xor_chunk(s)) == s, dod
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.lists(

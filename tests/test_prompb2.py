@@ -343,6 +343,46 @@ def test_http_v2_ct_zero_ingestion():
         assert got == want, (flag, got)
 
 
+def test_http_v2_ct_zero_histogram_series():
+    """created-timestamp-zero-ingestion on a histogram-ONLY series: upstream
+    inserts a synthetic zero HISTOGRAM (same schema, all counts zero) at ct,
+    not a float 0 sample."""
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.models import Query as MQuery
+
+    h = NativeHistogram(
+        timestamp_ms=T0 + 10_000,
+        count=7,
+        sum=42.5,
+        schema=3,
+        zero_threshold=2.938735877055719e-39,
+        zero_count=2,
+        positive=[(0, 1.0), (1, 3.0), (4, 1.0)],
+    )
+    series = [TimeSeries(labels=[Label("__name__", "ct_hist")], histograms=[h])]
+    body = snappy_codec.compress(
+        prompb2.encode_write_request_v2(series, created_timestamps_ms=[T0])
+    )
+    storage = MemoryStorage()
+    app = create_app(storage, ct_zero_ingestion=True)
+    app.testing = True
+    resp = app.test_client().post(
+        "/write", data=body, headers={"Content-Type": prompb2.CONTENT_TYPE_V2}
+    )
+    assert resp.status_code == 204
+    res = storage.read(
+        [MQuery(0, T0 + 60_000, make_matchers(("__name__", "=", "ct_hist")))]
+    )[0]
+    hists = res[0].histograms
+    assert [x.timestamp_ms for x in hists] == [T0, T0 + 10_000]
+    zero = hists[0]
+    assert (zero.count, zero.sum, zero.zero_count) == (0.0, 0.0, 0.0)
+    assert zero.positive == [] and zero.negative == []
+    assert zero.schema == h.schema and zero.zero_threshold == h.zero_threshold
+    # float-sample path untouched: no synthetic float 0 was added
+    assert res[0].samples == []
+
+
 def test_v2_special_floats_roundtrip():
     series = [
         TimeSeries(
