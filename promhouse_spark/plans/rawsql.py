@@ -167,6 +167,168 @@ def translate_clickhouse_sql(sql: str) -> str:
     return _hoist_groupby_aliases(sql)
 
 
+# ------------------------------------------ time-window extraction
+# A rawsql query over a CHUNKED backend would otherwise decode the whole
+# chunk tier — the decoded `samples` view sits above a mapInPandas barrier
+# Catalyst can't push a timestamp filter through. Parsing the bounds out
+# of the SQL text lets the storage register a window-pruned view instead
+# (storage/chunked.py `_register_views_for_sql`). Extraction is a PRUNING
+# HINT, deliberately conservative: it only trusts predicates that are
+# top-level AND-conjuncts of the WHERE clause attached to the one query
+# block that scans the samples view — anything else ((None, None)) keeps
+# the unpruned-but-correct view. The SQL itself still applies every
+# predicate exactly; a too-wide window is never wrong.
+
+_SAMPLES_FROM = re.compile(
+    r"\bFROM\s+(samples(?:_physical)?)\b(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|"
+    r"ORDER\b|LIMIT\b|HAVING\b|JOIN\b|ON\b|UNION\b|LEFT\b|RIGHT\b|INNER\b|"
+    r"FULL\b|CROSS\b)([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+_CLAUSE_END = re.compile(
+    r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|WINDOW|QUALIFY)\b",
+    re.IGNORECASE,
+)
+
+
+def _split_top_and(text: str) -> list[str] | None:
+    """Split on AND at paren depth 0; None when OR/NOT appears at depth 0
+    (the conjuncts would no longer be independent constraints)."""
+    parts, depth, start = [], 0, 0
+    pending_between = 0  # BETWEEN's own AND is not a conjunction
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "('":
+            if c == "'":
+                j = text.find("'", i + 1)
+                i = n if j < 0 else j + 1
+                continue
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"BETWEEN\b", text[i:], re.IGNORECASE) and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            pending_between += 1
+            i += 7
+            continue
+        elif depth == 0 and text[i : i + 3].upper() == "AND" and (
+            i + 3 >= n or not (text[i + 3].isalnum() or text[i + 3] == "_")
+        ) and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+            if pending_between:
+                pending_between -= 1
+                i += 3
+                continue
+            parts.append(text[start:i])
+            start = i + 3
+            i += 3
+            continue
+        elif depth == 0 and re.match(r"(?:OR|NOT)\b", text[i:], re.IGNORECASE) and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            return None
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def extract_time_window(sql: str) -> tuple[int | None, int | None]:
+    """Best-effort (lo_ms, hi_ms) bounds a samples scan in ``sql`` is
+    provably restricted to; (None, None) when no safe bound exists."""
+    froms = list(_SAMPLES_FROM.finditer(sql))
+    if len(froms) != 1:  # zero or several scans — a shared view can't prune
+        return (None, None)
+    m = froms[0]
+    alias = m.group(2)
+    # scan forward from the FROM target for a WHERE at the same depth,
+    # stopping at clause keywords or the end of the enclosing subquery
+    i, depth = m.end(), 0
+    where_start = None
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = sql.find("'", i + 1)
+            i = len(sql) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if re.match(r"WHERE\b", sql[i:], re.IGNORECASE):
+                where_start = i + 5
+                break
+            if _CLAUSE_END.match(sql[i:]):
+                break
+        i += 1
+    if where_start is None:
+        return (None, None)
+    # WHERE body ends at the next depth-0 clause keyword or closing paren
+    i, depth = where_start, 0
+    end = len(sql)
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = sql.find("'", i + 1)
+            i = len(sql) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif depth == 0 and _CLAUSE_END.match(sql[i:]):
+            end = i
+            break
+        i += 1
+    conjuncts = _split_top_and(sql[where_start:end])
+    if conjuncts is None:
+        return (None, None)
+    col = r"(?:(?:samples(?:_physical)?|{a})\.)?timestamp_ms".format(
+        a=re.escape(alias) if alias else "samples"
+    )
+    cmp_fwd = re.compile(rf"^\s*{col}\s*(<=|>=|<|>|=)\s*(\d+)\s*$", re.IGNORECASE)
+    cmp_rev = re.compile(rf"^\s*(\d+)\s*(<=|>=|<|>|=)\s*{col}\s*$", re.IGNORECASE)
+    between = re.compile(
+        rf"^\s*{col}\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*$", re.IGNORECASE
+    )
+    lo: int | None = None
+    hi: int | None = None
+
+    def _tighten(op: str, v: int) -> None:
+        nonlocal lo, hi
+        if op in (">=", ">"):
+            b = v if op == ">=" else v + 1
+            lo = b if lo is None else max(lo, b)
+        elif op in ("<=", "<"):
+            b = v if op == "<=" else v - 1
+            hi = b if hi is None else min(hi, b)
+        else:  # =
+            _tighten(">=", v)
+            _tighten("<=", v)
+
+    _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+    for part in conjuncts:
+        mm = cmp_fwd.match(part)
+        if mm:
+            _tighten(mm.group(1), int(mm.group(2)))
+            continue
+        mm = between.match(part)
+        if mm:
+            _tighten(">=", int(mm.group(1)))
+            _tighten("<=", int(mm.group(2)))
+            continue
+        mm = cmp_rev.match(part)
+        if mm:  # `5 < timestamp_ms` constrains from the literal's side
+            _tighten(_FLIP[mm.group(2)], int(mm.group(1)))
+    return (lo, hi)
+
+
 def rawsql_text(queries: Sequence[Query]) -> str | None:
     """Return the SQL text if the request is a raw-SQL request, else None."""
     if len(queries) != 1:

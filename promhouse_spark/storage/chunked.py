@@ -33,12 +33,14 @@ Scale design:
   read/write — the whole storages spec runs against this backend
   unchanged.
 
-Trade-offs vs the flat tier, stated: rawsql/``samples`` views and
-hint-driven rollup reads see a decode-everything frame (correct, but no
-pushdown below the decode barrier) — analytics-heavy deployments keep
-the flat tier, ingest-heavy long-retention ones take the 10× storage
-win. ``clean_tombstones`` decodes, masks, and re-encodes only the
-affected day partitions.
+Trade-offs vs the flat tier, stated: a rawsql query whose WHERE carries
+provable ``timestamp_ms`` bounds gets them pushed below the decode
+barrier (``_register_views_for_sql`` → ``extract_time_window`` →
+``samples_window_df``); bound-less analytics SQL still sees a
+decode-everything frame — analytics-heavy deployments keep the flat
+tier, ingest-heavy long-retention ones take the 10× storage win.
+``clean_tombstones`` decodes, masks, and re-encodes only the affected
+day partitions.
 """
 
 from __future__ import annotations
@@ -147,6 +149,27 @@ class ChunkedParquetStorage(SparkParquetStorage):
             .mapInPandas(_decode_chunks, schema=_DECODED_SCHEMA)
         )
         return self._apply_tombstones(decoded)
+
+    def _register_views_for_sql(self, sql: str) -> None:
+        """Rawsql over the chunked tier: parse provable [lo, hi] bounds out
+        of the SQL's own WHERE conjuncts (plans/rawsql.extract_time_window)
+        and register the ``samples`` views from the window-pruned decoded
+        frame instead of the decode-everything one — day partitions and
+        chunk envelopes prune BEFORE the mapInPandas decode barrier, which
+        Catalyst could never push a filter through. The SQL still applies
+        its exact predicates above; a too-wide window is never wrong, and
+        un-parseable bounds fall back to the full view."""
+        from promhouse_spark.plans.rawsql import extract_time_window
+
+        lo, hi = extract_time_window(sql)
+        if lo is None and hi is None:
+            return super()._register_views_for_sql(sql)
+        self.register_views(
+            samples=self.samples_window_df(
+                -4_000_000_000_000_000 if lo is None else lo,
+                4_000_000_000_000_000 if hi is None else hi,
+            )
+        )
 
     def samples_window_df(self, start_ms: int, end_ms: int) -> DataFrame:
         """Time-bounded decoded view — the hook the PromQL engine uses

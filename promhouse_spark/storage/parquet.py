@@ -796,7 +796,7 @@ class SparkParquetStorage(Storage):
     def read(self, queries: Sequence[Query]) -> list[list[TimeSeries]]:
         sql = rawsql_text(queries)
         if sql is not None:
-            self.register_views()
+            self._register_views_for_sql(sql)
             return [run_rawsql(self.spark, sql, queries[0].end_ms)]
         if self.cache_registry and len(queries) > 1:
             # multi-query requests collapse into ONE Spark job (union of
@@ -823,11 +823,9 @@ class SparkParquetStorage(Storage):
                 if not fps:  # O3 short-circuit (clickhouse.go:405-407)
                     results.append([])
                     continue
-                restricted = restrict_to_series(
-                    samples_in_range(samples, q.start_ms, q.end_ms),
-                    fps,
-                    self.max_series_inlist,
-                )
+                # through _restricted_scan so a chunked tier prunes whole
+                # chunks below the decode barrier on this path too
+                restricted = self._restricted_scan(samples, q, fps)
                 label_of = {
                     fp: self._registry[to_unsigned64(fp)] for fp in fps
                 }
@@ -939,12 +937,14 @@ class SparkParquetStorage(Storage):
 
     # ------------------------------------------------------------ analytics
 
-    def register_views(self) -> None:
+    def register_views(self, samples: DataFrame | None = None) -> None:
         """Expose the two tables to Spark SQL (rawsql + analytics).
 
         ``samples`` carries exactly the reference's three logical columns
         (clickhouse.go:93-101); the day-partitioned physical layout is also
         exposed as ``samples_physical`` for partition-pruned analytics SQL.
+        ``samples`` may be overridden with a pre-restricted frame (the
+        chunked tier's window-pruned view, `_register_views_for_sql`).
         """
         registry = self.registry_df()
         registry.createOrReplaceTempView("time_series")
@@ -956,8 +956,15 @@ class SparkParquetStorage(Storage):
         registry.withColumn(
             "labels_json", labels_map_to_json(LABELS)
         ).createOrReplaceTempView("time_series_json")
-        physical = self.samples_df()
+        physical = samples if samples is not None else self.samples_df()
         physical.createOrReplaceTempView("samples_physical")
         physical.select(FINGERPRINT, TIMESTAMP_MS, VALUE).createOrReplaceTempView(
             "samples"
         )
+
+    def _register_views_for_sql(self, sql: str) -> None:
+        """View registration for one rawsql request. The flat tier's
+        parquet scan already gets its time filter pushed down by Catalyst;
+        the chunked tier overrides this to prune chunks below the decode
+        barrier from the SQL's own WHERE bounds."""
+        self.register_views()

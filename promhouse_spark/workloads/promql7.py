@@ -164,12 +164,68 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def ph_rawsql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rawsql window-pushdown path (round-9), judged end-to-end: derive
+    [lo, hi] bounds from the data, render them into a rawsql-shaped WHERE
+    clause, re-extract them with the PRODUCTION parser the chunked tier
+    prunes with (plans/rawsql.extract_time_window — storage/chunked.py
+    ``_register_views_for_sql``), and aggregate the window the extracted
+    bounds select. A broken extractor shifts the window → hash mismatch."""
+    from promhouse_spark.plans.rawsql import extract_time_window
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id"), F.unix_millis("ts").alias("ts_ms"), F.col("value")
+    )
+    b = samples.agg(
+        F.expr("min(ts_ms) + (max(ts_ms) - min(ts_ms)) div 4").alias("lo"),
+        F.expr("min(ts_ms) + 3 * (max(ts_ms) - min(ts_ms)) div 4").alias("hi"),
+    ).first()  # two scalars — query metadata, not fact data
+    sql_text = (
+        "SELECT fingerprint, count(*) AS value FROM samples "
+        f"WHERE timestamp_ms >= {b['lo']} AND timestamp_ms <= {b['hi']} "
+        "AND value > 0 GROUP BY fingerprint"
+    )
+    lo, hi = extract_time_window(sql_text)
+    return (
+        samples.filter((F.col("ts_ms") >= lo) & (F.col("ts_ms") <= hi))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts_ms").alias("first_ms"),
+            F.max("ts_ms").alias("last_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PH_RAWSQL_WINDOW_SQL = """
+WITH samples AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+bounds AS (
+  SELECT min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 4 AS lo,
+         min(ts_ms) + 3 * (max(ts_ms) - min(ts_ms)) // 4 AS hi
+  FROM samples
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+FROM samples, bounds
+WHERE ts_ms >= lo AND ts_ms <= hi
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ph_tombstone_mask": ph_tombstone_mask,
     "ph_chunk_prune": ph_chunk_prune,
+    "ph_rawsql_window": ph_rawsql_window,
 }
 
 ORACLES = {
     "ph_tombstone_mask": PH_TOMBSTONE_MASK_SQL,
     "ph_chunk_prune": PH_CHUNK_PRUNE_SQL,
+    "ph_rawsql_window": PH_RAWSQL_WINDOW_SQL,
 }

@@ -75,3 +75,56 @@ def test_rawsql_no_value_column(store):
     ts = res[0][0]
     assert ts.samples[0].value == 0.0  # absent value column → 0.0
     assert ts.labels_map() == {"a": "x"}
+
+
+# ------------------------------------------ time-window extraction
+# extract_time_window is a PRUNING hint for the chunked tier: it may only
+# return bounds that provably constrain the one samples scan (top-level AND
+# conjuncts of that block's WHERE); anything ambiguous must be (None, None).
+
+
+@pytest.mark.parametrize(
+    "sql,want",
+    [
+        ("SELECT * FROM samples WHERE timestamp_ms >= 100 AND timestamp_ms <= 200",
+         (100, 200)),
+        ("SELECT * FROM samples WHERE timestamp_ms BETWEEN 100 AND 200", (100, 200)),
+        ("SELECT * FROM samples s WHERE s.timestamp_ms > 99 AND s.timestamp_ms < 201 "
+         "AND value > 0", (100, 200)),
+        ("SELECT * FROM samples WHERE 100 <= timestamp_ms AND 200 >= timestamp_ms",
+         (100, 200)),
+        ("SELECT * FROM samples WHERE timestamp_ms = 150", (150, 150)),
+        ("SELECT fingerprint, count(*) AS value FROM samples "
+         "WHERE timestamp_ms >= 100 GROUP BY fingerprint", (100, None)),
+        ("SELECT * FROM samples s JOIN time_series t ON s.fingerprint = t.fingerprint "
+         "WHERE s.timestamp_ms >= 100 AND t.fingerprint > 0", (100, None)),
+        ("SELECT x FROM (SELECT * FROM samples WHERE timestamp_ms BETWEEN 10 AND 20) "
+         "GROUP BY x", (10, 20)),
+        ("SELECT * FROM samples_physical WHERE timestamp_ms < 201 AND timestamp_ms > 99",
+         (100, 200)),
+        ("SELECT * FROM samples WHERE fingerprint IN "
+         "(SELECT f FROM x WHERE timestamp_ms > 5) AND timestamp_ms <= 200",
+         (None, 200)),
+        # must NOT prune:
+        ("SELECT * FROM samples WHERE timestamp_ms >= 100 OR value = 1", (None, None)),
+        ("SELECT * FROM samples WHERE NOT timestamp_ms >= 100", (None, None)),
+        ("SELECT * FROM samples WHERE (timestamp_ms >= 100 OR value = 1) AND value > 2",
+         (None, None)),
+        ("SELECT count(*) FROM samples", (None, None)),
+        ("SELECT * FROM samples WHERE timestamp_ms >= 100 "
+         "UNION ALL SELECT * FROM samples", (None, None)),
+        # the outer WHERE filters an AGGREGATE aliased timestamp_ms — using
+        # it to prune the scan would change min()-style results
+        ("SELECT * FROM (SELECT fingerprint, max(timestamp_ms) AS timestamp_ms "
+         "FROM samples GROUP BY fingerprint) WHERE timestamp_ms >= 100", (None, None)),
+        # another table's timestamp_ms column
+        ("SELECT * FROM samples s JOIN other o ON s.fingerprint = o.f "
+         "WHERE o.timestamp_ms >= 100", (None, None)),
+        ("SELECT * FROM samples WHERE label = 'AND timestamp_ms >= 5'", (None, None)),
+        ("SELECT * FROM time_series WHERE job = '1'", (None, None)),
+    ],
+)
+def test_extract_time_window(sql, want):
+    from promhouse_spark.plans.rawsql import extract_time_window
+
+    assert extract_time_window(sql) == want
