@@ -270,6 +270,47 @@ def create_app(
                         )
                     },
                 )
+        if (
+            prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types
+            and not any(h is not None for h in hint_list)
+            and getattr(storage, "cache_registry", False)
+            and hasattr(storage, "iter_series")
+        ):
+            # Memory-bounded streamed serve (flat tier, and the chunked
+            # tier's tombstone fallback): one series at a time off a
+            # toLocalIterator instead of materializing every series at
+            # the driver first — driver RSS stays flat however wide the
+            # read. Cached-registry only: matcher resolution happens in
+            # Python up front, so no Java regex error can surface after
+            # the 200 header is already on the wire.
+            from promhouse_spark.edge import chunkenc
+
+            counters["read_queries"] += len(queries)
+
+            def inc_frames():
+                for qi, q in enumerate(queries):
+                    for ts in storage.iter_series(q):
+                        chunks = [
+                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
+                            for mn, mx, data in chunkenc.chunk_samples(
+                                (s.timestamp_ms, s.value) for s in ts.samples
+                            )
+                        ]
+                        msg = prompb.encode_chunked_read_response(
+                            [(ts.labels, chunks)], query_index=qi
+                        )
+                        yield chunkenc.frame_message(msg)
+
+            return Response(
+                inc_frames(),
+                status=200,
+                headers={
+                    "Content-Type": (
+                        "application/x-streamed-protobuf; "
+                        "proto=prometheus.ChunkedReadResponse"
+                    )
+                },
+            )
         try:
             if any(h is not None for h in hint_list) and hasattr(
                 storage, "read_with_hints"

@@ -230,14 +230,21 @@ class ChunkedParquetStorage(SparkParquetStorage):
         """Zero-decode read for the streamed remote-read path: the pruned
         CHUNK rows go to the wire verbatim — storage format ≡ wire format
         (both are tsdb/chunkenc XOR), so a streamed read does NO per-sample
-        work at all: prune, collect, frame. Chunks intersecting the range
+        work at all: prune, stream, frame. Chunks intersecting the range
         are returned whole (the remote-read streamed contract: the querier
         trims by time).
 
-        Returns ``[(labels_dict, [(min_ms, max_ms, chunk_bytes), ...])]``
-        sorted by fingerprint, or ``None`` when the fast path is unsound
-        (pending tombstones — deleted samples may hide inside a chunk, so
-        the caller must fall back to the decode-and-re-encode path)."""
+        Returns a LAZY generator of ``(labels_dict, [(min_ms, max_ms,
+        chunk_bytes), ...])`` in unsigned-fingerprint order, or ``None``
+        when the fast path is unsound (pending tombstones — deleted
+        samples may hide inside a chunk, so the caller must fall back to
+        the decode-and-re-encode path), or ``[]`` when nothing matches.
+        Driver memory is bounded by ONE series at a time: the chunk frame
+        is range-sorted distributed and pulled with ``toLocalIterator``,
+        so a month-wide high-cardinality read streams through the
+        already-streaming HTTP generator (edge/http.py) with flat RSS —
+        the reference, by contrast, materializes every series at the
+        driver (clickhouse.go:235-280)."""
         if fs.exists(self.spark, self.tombstones_path):
             return None
         fps = self._resolve_fingerprints(q)
@@ -248,34 +255,48 @@ class ChunkedParquetStorage(SparkParquetStorage):
         start_d = F.to_date(F.timestamp_millis(F.lit(int(q.start_ms))))
         end_d = F.to_date(F.timestamp_millis(F.lit(int(q.end_ms))))
         cond = cond & (F.col(DATE) >= start_d) & (F.col(DATE) <= end_d)
-        rows = (
-            restrict_to_series(chunks.filter(cond), fps, self.max_series_inlist)
-            .select(FINGERPRINT, "min_ms", "max_ms", "chunk")
-            .collect()
-        )
+        pruned = restrict_to_series(
+            chunks.filter(cond), fps, self.max_series_inlist
+        ).select(FINGERPRINT, "min_ms", "max_ms", "chunk")
+
         from promhouse_spark.functions.fingerprint import to_unsigned64
         from promhouse_spark.schemas import LABELS
 
-        by_fp: dict[int, list] = {}
-        for r in rows:
-            by_fp.setdefault(r[FINGERPRINT], []).append(
-                (r["min_ms"], r["max_ms"], bytes(r["chunk"]))
-            )
         if self.cache_registry:
-            label_map = {
-                fp: self._registry.get(to_unsigned64(fp), {}) for fp in by_fp
-            }
-        else:  # distributed label resolution for uncached registries
-            reg_rows = (
-                restrict_to_series(self.registry_df(), list(by_fp), self.max_series_inlist)
-                .select(FINGERPRINT, LABELS)
-                .collect()
+            registry = self._registry  # driver dict lookup at yield time
+        else:  # labels ride the frame: distributed resolution, no collect
+            registry = None
+            pruned = pruned.join(
+                self.registry_df().select(FINGERPRINT, LABELS), FINGERPRINT, "left"
             )
-            label_map = {r[FINGERPRINT]: dict(r[LABELS]) for r in reg_rows}
-        out = []
-        for fp in sorted(by_fp, key=to_unsigned64):
-            out.append((label_map.get(fp, {}), sorted(by_fp[fp])))
-        return out
+        # unsigned-fp total order: non-negative signed fps (0..2^63-1
+        # unsigned) before negative ones (2^63..2^64-1) — a range sort,
+        # so toLocalIterator yields globally ordered rows one partition
+        # at a time instead of collecting the whole result
+        ordered = pruned.sort(
+            (F.col(FINGERPRINT) < 0).cast("int"), FINGERPRINT, "min_ms", "max_ms"
+        )
+
+        def series_iter():
+            cur_fp = None
+            cur_labels: dict = {}
+            cur_chunks: list = []
+            for r in ordered.toLocalIterator():
+                fp = r[FINGERPRINT]
+                if fp != cur_fp:
+                    if cur_fp is not None:
+                        yield (cur_labels, cur_chunks)
+                    cur_fp = fp
+                    cur_chunks = []
+                    if registry is not None:
+                        cur_labels = registry.get(to_unsigned64(fp), {})
+                    else:
+                        cur_labels = dict(r[LABELS]) if r[LABELS] else {}
+                cur_chunks.append((r["min_ms"], r["max_ms"], bytes(r["chunk"])))
+            if cur_fp is not None:
+                yield (cur_labels, cur_chunks)
+
+        return series_iter()
 
     # ------------------------------------------------------------ lifecycle
 

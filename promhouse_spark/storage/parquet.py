@@ -860,6 +860,39 @@ class SparkParquetStorage(Storage):
             results.append(self._attach_histograms(q, res))
         return results
 
+    def iter_series(self, q: Query):
+        """Memory-bounded streamed serve of one query: the grouped-series
+        frame range-sorted in unsigned-fingerprint order and pulled with
+        ``toLocalIterator`` — ONE series on the driver at a time, framed
+        incrementally by the already-streaming remote-read generator
+        (edge/http.py). ``read()`` keeps the reference's materialize-all
+        contract (clickhouse.go:235-280); this is the path a month-wide
+        high-cardinality streamed read takes instead. Requires the cached
+        registry (matcher resolution in Python — no lazily-raised Java
+        regex errors after the 200 header is sent); uncached callers use
+        ``read()``."""
+        if not self.cache_registry:
+            raise ValueError("iter_series requires cache_registry")
+        fps = self._resolve_fingerprints(q)
+        if not fps:
+            return
+        restricted = self._restricted_scan(self.samples_df(), q, fps)
+        grouped = group_into_series(restricted).sort(
+            (F.col(FINGERPRINT) < 0).cast("int"), FINGERPRINT
+        )
+        label_of = {fp: self._registry[to_unsigned64(fp)] for fp in fps}
+        for r in grouped.toLocalIterator():
+            yield TimeSeries(
+                labels=[
+                    Label(n, v)
+                    for n, v in sorted(label_of[r[FINGERPRINT]].items())
+                ],
+                samples=[
+                    Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
+                    for s in r["samples"]
+                ],
+            )
+
     def cache_recent(self, days: int = 2) -> None:
         """Pin the hottest day partitions in executor memory (SURVEY §7 risk
         7: remote-read is latency-sensitive; Prometheus mostly reads the

@@ -332,3 +332,37 @@ def test_rawsql_unbounded_still_full_view(stores, spark):
         [Query(0, T0, make_matchers(("job", "=", "rawsql"), ("query", "=", sql)))]
     )[0]
     assert res[0].samples[0].value == 4 * 3 * 200
+
+
+def test_streamed_serve_is_lazy_and_never_collects(spark, tmp_path, monkeypatch):
+    """The streamed serve paths (chunked read_chunks + flat iter_series)
+    stream series off toLocalIterator — a full-result DataFrame.collect
+    anywhere while consuming them is a driver-memory regression. Enforced
+    by making collect() fail during consumption."""
+    import types
+
+    from pyspark.sql import DataFrame
+
+    data = _dense_series(n_series=3, days=1, per_day=150)
+    chunked = ChunkedParquetStorage(spark, str(tmp_path / "c"))
+    flat = SparkParquetStorage(spark, str(tmp_path / "f"))
+    chunked.write(data)
+    flat.write(data)
+    q = Query(T0, T0 + DAY, make_matchers(("__name__", "=", "dense")))
+    gen = chunked.read_chunks(q)
+    assert isinstance(gen, types.GeneratorType)  # lazy, not a list
+    it = flat.iter_series(q)
+
+    def boom(self):
+        raise AssertionError("collect() called in a streamed serve path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    series = list(gen)
+    assert len(series) == 3
+    assert all(chunks for _, chunks in series)
+    # unsigned-fingerprint order, labels resolved
+    ks = [labels["k"] for labels, _ in series]
+    assert sorted(ks) == ["0", "1", "2"]
+    flat_series = list(it)
+    assert len(flat_series) == 3
+    assert all(len(ts.samples) == 150 for ts in flat_series)
