@@ -51,12 +51,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    # record machine load BEFORE the run: r5's checked-in headline was
-    # measured under background load and overstated the engine's cost by
-    # ~20% — a polluted run must at least be visible as such in the artifact
-    load_before = _loadavg()
+    # Quiet-run protocol (r8: the same code measured 9.3 s at loadavg 2.9
+    # vs 5.85 s at loadavg 0.1 — a busy machine fakes a regression against
+    # the 2x gate). Spin-wait for the 1-min loadavg to settle below the
+    # threshold before timing; if it never does within the budget, run
+    # anyway but stamp the artifact "quiet": false so cross-round
+    # comparisons know the number is polluted.
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
     ncpu = os.cpu_count() or 1
-    if load_before and load_before[0] > max(2.0, 0.25 * ncpu):
+    waited = 0.0
+    load_before = _loadavg()
+    while (
+        load_before
+        and load_before[0] > load_max
+        and waited < wait_budget
+    ):
+        print(
+            f"loadavg {load_before[0]:.2f} > {load_max} — waiting for a quiet "
+            f"machine ({waited:.0f}/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+        load_before = _loadavg()
+    quiet = not load_before or load_before[0] <= load_max
+    if not quiet:
         print(
             f"WARNING: loadavg {load_before[0]:.1f} before bench on {ncpu} CPUs "
             "— machine is busy; timings will overstate engine cost",
@@ -101,6 +121,7 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "ncpu": ncpu,
+        "quiet": quiet,
     }
     if errors:
         out["errors"] = errors
