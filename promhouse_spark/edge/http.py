@@ -114,16 +114,6 @@ def create_app(
                 req = prompb2.decode_write_request_v2(body)
             except ValueError as e:
                 return Response(f"decode error: {e}", status=400)
-            for ts in req.series:
-                for h in ts.histograms:
-                    if h.custom_values:
-                        # NHCB carries custom boundaries the exponential
-                        # tier can't represent; reject non-retryably (400)
-                        # rather than mis-bucket the data.
-                        return Response(
-                            "custom-bucket (NHCB) histograms not supported",
-                            status=400,
-                        )
             if ct_zero_ingestion:
                 # Prometheus's created-timestamp-zero-ingestion feature
                 # flag: a counter's created_timestamp materializes as a
@@ -159,6 +149,33 @@ def create_app(
                                     custom_values=list(firsth.custom_values),
                                 ),
                             )
+            # NHCB (custom-bucket) histograms can't enter the exponential
+            # tier; map each back to the classic exposition it encodes
+            # (<name>_bucket{le}/_sum/_count — edge/nhcb.py) so a
+            # Prometheus 3 sender with NHCB enabled doesn't bounce. Runs AFTER CT-zero so the
+            # created_timestamps list still aligns with req.series, and a
+            # synthetic zero NHCB histogram converts to zero classic counts.
+            # Unmappable shapes (no __name__, negative buckets) stay 400.
+            from promhouse_spark.edge import nhcb as nhcb_mod
+
+            if any(
+                nhcb_mod.is_nhcb(h) for ts in req.series for h in ts.histograms
+            ):
+                rewritten = []
+                for ts in req.series:
+                    try:
+                        remaining, classic = nhcb_mod.nhcb_to_classic(ts)
+                    except ValueError as e:
+                        return Response(f"NHCB: {e}", status=400)
+                    if (
+                        remaining.samples
+                        or remaining.histograms
+                        or remaining.exemplars
+                        or not classic
+                    ):
+                        rewritten.append(remaining)
+                    rewritten.extend(classic)
+                req.series = rewritten
             storage.write(req.series)
             metadata_store.update(req.metadata)
             counters["written_time_series"] += len(req.series)

@@ -290,14 +290,109 @@ def test_http_unknown_proto_is_415(client):
     assert "io.prometheus.write.v2.Request" in resp.headers["Accept"]
 
 
-def test_http_v2_nhcb_rejected_400(client):
+def test_nhcb_to_classic_mapping():
+    """NHCB -> classic: per-bucket counts become CUMULATIVE le-bucket
+    counters (le="+Inf" = total count), plus _sum/_count, other labels
+    preserved (public prometheus model/histogram/nhcb semantics)."""
+    from promhouse_spark.edge.nhcb import nhcb_to_classic
+
     h = NativeHistogram(
+        timestamp_ms=T0,
+        count=10,          # 2+3+1 bucketed + 4 in the overflow (+Inf) bucket
+        sum=42.5,
+        positive=[(0, 2.0), (1, 3.0), (2, 1.0), (3, 4.0)],
+        custom_values=[0.1, 0.5, 2.5],
+    )
+    ts = TimeSeries(
+        labels=[Label("__name__", "lat"), Label("job", "x")], histograms=[h]
+    )
+    remaining, classic = nhcb_to_classic(ts)
+    assert remaining.histograms == [] and remaining.samples == []
+    got = {
+        tuple(sorted((l.name, l.value) for l in s.labels)): [
+            (x.timestamp_ms, x.value) for x in s.samples
+        ]
+        for s in classic
+    }
+    base = (("job", "x"),)
+    assert got[tuple(sorted((("__name__", "lat_bucket"), ("le", "0.1")) + base))] == [(T0, 2.0)]
+    assert got[tuple(sorted((("__name__", "lat_bucket"), ("le", "0.5")) + base))] == [(T0, 5.0)]
+    assert got[tuple(sorted((("__name__", "lat_bucket"), ("le", "2.5")) + base))] == [(T0, 6.0)]
+    assert got[tuple(sorted((("__name__", "lat_bucket"), ("le", "+Inf")) + base))] == [(T0, 10.0)]
+    assert got[tuple(sorted((("__name__", "lat_sum"),) + base))] == [(T0, 42.5)]
+    assert got[tuple(sorted((("__name__", "lat_count"),) + base))] == [(T0, 10.0)]
+
+
+def test_http_v2_nhcb_ingested_as_classic_and_served(spark, tmp_path):
+    """A Prometheus 3 sender with NHCB enabled no longer bounces: the v2
+    write ingests custom-bucket histograms as classic series, and
+    histogram_quantile over the derived buckets serves correctly (PromQL
+    endpoints need the frame-backed storage)."""
+    import json
+
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.models import Query as MQuery
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+
+    storage = SparkParquetStorage(spark, str(tmp_path / "nhcb"))
+    app = create_app(storage)
+    app.testing = True
+    c = app.test_client()
+    hs = [
+        NativeHistogram(
+            timestamp_ms=T0 + i * 15_000,
+            count=4.0 * (i + 1),
+            sum=2.0 * (i + 1),
+            positive=[(0, 1.0 * (i + 1)), (1, 2.0 * (i + 1)), (2, 1.0 * (i + 1))],
+            custom_values=[0.1, 0.5, 2.5],
+        )
+        for i in range(3)
+    ]
+    ts = TimeSeries(labels=[Label("__name__", "lat"), Label("job", "x")], histograms=hs)
+    resp = _post_v2(c, [ts])
+    assert resp.status_code == 204
+    res = storage.read(
+        [MQuery(0, T0 + 60_000, make_matchers(("__name__", "=", "lat_bucket")))]
+    )[0]
+    by_le = {s.labels_map()["le"]: [x.value for x in s.samples] for s in res}
+    assert by_le == {
+        "0.1": [1.0, 2.0, 3.0],
+        "0.5": [3.0, 6.0, 9.0],
+        "2.5": [4.0, 8.0, 12.0],
+        "+Inf": [4.0, 8.0, 12.0],
+    }
+    # served: classic-bucket quantile over the derived series. At t=T0 the
+    # cumulative histogram is {0.1: 1, 0.5: 3, 2.5: 4, +Inf: 4}; the median
+    # (rank 2 of 4) interpolates inside the (0.1, 0.5] bucket.
+    r = c.get(
+        "/api/v1/query",
+        query_string={
+            "query": 'histogram_quantile(0.5, lat_bucket{job="x"})',
+            "time": str(T0 / 1000),
+        },
+    )
+    data = json.loads(r.data)
+    assert data["status"] == "success"
+    (result,) = data["data"]["result"]
+    assert abs(float(result["value"][1]) - 0.3) < 1e-9
+
+
+def test_http_v2_nhcb_unmappable_400(client):
+    from promhouse_spark.models import Label as L
+
+    # negative buckets can't map to classic
+    h = NativeHistogram(
+        timestamp_ms=T0, count=1, sum=1.0, negative=[(0, 1.0)],
+        positive=[(0, 1.0)], custom_values=[1.0],
+    )
+    resp = _post_v2(client, [TimeSeries(labels=[L("__name__", "n")], histograms=[h])])
+    assert resp.status_code == 400 and b"NHCB" in resp.data
+    # and so can a series without __name__
+    h2 = NativeHistogram(
         timestamp_ms=T0, count=1, sum=1.0, positive=[(0, 1.0)], custom_values=[1.0]
     )
-    ts = TimeSeries(labels=[Label("__name__", "nhcb")], histograms=[h])
-    resp = _post_v2(client, [ts])
-    assert resp.status_code == 400
-    assert b"NHCB" in resp.data
+    resp = _post_v2(client, [TimeSeries(labels=[L("job", "x")], histograms=[h2])])
+    assert resp.status_code == 400 and b"NHCB" in resp.data
 
 
 def test_http_v2_bad_payload_400(client):
