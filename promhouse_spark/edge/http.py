@@ -53,6 +53,24 @@ def _format_value(v: float) -> str:
     return out[:-2] if out.endswith(".0") else out
 
 
+def _holds_histograms(storage) -> bool:
+    """True when the storage holds native-histogram data. The streamed
+    XOR-chunk responses carry floats only (tsdb/chunkenc XOR has no
+    histogram chunk here), so a streamed answer over a
+    histogram-bearing store would silently drop those series; callers
+    gate the streamed fast paths on this and fall through to the sampled
+    response, which attaches histograms (prompb TimeSeries field 4).
+    Unknown/unreadable state counts as "holds" — correctness over speed."""
+    hp = getattr(storage, "histograms_path", None)
+    if hp is None:
+        return False
+    try:
+        from promhouse_spark.storage import fs
+
+        return fs.exists(storage.spark, hp)
+    except Exception:  # noqa: BLE001
+        return True
+
 
 def create_app(
     storage: Storage,
@@ -243,13 +261,18 @@ def create_app(
                     except re.error as e:
                         return Response(f"invalid matcher regex: {e}", status=400)
             queries.append(q)
-        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types and hasattr(
-            storage, "read_chunks"
+        if (
+            prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types
+            and hasattr(storage, "read_chunks")
+            and not _holds_histograms(storage)
         ):
             # Zero-decode fast path (chunked storage tier): at-rest chunks
             # ARE wire chunks, so the streamed response is prune + frame —
             # no per-sample work, and the sampled read below never runs.
-            # Falls through when unsound (pending tombstones).
+            # Falls through when unsound (pending tombstones) or when the
+            # storage holds native-histogram data: XOR chunks carry floats
+            # only, so streaming would silently drop histogram series —
+            # the sampled path below attaches them (field 4).
             from promhouse_spark.edge import chunkenc
             from promhouse_spark.models import Label as MLabel
 
@@ -292,6 +315,7 @@ def create_app(
             and not any(h is not None for h in hint_list)
             and getattr(storage, "cache_registry", False)
             and hasattr(storage, "iter_series")
+            and not _holds_histograms(storage)
         ):
             # Memory-bounded streamed serve (flat tier, and the chunked
             # tier's tombstone fallback): one series at a time off a
@@ -345,7 +369,13 @@ def create_app(
                 return Response(f"invalid matcher regex: {e}"[:500], status=400)
             raise
         counters["read_queries"] += len(queries)
-        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types:
+        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types and not any(
+            # XOR chunks carry floats only: a result with native-histogram
+            # samples must go out sampled (field 4) or the histograms vanish
+            getattr(ts, "histograms", None)
+            for series_list in results
+            for ts in series_list
+        ):
             # Streamed chunked remote read (Prometheus ≥ 2.13,
             # read_recent/remote-read streaming): one frame per series,
             # each carrying Gorilla-XOR-compressed chunks — constant

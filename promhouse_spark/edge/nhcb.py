@@ -85,10 +85,22 @@ def nhcb_to_classic(ts: TimeSeries) -> tuple[TimeSeries, list[TimeSeries]]:
             raise ValueError(
                 f"NHCB bucket index {max(counts)} beyond {n} boundaries"
             )
+        # Zero-bucket observations sit at ~0, so they belong to every
+        # cumulative bucket whose upper bound covers 0 (ub >= 0) — with
+        # the usual non-negative boundaries that is ALL buckets, i.e.
+        # seeding the cumulative sum. Omitting this undercounts every
+        # le-bucket relative to _count/le="+Inf" and skews
+        # histogram_quantile whenever zero_count > 0.
+        zc = float(h.zero_count or 0.0)
         cum = 0.0
         for i, ub in enumerate(h.custom_values):
             cum += counts.get(i, 0.0)
-            emit("%s_bucket" % base, [Label("le", _fmt_le(ub))], h.timestamp_ms, cum)
+            emit(
+                "%s_bucket" % base,
+                [Label("le", _fmt_le(ub))],
+                h.timestamp_ms,
+                cum + (zc if ub >= 0 else 0.0),
+            )
         emit("%s_bucket" % base, [Label("le", "+Inf")], h.timestamp_ms, float(h.count))
         emit("%s_sum" % base, [], h.timestamp_ms, float(h.sum))
         emit("%s_count" % base, [], h.timestamp_ms, float(h.count))

@@ -233,9 +233,64 @@ def _split_top_and(text: str) -> list[str] | None:
     return parts
 
 
+def _normalize_for_extraction(sql: str) -> str | None:
+    """Canonicalize ``sql`` for window extraction: strip ``--`` and
+    (nested) ``/* */`` comments, blank every quoted literal/identifier to
+    an empty one, so no commented-out or string-embedded text can ever be
+    read as a live predicate. Returns ``None`` — caller must give up on
+    pruning — whenever quote handling can't be proven to match Spark's
+    parser: any backslash in the text (escaped-quote ambiguity), an
+    unterminated literal, or an unterminated comment. Extraction is only
+    a pruning hint, so bailing is always safe; mis-reading is not."""
+    if "\\" in sql:
+        return None
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            j = sql.find(c, i + 1)
+            if j < 0:
+                return None
+            out.append("''")  # blank the literal, keep it a literal
+            i = j + 1
+        elif c == "`":
+            j = sql.find("`", i + 1)
+            if j < 0:
+                return None
+            out.append("`x`")
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            out.append(" ")
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            depth, i = 1, i + 2
+            while i < n and depth:  # Spark allows NESTED bracketed comments
+                if sql.startswith("/*", i):
+                    depth += 1
+                    i += 2
+                elif sql.startswith("*/", i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
+            if depth:
+                return None
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def extract_time_window(sql: str) -> tuple[int | None, int | None]:
     """Best-effort (lo_ms, hi_ms) bounds a samples scan in ``sql`` is
     provably restricted to; (None, None) when no safe bound exists."""
+    normalized = _normalize_for_extraction(sql)
+    if normalized is None:
+        return (None, None)
+    sql = normalized
     froms = list(_SAMPLES_FROM.finditer(sql))
     if len(froms) != 1:  # zero or several scans — a shared view can't prune
         return (None, None)

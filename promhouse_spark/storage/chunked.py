@@ -45,6 +45,7 @@ day partitions.
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Iterator
 
@@ -296,7 +297,17 @@ class ChunkedParquetStorage(SparkParquetStorage):
             if cur_fp is not None:
                 yield (cur_labels, cur_chunks)
 
-        return series_iter()
+        # Pull the first series EAGERLY, then chain it back: a Spark-side
+        # failure (the distributed label join when cache_registry is off,
+        # a corrupt chunk file) must surface as a clean 500 BEFORE the
+        # HTTP layer commits a 200 header — a lazy failure mid-stream
+        # reads to the client as a truncated chunked body.
+        it = series_iter()
+        try:
+            first = next(it)
+        except StopIteration:
+            return []
+        return itertools.chain([first], it)
 
     # ------------------------------------------------------------ lifecycle
 

@@ -339,8 +339,6 @@ def test_streamed_serve_is_lazy_and_never_collects(spark, tmp_path, monkeypatch)
     stream series off toLocalIterator — a full-result DataFrame.collect
     anywhere while consuming them is a driver-memory regression. Enforced
     by making collect() fail during consumption."""
-    import types
-
     from pyspark.sql import DataFrame
 
     data = _dense_series(n_series=3, days=1, per_day=150)
@@ -350,7 +348,9 @@ def test_streamed_serve_is_lazy_and_never_collects(spark, tmp_path, monkeypatch)
     flat.write(data)
     q = Query(T0, T0 + DAY, make_matchers(("__name__", "=", "dense")))
     gen = chunked.read_chunks(q)
-    assert isinstance(gen, types.GeneratorType)  # lazy, not a list
+    # lazy iterator, not a materialized list (the first series is pulled
+    # eagerly so Spark failures beat the 200 header — see read_chunks)
+    assert iter(gen) is gen and not isinstance(gen, (list, tuple))
     it = flat.iter_series(q)
 
     def boom(self):
@@ -366,3 +366,48 @@ def test_streamed_serve_is_lazy_and_never_collects(spark, tmp_path, monkeypatch)
     flat_series = list(it)
     assert len(flat_series) == 3
     assert all(len(ts.samples) == 150 for ts in flat_series)
+
+
+def test_streamed_read_falls_back_when_histograms_present(spark, tmp_path):
+    """XOR chunks carry floats only — a store holding native-histogram
+    data must answer a STREAMED_XOR_CHUNKS request with the SAMPLED
+    response (which attaches histograms, prompb TimeSeries field 4)
+    instead of silently dropping every histogram series. Covers both
+    streamed fast paths: chunked read_chunks and flat iter_series."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from promhouse_spark.edge import prompb, snappy_codec
+    from promhouse_spark.edge.http import create_app
+    from promhouse_spark.models import NativeHistogram
+
+    hist_series = TimeSeries(
+        labels=[Label("__name__", "lat"), Label("job", "h")],
+        histograms=[
+            NativeHistogram(
+                timestamp_ms=T0 + 1000,
+                count=3,
+                sum=6.0,
+                schema=0,
+                positive=[(1, 3.0)],
+            )
+        ],
+    )
+    for cls, sub in ((ChunkedParquetStorage, "c"), (SparkParquetStorage, "f")):
+        store = cls(spark, str(tmp_path / sub))
+        store.write(_dense_series(n_series=1, days=1, per_day=30) + [hist_series])
+        app = create_app(store)
+        app.testing = True
+        client = app.test_client()
+        rq = snappy_codec.compress(
+            prompb.encode_read_request_full(
+                [Query(T0, T0 + DAY, make_matchers(("__name__", "=", "lat")))],
+                [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
+            )
+        )
+        resp = client.post("/read", data=rq)
+        assert resp.status_code == 200
+        # sampled fallback, not a streamed frame response
+        assert resp.headers["Content-Type"] == "application/x-protobuf"
+        results = prompb.decode_read_response(snappy_codec.decompress(resp.data))
+        assert len(results) == 1 and len(results[0]) == 1
+        got = results[0][0]
+        assert len(got.histograms) == 1 and got.histograms[0].count == 3

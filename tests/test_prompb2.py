@@ -491,3 +491,55 @@ def test_v2_special_floats_roundtrip():
     out = prompb2.decode_write_request_v2(prompb2.encode_write_request_v2(series))
     vals = [s.value for s in out.series[0].samples]
     assert vals == [math.inf, -math.inf]
+
+
+def test_nhcb_to_classic_zero_count_folds_into_buckets():
+    """zero_count observations sit at ~0, so every cumulative le-bucket
+    whose upper bound covers 0 must include them — otherwise each bucket
+    undercounts relative to _count/le="+Inf" and histogram_quantile
+    skews (public prometheus model/histogram/nhcb semantics)."""
+    from promhouse_spark.edge.nhcb import nhcb_to_classic
+
+    h = NativeHistogram(
+        timestamp_ms=T0,
+        count=5,  # 1+2 bucketed + 2 zero-bucket observations
+        sum=3.0,
+        zero_count=2,
+        positive=[(0, 1.0), (1, 2.0)],
+        custom_values=[0.1, 0.5],
+    )
+    ts = TimeSeries(labels=[Label("__name__", "z")], histograms=[h])
+    _, classic = nhcb_to_classic(ts)
+    got = {
+        tuple(sorted((l.name, l.value) for l in s.labels)): s.samples[0].value
+        for s in classic
+    }
+    le = lambda v: tuple(sorted((("__name__", "z_bucket"), ("le", v))))
+    assert got[le("0.1")] == 3.0  # 1 + 2 zero obs
+    assert got[le("0.5")] == 5.0  # cumulative + zero obs
+    assert got[le("+Inf")] == 5.0  # buckets now consistent with _count
+
+
+def test_nhcb_to_classic_zero_count_negative_boundary():
+    """With a negative first boundary the zero observations only join
+    buckets whose upper bound reaches 0 — le=-1 must NOT count them."""
+    from promhouse_spark.edge.nhcb import nhcb_to_classic
+
+    h = NativeHistogram(
+        timestamp_ms=T0,
+        count=4,
+        sum=0.0,
+        zero_count=2,
+        positive=[(0, 1.0), (1, 1.0)],
+        custom_values=[-1.0, 0.5],
+    )
+    ts = TimeSeries(labels=[Label("__name__", "nz")], histograms=[h])
+    _, classic = nhcb_to_classic(ts)
+    got = {
+        tuple(sorted((l.name, l.value) for l in s.labels)): s.samples[0].value
+        for s in classic
+    }
+    le = lambda v: tuple(sorted((("__name__", "nz_bucket"), ("le", v))))
+    assert got[le("-1")] == 1.0   # zero obs are NOT ≤ -1
+    assert got[le("0.5")] == 4.0  # they are ≤ 0.5
+    assert got[le("+Inf")] == 4.0

@@ -122,6 +122,29 @@ def test_rawsql_no_value_column(store):
          "WHERE o.timestamp_ms >= 100", (None, None)),
         ("SELECT * FROM samples WHERE label = 'AND timestamp_ms >= 5'", (None, None)),
         ("SELECT * FROM time_series WHERE job = '1'", (None, None)),
+        # comments are NOT live predicates (the commented bound must not
+        # narrow; the live one still prunes)
+        ("SELECT * FROM samples WHERE timestamp_ms >= 100 -- AND timestamp_ms <= 50",
+         (100, None)),
+        ("SELECT * FROM samples WHERE timestamp_ms >= 100 /* AND timestamp_ms <= 50 */",
+         (100, None)),
+        ("SELECT * FROM samples WHERE /* a /* nested */ b */ timestamp_ms >= 7",
+         (7, None)),
+        ("SELECT * FROM samples -- comment with a quote: don't\nWHERE timestamp_ms >= 3",
+         (3, None)),
+        # backslash in a string literal: quote handling can't be proven to
+        # match Spark's parser — give up on pruning entirely
+        ("SELECT * FROM samples WHERE label = 'x\\' AND timestamp_ms <= 5 AND y = ''",
+         (None, None)),
+        # double-quoted literals hide keywords the same way single quotes do
+        ('SELECT * FROM samples WHERE label = "x AND timestamp_ms <= 5"',
+         (None, None)),
+        # unterminated comment / literal: bail, never guess
+        ("SELECT * FROM samples WHERE timestamp_ms <= 5 /* oops", (None, None)),
+        ("SELECT * FROM samples WHERE timestamp_ms <= 5 AND label = 'oops",
+         (None, None)),
+        # backticked identifier is not provably the samples column
+        ("SELECT * FROM samples WHERE `timestamp_ms` <= 5", (None, None)),
     ],
 )
 def test_extract_time_window(sql, want):
