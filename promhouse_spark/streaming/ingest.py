@@ -104,21 +104,39 @@ def start_ingest(
     source_dir: str,
     checkpoint_dir: str,
     trigger_seconds: int = 5,
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """Stream JSON-lines files from ``source_dir`` into the storage.
 
     Each line: ``{"labels": {...}, "timestamp_ms": 123, "value": 1.0}``.
     The 5 s default trigger mirrors the reference's registry refresh /
     remote-write send deadline cadence (BASELINE.md).
+
+    ``compact_every=N`` (N > 0) runs ``storage.compact_samples()`` after
+    every Nth micro-batch — the Prometheus head-compaction analog for the
+    chunked tier, whose per-batch appends otherwise accumulate unbounded
+    overlapping mini-chunks (a 20-sample batch makes a 20-sample chunk;
+    compaction merges them back to full ≤120-sample chunks). Safe inside
+    ``foreachBatch`` because the streaming query is the tier's single
+    writer between triggers; storages without ``compact_samples`` ignore
+    the option. Compaction is idempotent-per-state, so a retry after a
+    crash between ingest and compact just compacts a little later.
     """
+    counter = {"batches": 0}
+
+    def _process(batch_df: DataFrame, _epoch: int) -> None:
+        ingest_batch(storage, batch_df)
+        if compact_every > 0 and hasattr(storage, "compact_samples"):
+            counter["batches"] += 1
+            if counter["batches"] % compact_every == 0:
+                storage.compact_samples()
+
     stream = (
         spark.readStream.schema(WIRE_SCHEMA)
         .json(source_dir)
     )
     return (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _epoch: ingest_batch(storage, batch_df)
-        )
+        stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()

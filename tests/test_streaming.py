@@ -174,3 +174,54 @@ def test_session_window_stream_semantics(spark, tmp_path):
     spark.catalog.dropTempView("sess_test")
     # user 1: ONE merged session of 3 events (00,10,35); user 2: one of 1
     assert got == {(1, 3), (2, 1)}
+
+
+def test_stream_ingest_chunked_tier_with_compaction(spark, tmp_path):
+    """Streaming ingestion into the CHUNKED tier: micro-batches append
+    mini-chunks; compact_every merges them back to full-size chunks on
+    cadence, and reads stay storages-spec-identical throughout."""
+    from promhouse_spark.storage.chunked import ChunkedParquetStorage
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    storage = ChunkedParquetStorage(spark, str(tmp_path / "store"))
+
+    # 6 micro-batches of 20 samples each for one series-day → without
+    # compaction that is 6 mini-chunks; compact_every=3 merges twice
+    expected = []
+    q = start_ingest(
+        spark,
+        storage,
+        str(src),
+        str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+        compact_every=3,
+    )
+    try:
+        for b in range(6):
+            rows = []
+            for i in range(20):
+                ts = T0 + (b * 20 + i) * 15_000
+                rows.append(
+                    {
+                        "labels": {"__name__": "dense", "job": "s"},
+                        "timestamp_ms": ts,
+                        "value": float(b * 20 + i),
+                    }
+                )
+                expected.append((ts, float(b * 20 + i)))
+            _write_jsonl(src / f"batch{b}.json", rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # 120 samples, fully compacted → exactly one ≤120-sample chunk
+    assert storage.chunks_df().count() == 1
+    res = storage.read(
+        [Query(0, T0 + 10**9, make_matchers(("__name__", "=", "dense")))]
+    )[0]
+    assert len(res) == 1
+    got = [(s.timestamp_ms, s.value) for s in res[0].samples]
+    assert got == sorted(expected)
+    # registry deduplicated across all micro-batches
+    assert storage.registry_df().count() == 1
