@@ -484,3 +484,121 @@ def test_utf8_names_family(client):
     assert len(v) == 1
     v = _ok(client, 'sum by ("room") ({"temp"})')
     assert len(v) == 2
+
+
+def test_comparison_bool_matrix(client):
+    """Every comparison operator in filter AND bool form (upstream
+    promql testdata operators.test breadth): filter keeps the metric
+    name and subsets; bool drops the name and emits 0/1 for every
+    series (engine.go shouldDropMetricName is true only for bool)."""
+    # temp: room a=20, room b=30 — (op, threshold, room kept by filter)
+    cases = [
+        ("==", 20, "a"), ("!=", 20, "b"),
+        (">", 25, "b"), ("<", 25, "a"),
+        (">=", 30, "b"), ("<=", 20, "a"),
+    ]
+    for op, thr, kept in cases:
+        f = _ok(client, f"temp {op} {thr}")
+        assert len(f) == 1, (op, thr, f)
+        key = next(iter(f))
+        assert ("room", kept) in key and ("__name__", "temp") in key, (op, key)
+        b = _ok(client, f"temp {op} bool {thr}")
+        assert len(b) == 2, (op, b)
+        for k, vals in b.items():
+            assert ("__name__", "temp") not in k  # bool drops the name
+            want = 1.0 if ("room", kept) in k else 0.0
+            assert set(vals.values()) == {want}, (op, k, vals)
+    # scalar on the LEFT flips the comparison direction, not the filter
+    # target: the vector side is still what's filtered/kept
+    lf = _ok(client, "25 > temp")
+    assert len(lf) == 1 and ("room", "a") in next(iter(lf))
+    lb = _ok(client, "25 > bool temp")
+    assert len(lb) == 2
+    # vector-vector: filter keeps name, bool drops it
+    vv = _ok(client, "temp == temp")
+    assert len(vv) == 2 and all(("__name__", "temp") in k for k in vv)
+    vb = _ok(client, "temp >= bool temp")
+    assert len(vb) == 2
+    for k, vals in vb.items():
+        assert ("__name__", "temp") not in k
+        assert set(vals.values()) == {1.0}
+
+
+def test_group_left_label_copies(client):
+    """group_left/group_right include-label copies under __name__ drops
+    (upstream operators.test many-to-one family): the many side's labels
+    survive minus __name__, the listed labels copy over from the one
+    side; the mirrored group_right produces the identical result."""
+    # one side: group() collapses requests_total{job="api"} to value 1
+    one = 'group by (job) (requests_total{job="api"})'
+    gl = _ok(client, f"temp * on() group_left(job) {one}")
+    assert len(gl) == 2
+    for k, vals in gl.items():
+        assert ("job", "api") in k          # copied from the one side
+        assert ("__name__", "temp") not in k  # arithmetic drops the name
+        assert any(("room", r) in k for r in ("a", "b"))
+        want = 20.0 if ("room", "a") in k else 30.0
+        assert set(vals.values()) == {want}  # temp * 1
+    gr = _ok(client, f"{one} * on() group_right(job) temp")
+    assert gr == gl  # mirrored cardinality, identical output
+    # grouped COMPARISON filter: many-side rows kept with name intact,
+    # include labels still copied (resultMetric applies either way)
+    gf = _ok(client, f"temp >= on() group_left(job) {one}")
+    assert len(gf) == 2
+    for k, vals in gf.items():
+        assert ("__name__", "temp") in k and ("job", "api") in k
+        want = 20.0 if ("room", "a") in k else 30.0
+        assert set(vals.values()) == {want}  # filter keeps temp's values
+    # grouped bool comparison: 0/1 values, name dropped, copies applied
+    gb = _ok(client, f"temp >= bool on() group_left(job) {one}")
+    assert len(gb) == 2
+    for k, vals in gb.items():
+        assert ("__name__", "temp") not in k and ("job", "api") in k
+        assert set(vals.values()) == {1.0}
+
+
+def test_staleness_lookback_family(spark, tmp_path):
+    """Upstream staleness.test analog: a series whose samples stop is
+    still returned by an instant selector for the 5 m lookback window
+    after its last sample, then vanishes — no value is invented past
+    lookback. (Explicit stale NaN markers are a scrape-path concept the
+    remote-write surface never carries; lookback expiry is the part with
+    query-visible semantics.)"""
+    store = SparkParquetStorage(spark, str(tmp_path / "stale"))
+    store.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "short"), Label("job", "x")],
+                # samples at T0, T0+15s, ..., T0+120s, then silence
+                samples=[
+                    Sample(value=1.0, timestamp_ms=T0 + i * 15_000)
+                    for i in range(9)
+                ],
+            ),
+            TimeSeries(
+                labels=[Label("__name__", "long"), Label("job", "x")],
+                samples=[
+                    Sample(value=2.0, timestamp_ms=T0 + i * 15_000)
+                    for i in range(41)
+                ],
+            ),
+        ]
+    )
+    app = create_app(store)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    last = T0 / 1000 + 120  # last sample of `short`
+    code, body = _range(c, "short", start=T0 / 1000, end=T0 / 1000 + 600,
+                        step="60")
+    assert code == 200
+    vals = next(iter(_values(body).values()))
+    times = sorted(vals)
+    # present through last+300s (5m lookback), absent after
+    assert all(t <= last + 300 for t in times), times
+    assert max(times) == T0 / 1000 + 420  # 120s + 300s lookback, on-step
+    assert set(vals.values()) == {1.0}  # lookback repeats the LAST value
+    # the still-scraped series spans the whole window at every step
+    code, body = _range(c, "long", start=T0 / 1000, end=T0 / 1000 + 600,
+                        step="60")
+    lvals = next(iter(_values(body).values()))
+    assert len(lvals) == 11

@@ -60,6 +60,32 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
+def _write_big(out_dir: str, name: str, columns: dict, total: int,
+               chunk: int = 8_000_000) -> None:
+    """Stream a large table to parquet in ``chunk``-row slices so Arrow
+    conversion (string/timestamp columns especially) never doubles the
+    full numpy working set — sf100's 600 M-row lineitem stays writable in
+    RAM. ``columns`` values are either full numpy arrays (sliced here) or
+    ``callable(start, end) -> pa.array`` for columns that must materialize
+    per-chunk (formatted strings, dictionary lookups, timestamps). All RNG
+    draws happen OUTSIDE, full-array, so generated values are identical to
+    the single-shot writer at every sf."""
+    path = os.path.join(out_dir, f"{name}.parquet")
+    writer = None
+    for s in range(0, total, chunk):
+        e = min(s + chunk, total)
+        tbl = pa.table({
+            k: (v(s, e) if callable(v) else pa.array(v[s:e]))
+            for k, v in columns.items()
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
+    print(f"  {name}: {total} rows")
+
+
 def generate(out_dir: str, sf: float = 1.0, seed: int = 42) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng([seed, int(sf * 1000)])
@@ -106,47 +132,73 @@ def generate(out_dir: str, sf: float = 1.0, seed: int = 42) -> None:
 
     no = n["orders"]
     odate = _ts_us("1995-01-01") + rng.integers(0, 2404, no) * DAY_US
-    _write(out_dir, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(no), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, nc, no), pa.int64()),
-        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, no)]),
-        "o_totalprice": np.round(rng.uniform(1000.0, 500000.0, no), 2),
-        "o_orderdate": pa.array(odate, pa.timestamp("us")),
-        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, no)]),
-    }))
+    # rng draws in the exact order of the original single-shot table
+    # literal, so values stay bit-identical at every sf
+    ocust = rng.integers(0, nc, no).astype(np.int64)
+    ostatus = rng.integers(0, 3, no)
+    ototal = np.round(rng.uniform(1000.0, 500000.0, no), 2)
+    oprio = rng.integers(0, 5, no)
+    _write_big(out_dir, "orders", {
+        "o_orderkey": lambda s, e: pa.array(np.arange(s, e), pa.int64()),
+        "o_custkey": ocust,
+        "o_orderstatus": lambda s, e: pa.array(
+            np.array(["O", "P", "F"])[ostatus[s:e]]),
+        "o_totalprice": ototal,
+        "o_orderdate": lambda s, e: pa.array(odate[s:e], pa.timestamp("us")),
+        "o_orderpriority": lambda s, e: pa.array(
+            np.array(PRIORITIES)[oprio[s:e]]),
+    }, no)
+    del ostatus, ocust, ototal, oprio
 
     nl = n["lineitem"]
     lok = np.sort(rng.integers(0, no, nl))
     # linenumber = 1-based position within the order (run-length cumcount)
     first = np.r_[True, lok[1:] != lok[:-1]]
     idx = np.arange(nl)
-    lnum = idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1
+    lnum = (idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1).astype(
+        np.int32
+    )
+    del first, idx
     ldate = odate[lok] + rng.integers(1, 121, nl) * DAY_US
-    _write(out_dir, "lineitem", pa.table({
-        "l_orderkey": pa.array(lok, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, np_, nl), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
-        "l_linenumber": pa.array(lnum, pa.int32()),
-        "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900.0, 105000.0, nl), 2),
-        "l_discount": np.round(rng.integers(0, 11, nl) / 100.0, 2),
-        "l_tax": np.round(rng.integers(0, 9, nl) / 100.0, 2),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, nl)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, nl)]),
-        "l_shipdate": pa.array(ldate, pa.timestamp("us")),
-    }))
+    lpart = rng.integers(0, np_, nl).astype(np.int64)
+    lsupp = rng.integers(0, ns, nl).astype(np.int64)
+    lqty = rng.integers(1, 51, nl).astype(np.float64)
+    lprice = np.round(rng.uniform(900.0, 105000.0, nl), 2)
+    ldisc = np.round(rng.integers(0, 11, nl) / 100.0, 2)
+    ltax = np.round(rng.integers(0, 9, nl) / 100.0, 2)
+    lrf = rng.integers(0, 3, nl)
+    lls = rng.integers(0, 2, nl)
+    _write_big(out_dir, "lineitem", {
+        "l_orderkey": lok.astype(np.int64),
+        "l_partkey": lpart,
+        "l_suppkey": lsupp,
+        "l_linenumber": lnum,
+        "l_quantity": lqty,
+        "l_extendedprice": lprice,
+        "l_discount": ldisc,
+        "l_tax": ltax,
+        "l_returnflag": lambda s, e: pa.array(np.array(["A", "N", "R"])[lrf[s:e]]),
+        "l_linestatus": lambda s, e: pa.array(np.array(["F", "O"])[lls[s:e]]),
+        "l_shipdate": lambda s, e: pa.array(ldate[s:e], pa.timestamp("us")),
+    }, nl)
+    del lok, lnum, ldate, lpart, lsupp, lqty, lprice, ldisc, ltax, lrf, lls
 
     ne = n["events"]
     nusers = max(1, int(15_000 * sf))
     ets = np.sort(_ts_us("2024-01-01") + rng.integers(0, 30 * DAY_US, ne))
-    _write(out_dir, "events", pa.table({
-        "event_id": pa.array(np.arange(ne), pa.int64()),
-        "ts": pa.array(ets, pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, nusers, ne), pa.int64()),
-        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
-        "value": np.round(rng.gamma(2.0, 35.0, ne), 2),
-        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, ne)]),
-    }))
+    euser = rng.integers(0, nusers, ne).astype(np.int64)
+    etype = rng.integers(0, 5, ne)
+    evalue = np.round(rng.gamma(2.0, 35.0, ne), 2)
+    eprops = rng.integers(0, 100, ne)
+    _write_big(out_dir, "events", {
+        "event_id": lambda s, e: pa.array(np.arange(s, e), pa.int64()),
+        "ts": lambda s, e: pa.array(ets[s:e], pa.timestamp("us")),
+        "user_id": euser,
+        "event_type": lambda s, e: pa.array(np.array(EVENT_TYPES)[etype[s:e]]),
+        "value": evalue,
+        "props": lambda s, e: pa.array([f'{{"k": {k}}}' for k in eprops[s:e]]),
+    }, ne)
+    del ets, euser, etype, evalue, eprops
 
     nd = n["documents"]
     lens = rng.integers(8, 112, nd)
