@@ -25,6 +25,7 @@ from promhouse_spark.workloads import nhist as _nhist
 from promhouse_spark.workloads import llmdata2 as _llmdata2
 from promhouse_spark.workloads import llmdata3 as _llmdata3
 from promhouse_spark.workloads import llmdata4 as _llmdata4
+from promhouse_spark.workloads import llmdata5 as _llmdata5
 from promhouse_spark.workloads import promql2 as _promql2
 from promhouse_spark.workloads import promql3 as _promql3
 from promhouse_spark.workloads import promql4 as _promql4
@@ -44,6 +45,7 @@ _ALL_QUERIES = {
     **_llmdata2.QUERIES,
     **_llmdata3.QUERIES,
     **_llmdata4.QUERIES,
+    **_llmdata5.QUERIES,
     **_promql2.QUERIES,
     **_promql3.QUERIES,
     **_promql4.QUERIES,
@@ -136,6 +138,7 @@ ORACLES = {
     **_llmdata2.ORACLES,
     **_llmdata3.ORACLES,
     **_llmdata4.ORACLES,
+    **_llmdata5.ORACLES,
     **_promql2.ORACLES,
     **_promql3.ORACLES,
     **_promql4.ORACLES,
