@@ -1215,6 +1215,45 @@ def create_app(
             "data": {"activeTargets": [], "droppedTargets": []},
         }
 
+    @app.get("/api/v1/scrape_pools")
+    def scrape_pools():
+        # no scrape subsystem (remote-write-fed), same contract as /targets
+        return {"status": "success", "data": {"scrapePools": []}}
+
+    @app.get("/api/v1/targets/metadata")
+    def targets_metadata():
+        return {"status": "success", "data": []}
+
+    @app.get("/api/v1/alertmanagers")
+    def alertmanagers():
+        # rules evaluate on demand at /api/v1/alerts; nothing is pushed
+        return {
+            "status": "success",
+            "data": {"activeAlertmanagers": [], "droppedAlertmanagers": []},
+        }
+
+    @app.get("/api/v1/status/config")
+    def status_config():
+        """The effective configuration rendered as prometheus.yml-shaped
+        YAML (web/api/v1 serves the raw config file; ours is synthesized
+        from the session's actual settings so probes see truth)."""
+        lines = ["global:", "  scrape_interval: 15s"]
+        if rule_groups:
+            lines += ["rule_files:", "  - <in-memory rule groups>"]
+        lines += [
+            "# storage: %s" % type(storage).__name__,
+            "# admin API enabled: %s" % bool(enable_admin),
+        ]
+        return {"status": "success", "data": {"yaml": "\n".join(lines) + "\n"}}
+
+    @app.get("/-/healthy")
+    def dash_healthy():
+        return Response("Healthy.\n", status=200, mimetype="text/plain")
+
+    @app.get("/-/ready")
+    def dash_ready():
+        return Response("Ready.\n", status=200, mimetype="text/plain")
+
     @app.get("/api/v1/status/tsdb")
     def status_tsdb():
         """REAL cardinality statistics from the storage frames (the

@@ -49,6 +49,8 @@ GATE = [
     # pruning arithmetic (keyed window + agg — both linear shapes)
     "ph_tombstone_mask",
     "ph_chunk_prune",
+    # r10: DSIR corpus selection (64-row broadcast histograms + keyed agg)
+    "doc_dsir_select",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while

@@ -533,8 +533,9 @@ def test_grafana_probe_endpoints(client):
     assert body["data"] == {}
     body = client.get("/api/v1/query_exemplars").get_json()
     assert body == {"status": "success", "data": []}
+    # admin API defaults OFF (r9) and this app doesn't opt in
     assert client.get("/api/v1/status/flags").get_json()["data"] == {
-        "web.enable-admin-api": "true"
+        "web.enable-admin-api": "false"
     }
     assert client.get("/api/v1/targets").get_json()["data"] == {
         "activeTargets": [],
@@ -542,6 +543,22 @@ def test_grafana_probe_endpoints(client):
     }
     rt = client.get("/api/v1/status/runtimeinfo").get_json()["data"]
     assert rt["reloadConfigSuccess"] is True and "startTime" in rt
+    # r10 probe completions: scrape pools / target metadata /
+    # alertmanagers answer their empty shapes, status/config renders the
+    # synthesized YAML, and the /-/ health probes answer 200 plaintext
+    assert client.get("/api/v1/scrape_pools").get_json()["data"] == {
+        "scrapePools": []
+    }
+    assert client.get("/api/v1/targets/metadata").get_json()["data"] == []
+    assert client.get("/api/v1/alertmanagers").get_json()["data"] == {
+        "activeAlertmanagers": [],
+        "droppedAlertmanagers": [],
+    }
+    cfg = client.get("/api/v1/status/config").get_json()
+    assert cfg["status"] == "success" and "global:" in cfg["data"]["yaml"]
+    for probe in ("/-/healthy", "/-/ready"):
+        r = client.get(probe)
+        assert r.status_code == 200 and r.data.endswith(b".\n")
 
 
 def test_query_instant_subquery_modifiers(client):
