@@ -607,6 +607,93 @@ def create_app(
             out["warnings"] = warnings
         return out
 
+    def _collect_selectors(node, extra_ms: int = 0) -> list:
+        """(VectorSelector, matrix_range_ms) pairs found in the AST, each
+        with the total range it sits under (range selector + enclosing
+        subquery ranges summed) — the window that bounds which stored
+        samples can influence it."""
+        from promhouse_spark.promql.parser import (
+            Aggregation,
+            BinaryOp,
+            Call,
+            RangeSelector,
+            Subquery,
+            Unary,
+            VectorSelector,
+        )
+
+        out = []
+        if isinstance(node, VectorSelector):
+            out.append((node, extra_ms))
+        elif isinstance(node, RangeSelector):
+            out.append((node.selector, extra_ms + node.range_ms))
+        elif isinstance(node, Subquery):
+            out += _collect_selectors(node.expr, extra_ms + node.range_ms)
+        elif isinstance(node, Call):
+            for a in node.args:
+                out += _collect_selectors(a, extra_ms)
+        elif isinstance(node, Aggregation):
+            out += _collect_selectors(node.expr, extra_ms)
+            if node.param is not None:
+                out += _collect_selectors(node.param, extra_ms)
+        elif isinstance(node, BinaryOp):
+            out += _collect_selectors(node.lhs, extra_ms)
+            out += _collect_selectors(node.rhs, extra_ms)
+        elif isinstance(node, Unary):
+            out += _collect_selectors(node.expr, extra_ms)
+        return out
+
+    def _query_stats(node, start_ms, end_ms, step_ms, prep_s, eval_s) -> dict:
+        """?stats=all: REAL statistics, Prometheus response shape
+        (web/api/v1 queryData.Stats). Timings are measured wall times of
+        this request. totalQueryableSamples counts the stored samples the
+        selector windows feed the engine (matchers applied, offset and
+        range honored) — this engine evaluates in one distributed pass,
+        so peakSamples reports the same figure. Documented divergence:
+        Prometheus re-counts samples shared by overlapping steps, so its
+        totalQueryableSamples can exceed ours on wide-range queries; ours
+        is the number of samples actually scanned."""
+        from pyspark.sql import functions as F
+
+        from promhouse_spark.promql import PromQLEngine
+
+        stats: dict = {
+            "timings": {
+                "evalTotalTime": round(eval_s, 6),
+                "resultSortTime": 0.0,
+                "queryPreparationTime": round(prep_s, 6),
+                "innerEvalTime": round(eval_s, 6),
+                "execQueueTime": 0.0,
+                "execTotalTime": round(prep_s + eval_s, 6),
+            }
+        }
+        try:
+            _require_frames()
+            lookback = int(request.values.get("lookback_delta_ms", 300_000))
+            eng = PromQLEngine.from_storage(
+                storage, start_ms, end_ms, step_ms, lookback_ms=lookback
+            )
+            total = 0
+            for sel, ext in _collect_selectors(node):
+                samples, _series = eng._selected(sel)
+                # _selected shifts timestamps by +offset, so the window
+                # compares directly against the evaluation grid; instant
+                # selectors look back `lookback`, matrix ones their range
+                back = ext if ext else lookback
+                total += (
+                    samples.filter(
+                        (F.col("timestamp_ms") > start_ms - back)
+                        & (F.col("timestamp_ms") <= end_ms)
+                    ).count()
+                )
+            stats["samples"] = {
+                "totalQueryableSamples": total,
+                "peakSamples": total,
+            }
+        except _Unsupported:
+            pass  # frameless storage: timings only
+        return stats
+
     def _histogram_streams(node, start_ms, end_ms, step_ms) -> list[dict]:
         """Native-histogram matrix streams for a bare selector over the
         evaluation grid (instant semantics per step), rendered under the
@@ -643,8 +730,11 @@ def create_app(
 
     @app.route("/api/v1/query_range", methods=["GET", "POST"])
     def query_range():
+        import time as _time
+
         from promhouse_spark.promql.parser import parse
 
+        t_req = _time.perf_counter()
         try:
             query = request.values["query"]
             start_ms = _parse_time_ms(request.values["start"])
@@ -654,6 +744,7 @@ def create_app(
             return _promql_error(e)
         try:
             node = parse(query)
+            t_prep = _time.perf_counter()
             result = _evaluate(node, start_ms, end_ms, step_ms)
             try:
                 result += _histogram_streams(node, start_ms, end_ms, step_ms)
@@ -665,9 +756,14 @@ def create_app(
         except ValueError as e:
             return _promql_error(e)
         counters["read_queries"] += 1
-        return _success(
-            {"resultType": "matrix", "result": result}, warnings
-        )
+        data = {"resultType": "matrix", "result": result}
+        if request.values.get("stats"):
+            t_eval = _time.perf_counter()
+            data["stats"] = _query_stats(
+                node, start_ms, end_ms, step_ms,
+                prep_s=t_prep - t_req, eval_s=t_eval - t_prep,
+            )
+        return _success(data, warnings)
 
     def _raw_matrix(rs, t_ms: int):
         """Raw samples for a bare range-selector instant query (Prometheus
@@ -711,6 +807,7 @@ def create_app(
             parse,
         )
 
+        t_req = _time.perf_counter()
         try:
             query = request.values["query"]
             t_ms = _parse_time_ms(
@@ -802,9 +899,13 @@ def create_app(
             result, warnings = _apply_limit(result)
         except ValueError as e:
             return _promql_error(e)
-        return _success(
-            {"resultType": "vector", "result": result}, warnings
-        )
+        data = {"resultType": "vector", "result": result}
+        if request.values.get("stats"):
+            data["stats"] = _query_stats(
+                node, t_ms, t_ms, 60_000, prep_s=0.0,
+                eval_s=_time.perf_counter() - t_req,
+            )
+        return _success(data, warnings)
 
     @app.route("/api/v1/format_query", methods=["GET", "POST"])
     def format_query():

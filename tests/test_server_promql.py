@@ -772,3 +772,39 @@ def test_query_instant_serves_native_histograms(spark):
         },
     )
     assert r2.get_json()["data"]["result"] == []
+
+
+def test_query_stats_all(client):
+    """?stats=all returns real statistics in the Prometheus shape:
+    measured wall timings plus totalQueryableSamples = the stored
+    samples the selector windows feed the engine (documented divergence:
+    Prometheus re-counts samples shared by overlapping steps)."""
+    start, end = T0 / 1000 + 300, T0 / 1000 + 600
+    body = client.get(
+        "/api/v1/query_range",
+        query_string={"query": "rate(requests_total[2m])", "start": str(start),
+                      "end": str(end), "step": "60", "stats": "all"},
+    ).get_json()
+    assert body["status"] == "success"
+    st = body["data"]["stats"]
+    t = st["timings"]
+    assert t["execTotalTime"] >= t["evalTotalTime"] > 0
+    # matrix selector: window (start-120s, end] at 15s cadence, 2 series
+    # -> samples in (180s, 600s] = ticks 13..40 inclusive = 28 per series
+    assert st["samples"]["totalQueryableSamples"] == 2 * 28
+    assert st["samples"]["peakSamples"] == st["samples"]["totalQueryableSamples"]
+    # instant query: default 5m lookback window (t-300s, t]
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": 'requests_total{job="api"}',
+                      "time": str(end), "stats": "all"},
+    ).get_json()
+    st = body["data"]["stats"]
+    # one series, samples in (300s, 600s] = ticks 21..40 = 20
+    assert st["samples"]["totalQueryableSamples"] == 20
+    # without ?stats there is no stats block
+    body = client.get(
+        "/api/v1/query",
+        query_string={"query": "requests_total", "time": str(end)},
+    ).get_json()
+    assert "stats" not in body["data"]
