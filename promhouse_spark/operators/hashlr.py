@@ -1,0 +1,180 @@
+"""Hashed-feature logistic-regression quality classifier — the
+fastText-style (Joulin et al. 2016) linear model production pipelines
+train to score web documents against a curated target corpus (the
+CCNet / LLaMA data recipe: positives = the target distribution,
+negatives = everything else).
+
+What is new here relative to :func:`operators.text.train_quality_model`
+(which delegates the fit to MLlib LBFGS and can only replay the SCORER
+in SQL): this module hand-rolls full-batch gradient descent out of Spark
+keyed aggregations, so the TRAINING TRAJECTORY itself is verifiable —
+the DuckDB oracle unrolls the same ``iters`` steps as a chained CTE over
+the same feature construction and lands on bit-identical weights.
+
+Spark shape (what must survive 100 TB):
+  - featurization is one projection (split/transform column expressions,
+    no UDF) + one keyed aggregation to (doc_id, bucket, x) — the feature
+    frame is built ONCE and cached across iterations;
+  - each GD step is: one broadcast of the model (``n_buckets`` + 1
+    doubles, folded in as literals — the treeAggregate shape MLlib
+    itself uses), one per-doc aggregation for margins, one doc-keyed
+    join to attach residuals, one per-bucket aggregation for the
+    gradient, and a collect of exactly ``n_buckets`` + 1 doubles. Model
+    state is index metadata, never fact data; every shuffle is keyed by
+    doc_id or bucket.
+  - iteration count is a fixed hyper-parameter, so total work is
+    ``iters`` bounded passes over the feature frame.
+
+Determinism contract: weights and bias are quantized to 1e-7 after every
+step, in both engines. Per-step float drift from aggregation order
+(Spark partial aggregates vs DuckDB's single-threaded sum) and from
+JVM-vs-libm ``exp`` is ~1e-15 on any plausible corpus — a midpoint hit
+on the 1e-7 grid has probability ~1e-8 per rounded value — so the
+quantization snaps both trajectories to the same grid and the unrolled
+oracle reproduces the weights exactly; 1e-7 granularity is far below
+anything the optimization itself can resolve. Feature values are exact
+rationals (cnt / n_feats), the teacher label is a plain column
+predicate, and the hash is the same SQL-replayable polynomial DSIR uses
+(operators/dsir.py:feature_buckets).
+
+Reference scope note: the reference engine (PromHouse) has no corpus
+operators at all — this is part of the beyond-reference LLM-data
+surface the project brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from promhouse_spark.operators.dsir import feature_buckets
+
+
+def unigram_buckets(text: Column | str, n_buckets: int) -> Column:
+    """Hashed unigram feature stream — the same SQL-replayable polynomial
+    DSIR uses, without the bigram expansion (a distillation student wants
+    the cleanest per-token signal; DSIR's density ratio benefits from the
+    wider bigram context instead)."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    return F.transform(
+        words,
+        lambda x: (
+            F.ascii(F.substring(x, 1, 1)) * 31
+            + F.ascii(F.substring(x, 2, 1)) * 7
+            + F.length(x)
+        )
+        % n_buckets,
+    )
+
+
+def hashlr_features(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    ngrams: int = 2,
+    scale: float = 1.0,
+) -> DataFrame:
+    """(doc_id, y, bucket, x) — hashed token counts normalized per
+    document (x sums to ``scale`` within a doc, an exact rational both
+    engines reproduce; a scale of ~16 keeps plain GD's step size sane —
+    unit-normalized features put the optimum hundreds of units from the
+    origin). ``ngrams=2`` hashes unigrams+bigrams (the fastText shape),
+    ``ngrams=1`` unigrams only. One explode + one keyed agg + one
+    doc-keyed window; no UDF, no shuffle wider than doc_id."""
+    stream = (
+        feature_buckets(text_col, n_buckets)
+        if ngrams >= 2
+        else unigram_buckets(text_col, n_buckets)
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            label.cast("int").alias("y"),
+            F.explode(stream).alias("bucket"),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_feats = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return per_doc.select(
+        "doc_id",
+        "y",
+        "bucket",
+        (F.col("cnt") * F.lit(float(scale)) / n_feats).alias("x"),
+    )
+
+
+def hashlr_train(
+    feats: DataFrame,
+    n_buckets: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+    quant: int = 7,
+) -> tuple[float, list[float]]:
+    """Full-batch logistic-regression GD over the feature frame; returns
+    (bias, weights). Each step touches the cached feature frame twice
+    (margins, gradient) and collects n_buckets + 1 doubles — the model is
+    the only driver-side state."""
+    feats = feats.cache()
+    n_docs = feats.select("doc_id").distinct().count()
+    bias = 0.0
+    weights = [0.0] * n_buckets
+    for _ in range(iters):
+        warr = F.array(*[F.lit(wi) for wi in weights])
+        margins = (
+            feats.groupBy("doc_id", "y")
+            .agg(
+                (
+                    F.lit(bias)
+                    + F.sum(F.col("x") * F.element_at(warr, F.col("bucket") + 1))
+                ).alias("margin")
+            )
+        )
+        resid = margins.select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y")
+            ).alias("resid"),
+        )
+        grad_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("resid") * F.col("x")).alias("g"))
+            .collect()
+        )
+        bias_g = resid.agg(F.avg("resid").alias("g")).first()["g"]
+        grad = {r["bucket"]: r["g"] for r in grad_rows}
+        weights = [
+            round(w - lr * grad.get(k, 0.0) / n_docs, quant)
+            for k, w in enumerate(weights)
+        ]
+        bias = round(bias - lr * bias_g, quant)
+    return bias, weights
+
+
+def hashlr_score(
+    feats: DataFrame, bias: float, weights: list[float]
+) -> DataFrame:
+    """(doc_id, y, n_buckets_hit, margin, keep): score every document with
+    the trained model — one per-doc aggregation, weights folded in as
+    literals."""
+    warr = F.array(*[F.lit(wi) for wi in weights])
+    return (
+        feats.groupBy("doc_id", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_hit"),
+            (
+                F.lit(bias)
+                + F.sum(F.col("x") * F.element_at(warr, F.col("bucket") + 1))
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            "n_buckets_hit",
+            F.round("m", 4).alias("margin"),
+            (F.col("m") > 0).alias("keep"),
+        )
+    )

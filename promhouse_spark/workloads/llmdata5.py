@@ -88,3 +88,133 @@ ORDER BY doc_id
 
 QUERIES["doc_dsir_select"] = doc_dsir_select
 ORACLES["doc_dsir_select"] = DOC_DSIR_SELECT_SQL
+
+
+# ------------------------------------------------------------------ hashlr
+
+_LR_ITERS = 32
+_LR_RATE = 1.0
+_LR_QUANT = 7
+_LR_BUCKETS = 1024  # collision-light for the bench vocabulary
+_LR_SCALE = 16.0  # per-doc feature mass; keeps the GD optimum near origin
+
+
+def _stop_ratio_teacher() -> "F.Column":
+    """Teacher label: English stopword density >= 0.06 — the expensive
+    curator the student model distills (the CCNet/LLaMA recipe trains
+    hashed linear models against exactly this kind of corpus-level
+    quality signal). Tokenized EXACTLY like the features (\\s+ split,
+    empties dropped) so the signal is linearly recoverable; an exact
+    rational predicate both engines replay."""
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))
+    )
+    return (stop / F.size(toks)) >= 0.06
+
+
+def doc_hashlr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram quality classifier, TRAINED in Spark
+    (operators/hashlr.py): full-batch logistic-regression GD where each
+    step is a pair of keyed aggregations and the model (65 doubles) is the
+    only driver-side state. Teacher = stopword-density quality gate;
+    output scores every document. The oracle unrolls the identical GD
+    steps as a chained DuckDB CTE over the same feature construction, so
+    a hash match proves the distributed TRAINING TRAJECTORY, not just the
+    scorer."""
+    from promhouse_spark.operators.hashlr import (
+        hashlr_features,
+        hashlr_score,
+        hashlr_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashlr_features(
+        docs,
+        label=_stop_ratio_teacher(),
+        n_buckets=_LR_BUCKETS,
+        ngrams=1,
+        scale=_LR_SCALE,
+    ).cache()
+    bias, weights = hashlr_train(
+        feats,
+        n_buckets=_LR_BUCKETS,
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        quant=_LR_QUANT,
+    )
+    return hashlr_score(feats, bias, weights).orderBy("doc_id")
+
+
+def _hashlr_oracle_sql() -> str:
+    """Build the K-unrolled training oracle (the BPE-oracle trick): w{t}/
+    b{t} CTEs chain the exact GD recurrence with the same 1e-7 per-step
+    quantization the Spark trainer applies."""
+    feats = rf"""
+WITH raw_feats AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(words,
+                  t -> t IN ('the','a','of','and','to','in','is')))
+              * 1.0 / len(words) >= 0.06 AS INT) AS y,
+         (ascii(substr(f, 1, 1)) * 31 + ascii(substr(f, 2, 1)) * 7
+          + length(f)) % {_LR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, words, unnest(words) AS f
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> length(x) > 0) AS words
+      FROM documents
+    )
+  )
+),
+fx AS MATERIALIZED (
+  SELECT doc_id, y, bucket,
+         cnt * {_LR_SCALE} / sum(cnt) OVER (PARTITION BY doc_id) AS x
+  FROM (SELECT doc_id, y, bucket, count(*) AS cnt
+        FROM raw_feats GROUP BY doc_id, y, bucket)
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM fx),
+w0 AS MATERIALIZED (SELECT unnest(range({_LR_BUCKETS})) AS bucket, 0.0 AS w),
+b0 AS (SELECT 0.0 AS b)"""
+    steps = []
+    for t in range(1, _LR_ITERS + 1):
+        p = t - 1
+        steps.append(f"""
+m{t} AS MATERIALIZED (
+  SELECT f.doc_id, f.y,
+         (SELECT b FROM b{p}) + sum(f.x * w.w) AS margin
+  FROM fx f JOIN w{p} w USING (bucket)
+  GROUP BY f.doc_id, f.y
+),
+r{t} AS MATERIALIZED (SELECT doc_id, 1.0 / (1.0 + exp(-margin)) - y AS resid FROM m{t}),
+g{t} AS MATERIALIZED (
+  SELECT f.bucket, sum(r.resid * f.x) AS g
+  FROM fx f JOIN r{t} r USING (doc_id) GROUP BY f.bucket
+),
+w{t} AS MATERIALIZED (
+  SELECT w.bucket,
+         round(w.w - {_LR_RATE} * coalesce(g.g, 0) / (SELECT n FROM nd),
+               {_LR_QUANT}) AS w
+  FROM w{p} w LEFT JOIN g{t} g USING (bucket)
+),
+b{t} AS MATERIALIZED (
+  SELECT round((SELECT b FROM b{p})
+               - {_LR_RATE} * (SELECT avg(resid) FROM r{t}),
+               {_LR_QUANT}) AS b
+)""")
+    final = f"""
+SELECT f.doc_id, any_value(f.y) AS y,
+       CAST(count(*) AS BIGINT) AS n_buckets_hit,
+       round((SELECT b FROM b{_LR_ITERS}) + sum(f.x * w.w), 4) AS margin,
+       ((SELECT b FROM b{_LR_ITERS}) + sum(f.x * w.w)) > 0 AS keep
+FROM fx f JOIN w{_LR_ITERS} w USING (bucket)
+GROUP BY f.doc_id
+ORDER BY f.doc_id"""
+    return feats + "," + ",".join(steps) + final
+
+
+QUERIES["doc_hashlr_quality"] = doc_hashlr_quality
+ORACLES["doc_hashlr_quality"] = _hashlr_oracle_sql()

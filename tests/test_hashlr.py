@@ -1,0 +1,69 @@
+"""Hashed-feature LR quality classifier (operators/hashlr.py): feature
+normalization contract, learning on a planted signal, and trainer
+determinism. The full train+score pipeline is DuckDB-hash-verified
+against the K-unrolled GD oracle via the registered query
+``doc_hashlr_quality`` (tests/test_oracle_tail.py); these tests pin the
+operator-level semantics directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from promhouse_spark.operators.hashlr import (
+    hashlr_features,
+    hashlr_score,
+    hashlr_train,
+)
+
+
+def _planted_corpus(spark):
+    """Positives use one vocabulary, negatives a disjoint one — a signal
+    any non-broken linear model must separate."""
+    pos = "the quick brown fox jumps over the lazy dog again and again"
+    neg = "zz qq ww vv kk zz qq ww vv kk zz qq"
+    rows = []
+    for i in range(30):
+        rows.append((i, pos, "en"))
+        rows.append((100 + i, neg, "zz"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_features_normalize_per_doc(spark):
+    docs = _planted_corpus(spark).limit(4)
+    feats = hashlr_features(docs, label=F.col("lang") == "en")
+    sums = (
+        feats.groupBy("doc_id")
+        .agg(F.round(F.sum("x"), 9).alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    y = feats.select("doc_id", "y").distinct().collect()
+    assert all((r["y"] == 1) == (r["doc_id"] < 100) for r in y)
+
+
+def test_trained_model_separates_planted_signal(spark):
+    docs = _planted_corpus(spark)
+    feats = hashlr_features(docs, label=F.col("lang") == "en")
+    bias, weights = hashlr_train(feats)
+    scored = hashlr_score(feats, bias, weights).collect()
+    pos = [r for r in scored if r["doc_id"] < 100]
+    neg = [r for r in scored if r["doc_id"] >= 100]
+    # every positive must out-score every negative, and the decision
+    # boundary must fall between the two score clusters
+    assert min(r["margin"] for r in pos) > max(r["margin"] for r in neg)
+    assert all(r["keep"] for r in pos)
+    assert not any(r["keep"] for r in neg)
+
+
+def test_training_is_deterministic_across_runs(spark):
+    """The 1e-7 per-step quantization must make two independent fits of
+    the same corpus (different partitioning) bit-identical — the property
+    the DuckDB-unrolled oracle relies on."""
+    docs = _planted_corpus(spark)
+    feats1 = hashlr_features(docs, label=F.col("lang") == "en")
+    feats2 = hashlr_features(
+        docs.repartition(7), label=F.col("lang") == "en"
+    )
+    fit1 = hashlr_train(feats1, iters=4)
+    fit2 = hashlr_train(feats2, iters=4)
+    assert fit1 == fit2
