@@ -111,12 +111,26 @@ def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles(tokens_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (docs shorter than n produce
-    one truncated shingle)."""
+    one truncated shingle).
+
+    Built by zipping the array with its own shifted slices rather than
+    ``slice(c, i, n)`` inside a transform lambda: higher-order lambdas
+    evaluate interpreted (no common-subexpression elimination), so when
+    callers pass a COMPUTED token expression (e.g. ``split(text)``) an
+    inner reference re-runs it per shingle — O(words²) per document.
+    The zip form references the token expression n+1 times per row."""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(c, i, n)),
-    )
+    length = F.greatest(F.size(c) - (n - 1), F.lit(1))
+    out = F.slice(c, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(c, j + 1, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    # empty token array: the sequence form produced one empty-string
+    # shingle (concat_ws over no elements); preserve that contract
+    return F.when(F.size(c) == 0, F.array(F.lit(""))).otherwise(out)
 
 
 def exact_duplicates(

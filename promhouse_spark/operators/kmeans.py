@@ -1,0 +1,107 @@
+"""Hand-rolled Lloyd's k-means over an embedding column — the coarse
+quantizer / topic-blocking fit (SemDeDup's clustering stage, IVF's
+quantizer) with a VERIFIABLE training trajectory.
+
+Why this exists next to ``similarity.ivf_index`` (MLlib KMeans): the
+MLlib fit is a black box to a SQL differential oracle — those queries
+stage the fitted centroids and verify only what's downstream. Here each
+Lloyd iteration is built from the same SQL-replayable primitives as
+``ivf_assign`` (sequential zip-fold squared-L2 argmin, smallest-cid
+tie-break) plus one keyed aggregation for the means, so a DuckDB oracle
+can unroll the iterations as a chained CTE and land on bit-identical
+centroids — the same verified-training contract as operators/hashlr.py.
+
+Spark shape (what must survive 100 TB):
+  - assignment is a pure column expression over centroid LITERALS
+    (k·dim multiply-adds per row inside whole-stage codegen — no join,
+    no shuffle);
+  - the mean recompute is posexplode → groupBy(cluster, pos) — one
+    keyed aggregation producing exactly k·dim rows, collected as index
+    metadata (the bounded-collect contract the ANN operators follow);
+  - iteration count is a fixed hyper-parameter.
+
+Determinism contract: centroid coordinates quantize to 1e-7 after every
+iteration in both engines, crushing aggregation-order float drift
+(~1e-15) so the unrolled oracle reproduces the trajectory exactly.
+Init is the k lowest-id vectors (deterministic, SQL-replayable);
+production would swap in k-means|| over a sample — the iteration shape
+is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def assign_with_dist(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment keeping the squared-L2 distance:
+    the ``similarity.ivf_assign`` argmin (sequential zip-fold, struct-min
+    on (distance, cid)) with both struct fields surfaced."""
+    v = F.col(vec_col).cast("array<double>")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(s["c"], v, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dists)
+    return df.withColumn("centroid_id", best["cid"]).withColumn(
+        "dist", best["d"]
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 7,
+) -> list[list[float]]:
+    """Lloyd's algorithm: assign (map-side argmin over centroid
+    literals) then re-center (one keyed agg per iteration, k·dim rows
+    collected). Empty clusters keep their previous centroid. Returns the
+    fitted centroid list."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centers = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(iters):
+        assigned = assign_with_dist(df, centers, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centers]
+        for r in means:
+            new[r["centroid_id"]][r["pos"]] = round(r["m"], quant)
+        centers = new
+    return centers

@@ -1,11 +1,17 @@
-"""LLM-data-pipeline workloads, fifth wave (round 10): DSIR importance
-resampling (Xie et al. 2023) — select raw documents that look like a
-target corpus by hashed-n-gram log-likelihood ratio, resampled with
-deterministic Gumbel noise (operators/dsir.py).
+"""LLM-data-pipeline workloads, fifth wave (round 10).
 
-The oracle replays the whole pipeline in DuckDB: same polynomial feature
-hash, same add-one smoothing, same Knuth-hash uniform → Gumbel transform,
-so the per-document weight, noise, and keep verdict all hash-compare.
+- DSIR importance resampling (Xie et al. 2023): select raw documents
+  that look like a target corpus by hashed-n-gram log-likelihood ratio,
+  resampled with deterministic Gumbel noise (operators/dsir.py). The
+  oracle replays the whole pipeline in DuckDB — same polynomial feature
+  hash, add-one smoothing, Knuth-hash uniform → Gumbel transform.
+- VERIFIED-TRAINING pair: doc_hashlr_quality (supervised — hashed-
+  feature logistic regression, operators/hashlr.py) and
+  emb_kmeans_topics (unsupervised — Lloyd's k-means,
+  operators/kmeans.py). Both run their iterative fits as Spark keyed
+  aggregations and both oracles UNROLL the iterations as chained
+  MATERIALIZED CTEs with per-step 1e-7 quantization, so the hash match
+  proves the distributed training trajectory itself, not just scoring.
 """
 
 from __future__ import annotations
@@ -23,19 +29,17 @@ _K = 64  # feature buckets (tiny for oracle-exactness; shape is what scales)
 def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection over the documents corpus: target = the English
     subset, raw = everything; output the importance weight, Gumbel noise,
-    and keep verdict per document. Plan: two 64-row feature histograms
-    (keyed agg, broadcast back), one explode + per-doc agg — no global
-    sort, no corpus-sized join."""
-    from promhouse_spark.operators.dsir import (
-        bucket_log_ratios,
-        dsir_weights,
-        gumbel_keep,
-    )
+    and keep verdict per document. Plan (operators/dsir.py:dsir_select):
+    ONE featurization pass into a persisted per-(doc, bucket) count
+    frame; both 64-row histograms and the broadcast-joined scoring pass
+    re-aggregate it — no second corpus scan, no global sort, no
+    corpus-sized join."""
+    from promhouse_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
-    lr = bucket_log_ratios(docs.filter(F.col("lang") == "en"), docs, n_buckets=_K)
-    w = dsir_weights(docs, lr, n_buckets=_K)
-    return gumbel_keep(w).orderBy("doc_id")
+    return dsir_select(
+        docs, is_target=F.col("lang") == "en", n_buckets=_K
+    ).orderBy("doc_id")
 
 
 DOC_DSIR_SELECT_SQL = rf"""
@@ -116,7 +120,7 @@ def _stop_ratio_teacher() -> "F.Column":
 
 
 def doc_hashlr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style hashed-bigram quality classifier, TRAINED in Spark
+    """fastText-style hashed-token quality classifier, TRAINED in Spark
     (operators/hashlr.py): full-batch logistic-regression GD where each
     step is a pair of keyed aggregations and the model (65 doubles) is the
     only driver-side state. Teacher = stopword-density quality gate;
@@ -218,3 +222,94 @@ ORDER BY f.doc_id"""
 
 QUERIES["doc_hashlr_quality"] = doc_hashlr_quality
 ORACLES["doc_hashlr_quality"] = _hashlr_oracle_sql()
+
+
+# ------------------------------------------------------------------ kmeans
+
+_KM_K = 8
+_KM_ITERS = 4
+
+
+def emb_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering of the embeddings corpus by hand-rolled Lloyd's
+    k-means (operators/kmeans.py): assignment is a map-side argmin over
+    centroid literals, the re-center step one keyed aggregation per
+    iteration. Output is the final assignment with distance and cluster
+    size — the blocking/balancing frame corpus-mixing stages consume.
+    The oracle unrolls the identical Lloyd iterations in DuckDB (1e-7
+    centroid quantization per step), so the hash match verifies the
+    unsupervised TRAINING TRAJECTORY, like doc_hashlr_quality does for
+    the supervised path."""
+    from pyspark.sql import Window
+
+    from promhouse_spark.operators.kmeans import assign_with_dist, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = assign_with_dist(emb, centers)
+    w = Window.partitionBy("centroid_id")
+    return assigned.select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        F.round("dist", 4).alias("dist"),
+        F.count(F.lit(1)).over(w).alias("cluster_n"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd oracle: a{t} (argmin assignment), m{t} (per-
+    coordinate means, 1e-7 quantized), c{t} (rebuilt centroids, empty
+    clusters keep their previous center) — chained MATERIALIZED CTEs."""
+    dist = (
+        "list_sum(list_transform(range(1, len(c.c) + 1), "
+        "i -> (v[i] - c.c[i]) * (v[i] - c.c[i])))"
+    )
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    steps = []
+    for t in range(1, _KM_ITERS + 1):
+        p = t - 1
+        steps.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{p} c
+  ) WHERE rn = 1
+),
+m{t} AS MATERIALIZED (
+  SELECT cid, i, round(avg(val), 7) AS m FROM (
+    SELECT a.cid, unnest(range(1, len(e.v) + 1)) AS i, unnest(e.v) AS val
+    FROM a{t} a JOIN e USING (vec_id)
+  ) GROUP BY cid, i
+),
+c{t} AS MATERIALIZED (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM c{p} p LEFT JOIN
+       (SELECT cid, list(m ORDER BY i) AS c FROM m{t} GROUP BY cid) n
+       USING (cid)
+)""")
+    final = f"""
+SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist,
+       count(*) OVER (PARTITION BY cid) AS cluster_n
+FROM (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn = 1
+)
+ORDER BY vec_id"""
+    return head + "," + ",".join(steps) + final
+
+
+QUERIES["emb_kmeans_topics"] = emb_kmeans_topics
+ORACLES["emb_kmeans_topics"] = _kmeans_oracle_sql()

@@ -1,0 +1,50 @@
+"""Hand-rolled Lloyd k-means (operators/kmeans.py): convergence on a
+planted mixture, empty-cluster stability, and fit determinism across
+partitionings. The full fit+assign pipeline is DuckDB-hash-verified
+against the unrolled-Lloyd oracle via the registered query
+``emb_kmeans_topics`` (tests/test_oracle_tail.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from promhouse_spark.operators.kmeans import assign_with_dist, kmeans_fit
+
+
+def _planted(spark, n_per=20):
+    """Two tight blobs far apart: cluster recovery must be exact."""
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 0.0]))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3) * 0.01]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lloyd_recovers_planted_blobs(spark):
+    df = _planted(spark)
+    centers = kmeans_fit(df, k=2, iters=3)
+    assigned = assign_with_dist(df, centers).collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] < 100, set()).add(r["centroid_id"])
+    # each blob maps to exactly one cluster, and the two differ
+    assert all(len(v) == 1 for v in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+    # fitted centers sit on the blob means (quantized): distance is tiny
+    assert all(r["dist"] < 0.1 for r in assigned)
+
+
+def test_empty_cluster_keeps_previous_center(spark):
+    # k=3 over two blobs: at least one cluster goes empty after the
+    # first re-center; its centroid must persist, not NaN out
+    df = _planted(spark, n_per=5)
+    centers = kmeans_fit(df, k=3, iters=3)
+    assert len(centers) == 3
+    assert all(all(x == x for x in c) for c in centers)  # no NaN
+
+
+def test_fit_is_deterministic_across_partitionings(spark):
+    df = _planted(spark)
+    f1 = kmeans_fit(df, k=2, iters=3)
+    f2 = kmeans_fit(df.repartition(7), k=2, iters=3)
+    assert f1 == f2
