@@ -51,6 +51,9 @@ GATE = [
     "ph_chunk_prune",
     # r10: DSIR corpus selection (64-row broadcast histograms + keyed agg)
     "doc_dsir_select",
+    # r10: Lloyd k-means fit+assign (map-side argmin over centroid
+    # literals, one keyed agg per iteration — the verified-training path)
+    "emb_kmeans_topics",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
