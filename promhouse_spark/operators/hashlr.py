@@ -112,11 +112,20 @@ def hashlr_train(
     iters: int = 8,
     lr: float = 0.5,
     quant: int = 7,
+    scale: float = 1.0,
 ) -> tuple[float, list[float]]:
     """Full-batch logistic-regression GD over the feature frame; returns
-    (bias, weights). Each step touches the cached feature frame twice
-    (margins, gradient) and collects n_buckets + 1 doubles — the model is
-    the only driver-side state."""
+    (bias, weights). Each step runs ONE Spark action (the per-bucket
+    gradient collect, n_buckets doubles) — the model is the only
+    driver-side state.
+
+    The bias gradient needs no second action: each document's features
+    sum to exactly ``scale`` (the featurizer's normalization), so
+    sum_k g_k = sum_d resid_d * sum_k x_dk = scale * sum_d resid_d, and
+    avg(resid) = sum(g_k) / (n_docs * scale). The float detail of this
+    identity differs from the oracle's direct avg(resid) by ~1e-15,
+    which the per-step 1e-``quant`` quantization absorbs (the same
+    cross-engine drift argument the module docstring makes)."""
     feats = feats.cache()
     n_docs = feats.select("doc_id").distinct().count()
     bias = 0.0
@@ -144,8 +153,10 @@ def hashlr_train(
             .agg(F.sum(F.col("resid") * F.col("x")).alias("g"))
             .collect()
         )
-        bias_g = resid.agg(F.avg("resid").alias("g")).first()["g"]
         grad = {r["bucket"]: r["g"] for r in grad_rows}
+        # sum in bucket order: collect order varies run-to-run and float
+        # addition does not commute at the last ulp
+        bias_g = sum(grad[k] for k in sorted(grad)) / (n_docs * scale)
         weights = [
             round(w - lr * grad.get(k, 0.0) / n_docs, quant)
             for k, w in enumerate(weights)

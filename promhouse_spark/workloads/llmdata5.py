@@ -148,6 +148,7 @@ def doc_hashlr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_LR_ITERS,
         lr=_LR_RATE,
         quant=_LR_QUANT,
+        scale=_LR_SCALE,
     )
     return hashlr_score(feats, bias, weights).orderBy("doc_id")
 
