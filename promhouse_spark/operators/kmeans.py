@@ -40,7 +40,14 @@ def assign_with_dist(
 ) -> DataFrame:
     """Nearest-centroid assignment keeping the squared-L2 distance:
     the ``similarity.ivf_assign`` argmin (sequential zip-fold, struct-min
-    on (distance, cid)) with both struct fields surfaced."""
+    on (distance, cid)) with both struct fields surfaced.
+
+    Evaluation-strategy note (measured at sf10, 2M x 8 x 64): the
+    zip-fold, though interpreted (higher-order lambdas get no codegen),
+    BEATS a flat k·dim-term unrolled expression — the ~2000-node tree
+    exceeds codegen budgets and falls back to node-at-a-time interpreted
+    eval (42 s fold vs 57-60 s unrolled, both struct-min and least()
+    argmins). Keep the fold."""
     v = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(
         *[
@@ -87,21 +94,28 @@ def kmeans_fit(
         .collect()
     )
     centers = [[float(x) for x in r["v"]] for r in seeds]
+    dim = len(centers[0]) if centers else 0
+    v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         assigned = assign_with_dist(df, centers, vec_col)
+        # per-coordinate avg as `dim` aggregate columns in ONE keyed agg —
+        # not posexplode: exploding N×dim rows through a shuffle per
+        # iteration dominated the fit at sf10 (128M-row explodes, 44 s);
+        # column aggregates combine map-side and shuffle k×(dim+1) doubles
         means = (
-            assigned.select(
-                "centroid_id",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "pos", "val"
-                ),
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(v, i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
             )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
             .collect()
         )
         new = [list(c) for c in centers]
         for r in means:
-            new[r["centroid_id"]][r["pos"]] = round(r["m"], quant)
+            new[r["centroid_id"]] = [
+                round(r[f"m{i}"], quant) for i in range(dim)
+            ]
         centers = new
     return centers
