@@ -48,3 +48,26 @@ def test_fit_is_deterministic_across_partitionings(spark):
     f1 = kmeans_fit(df, k=2, iters=3)
     f2 = kmeans_fit(df.repartition(7), k=2, iters=3)
     assert f1 == f2
+
+
+def test_vectorized_assign_matches_fold(spark):
+    """The Arrow/numpy serving kernel must agree with the oracle-exact
+    fold on real fitted centroids — same cluster ids, distances equal to
+    float tolerance (summation-order ulps only)."""
+    from promhouse_spark.operators.kmeans import assign_with_dist_vectorized
+    from promhouse_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centers = kmeans_fit(emb, k=4, iters=2)
+    a = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in assign_with_dist(emb, centers).collect()
+    }
+    b = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in assign_with_dist_vectorized(emb, centers).collect()
+    }
+    assert a.keys() == b.keys()
+    for k_ in a:
+        assert a[k_][0] == b[k_][0], k_
+        assert abs(a[k_][1] - b[k_][1]) < 1e-9, k_
