@@ -128,9 +128,13 @@ def shingles(tokens_col: Column | str, n: int = 3) -> Column:
             F.slice(c, j + 1, length),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    # empty token array: the sequence form produced one empty-string
-    # shingle (concat_ws over no elements); preserve that contract
-    return F.when(F.size(c) == 0, F.array(F.lit(""))).otherwise(out)
+    # empty OR NULL token array: the original sequence form produced one
+    # empty-string shingle for both (greatest() ignores NULL, concat_ws
+    # skips a NULL array); preserve that contract — size(NULL) is NULL so
+    # a bare == 0 test would silently drop NULL-text docs from minhash
+    return F.when(
+        c.isNull() | (F.size(c) <= 0), F.array(F.lit(""))
+    ).otherwise(out)
 
 
 def exact_duplicates(

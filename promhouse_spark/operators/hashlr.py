@@ -31,7 +31,10 @@ step, in both engines. Per-step float drift from aggregation order
 JVM-vs-libm ``exp`` is ~1e-15 on any plausible corpus — a midpoint hit
 on the 1e-7 grid has probability ~1e-8 per rounded value — so the
 quantization snaps both trajectories to the same grid and the unrolled
-oracle reproduces the weights exactly; 1e-7 granularity is far below
+oracle reproduces the weights exactly. The driver-side rounding uses
+:func:`promhouse_spark.functions.quantize.quantize`
+(half-away-from-zero, DuckDB's mode) rather than Python's half-to-even
+builtin, so even an exact midpoint cannot diverge the engines; 1e-7 granularity is far below
 anything the optimization itself can resolve. Feature values are exact
 rationals (cnt / n_feats), the teacher label is a plain column
 predicate, and the hash is the same SQL-replayable polynomial DSIR uses
@@ -46,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from promhouse_spark.functions.quantize import quantize
 from promhouse_spark.operators.dsir import feature_buckets
 
 
@@ -158,10 +162,10 @@ def hashlr_train(
         # addition does not commute at the last ulp
         bias_g = sum(grad[k] for k in sorted(grad)) / (n_docs * scale)
         weights = [
-            round(w - lr * grad.get(k, 0.0) / n_docs, quant)
+            quantize(w - lr * grad.get(k, 0.0) / n_docs, quant)
             for k, w in enumerate(weights)
         ]
-        bias = round(bias - lr * bias_g, quant)
+        bias = quantize(bias - lr * bias_g, quant)
     return bias, weights
 
 

@@ -26,7 +26,10 @@ Spark shape (what must survive 100 TB):
 
 Determinism contract: centroid coordinates quantize to 1e-7 after every
 iteration in both engines, crushing aggregation-order float drift
-(~1e-15) so the unrolled oracle reproduces the trajectory exactly.
+(~1e-15) so the unrolled oracle reproduces the trajectory exactly (the
+driver side rounds half-away-from-zero via functions/quantize.py to
+match DuckDB's mode — Python's half-to-even builtin would diverge at an
+exact midpoint).
 Init is the k lowest-id vectors (deterministic, SQL-replayable);
 production would swap in k-means|| over a sample — the iteration shape
 is identical.
@@ -35,6 +38,8 @@ is identical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from promhouse_spark.functions.quantize import quantize
 
 
 def assign_with_dist(
@@ -119,7 +124,7 @@ def kmeans_fit(
         new = [list(c) for c in centers]
         for r in means:
             new[r["centroid_id"]] = [
-                round(r[f"m{i}"], quant) for i in range(dim)
+                quantize(r[f"m{i}"], quant) for i in range(dim)
             ]
         centers = new
     return centers

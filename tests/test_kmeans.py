@@ -50,14 +50,20 @@ def test_fit_is_deterministic_across_partitionings(spark):
     assert f1 == f2
 
 
-def test_vectorized_assign_matches_fold(spark):
+def test_vectorized_assign_matches_fold(spark, sf_dir):
     """The Arrow/numpy serving kernel must agree with the oracle-exact
-    fold on real fitted centroids — same cluster ids, distances equal to
-    float tolerance (summation-order ulps only)."""
+    fold on real fitted centroids — distances equal to float tolerance
+    (summation-order ulps only), and the same cluster id EXCEPT when two
+    centroids are a near-exact tie, where the kernel's norm-trick
+    arithmetic may legitimately flip the argmin (its docstring's caveat).
+    A tie flip is accepted only when both engines' distances to the two
+    chosen centroids agree within 1e-9."""
+    import math
+
     from promhouse_spark.operators.kmeans import assign_with_dist_vectorized
     from promhouse_spark.session import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     centers = kmeans_fit(emb, k=4, iters=2)
     a = {
         r["vec_id"]: (r["centroid_id"], r["dist"])
@@ -67,7 +73,28 @@ def test_vectorized_assign_matches_fold(spark):
         r["vec_id"]: (r["centroid_id"], r["dist"])
         for r in assign_with_dist_vectorized(emb, centers).collect()
     }
+
+    def sqdist(vec, cid):
+        return sum((x - c) ** 2 for x, c in zip(vec, centers[cid]))
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
     assert a.keys() == b.keys()
+    n_tie_flips = 0
     for k_ in a:
-        assert a[k_][0] == b[k_][0], k_
         assert abs(a[k_][1] - b[k_][1]) < 1e-9, k_
+        if a[k_][0] != b[k_][0]:
+            # allowed only as a genuine tie: exact distances to both
+            # chosen centroids must coincide within tolerance
+            da = sqdist(vecs[k_], a[k_][0])
+            db = sqdist(vecs[k_], b[k_][0])
+            assert math.isclose(da, db, rel_tol=0, abs_tol=1e-9), (
+                k_,
+                a[k_],
+                b[k_],
+            )
+            n_tie_flips += 1
+    # ties must be the exception, not a sign the kernel is broken
+    assert n_tie_flips <= max(1, len(a) // 100)

@@ -642,3 +642,46 @@ def test_cluster_safe_split_no_leakage(spark):
     }
     for d in range(4, 10):
         assert split_of[d] == plain[d]
+
+
+def test_shingles_null_and_empty_token_array(spark):
+    """NULL and empty token arrays both produce the single empty-string
+    shingle — a NULL-text doc must hash into minhash, not silently drop
+    (the pre-zip_with sequence form's contract)."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, []), (3, None)],
+        "doc_id long, toks array<string>",
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", D.shingles("toks", n=3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == [""]
+    assert out[3] == [""]
+
+
+def test_quantize_matches_duckdb_rounding_mode():
+    """Driver-side trainer quantization must round half-away-from-zero
+    (DuckDB's mode), not Python's half-to-even — at an exact 1e-7
+    midpoint the engines would otherwise diverge and the whole verified
+    training trajectory hash would flip."""
+    import duckdb
+
+    from promhouse_spark.functions.quantize import quantize
+
+    cases = [
+        2.5, -2.5, 0.5, -0.5, 1.5, -1.5,  # digit-0 midpoints
+        0.00000035, -0.00000035, 0.00000025, -0.00000025,  # 1e-7 grid
+        0.12345675, -0.12345675, 1.0, -1.0, 0.0,
+    ]
+    for x in cases:
+        for d in (0, 7):
+            got = quantize(x, d)
+            want = duckdb.sql(
+                f"select round({x!r}::DOUBLE, {d})"
+            ).fetchone()[0]
+            assert got == want, (x, d, got, want)
+    # the builtin disagrees at the canonical midpoint — proves the helper
+    # is load-bearing, not redundant
+    assert round(-2.5) != quantize(-2.5, 0)
