@@ -94,6 +94,8 @@ def main() -> None:
     # the median of 3 is stable run-to-run. (On a long-lived server the
     # plans are warm — this matches the deployment model.)
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -107,6 +109,8 @@ def main() -> None:
                     runs.append(time.time() - t0)
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
+            timings_min[name] = round(runs[0], 3)
+            timings_max[name] = round(runs[-1], 3)
         except Exception as e:  # noqa: BLE001 — a failed query must not kill the JSON line
             timings[name] = round(time.time() - t0, 3)
             errors[name] = f"{type(e).__name__}: {e}"[:200]
@@ -117,6 +121,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # spread across the 3 timed runs per query — sub-second queries
+        # wobble ±25-50% run-to-run on local mode, so cross-round deltas
+        # smaller than (value - value_min) are measurement noise, not a
+        # plan change (r10 verdict: a ±0.3 s wobble must not read as a
+        # regression)
+        "value_min": round(sum(timings_min.values()), 3) if timings_min else None,
+        "value_max": round(sum(timings_max.values()), 3) if timings_max else None,
+        "queries_min": timings_min,
+        "queries_max": timings_max,
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
