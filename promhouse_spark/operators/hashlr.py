@@ -117,6 +117,7 @@ def hashlr_train(
     lr: float = 0.5,
     quant: int = 7,
     scale: float = 1.0,
+    n_docs: int | None = None,
 ) -> tuple[float, list[float]]:
     """Full-batch logistic-regression GD over the feature frame; returns
     (bias, weights). Each step runs ONE Spark action (the per-bucket
@@ -131,7 +132,15 @@ def hashlr_train(
     which the per-step 1e-``quant`` quantization absorbs (the same
     cross-engine drift argument the module docstring makes)."""
     feats = feats.cache()
-    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs is None:
+        # derive the document count from the same normalization identity:
+        # each doc's features sum to exactly `scale`, so sum(x) over the
+        # whole frame = n_docs * scale — ONE map-side-combinable agg
+        # instead of a distinct() shuffle before training starts (the
+        # per-doc float sum drifts ~1e-15, so the integer round is exact
+        # until n_docs ~ 1e12); callers that already know the corpus size
+        # can pass it and skip even this pass
+        n_docs = int(round(feats.agg(F.sum("x")).first()[0] / scale))
     bias = 0.0
     weights = [0.0] * n_buckets
     for _ in range(iters):

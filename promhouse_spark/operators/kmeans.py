@@ -91,11 +91,22 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 7,
+    assign_fn=None,
 ) -> list[list[float]]:
     """Lloyd's algorithm: assign (map-side argmin over centroid
     literals) then re-center (one keyed agg per iteration, k·dim rows
     collected). Empty clusters keep their previous centroid. Returns the
-    fitted centroid list."""
+    fitted centroid list.
+
+    ``assign_fn`` picks the assignment kernel for the training loop:
+    default :func:`assign_with_dist` (the oracle-exact column fold —
+    required when a SQL oracle replays the trajectory), or pass
+    :func:`assign_with_dist_vectorized` for serving-scale fits where
+    bit-exactness vs a sequential engine is not needed (measured 9×
+    per pass at sf10; centroids can differ only if some vector is a
+    near-exact tie between two centroids during training)."""
+    if assign_fn is None:
+        assign_fn = assign_with_dist
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -106,7 +117,7 @@ def kmeans_fit(
     dim = len(centers[0]) if centers else 0
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        assigned = assign_with_dist(df, centers, vec_col)
+        assigned = assign_fn(df, centers, vec_col)
         # per-coordinate avg as `dim` aggregate columns in ONE keyed agg —
         # not posexplode: exploding N×dim rows through a shuffle per
         # iteration dominated the fit at sf10 (128M-row explodes, 44 s);

@@ -274,6 +274,22 @@ def ivf_assign(
     return df.withColumn("centroid_id", F.array_min(dists)["cid"])
 
 
+def ivf_assign_vectorized(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving twin of :func:`ivf_assign`: the Arrow-batched numpy argmin
+    (operators/kmeans.py:assign_with_dist_vectorized, measured 9× the
+    interpreted fold at sf10), surfacing only ``centroid_id``. Assignment
+    can differ from the fold only on a near-exact centroid tie (<1e-9
+    relative distance gap) — use :func:`ivf_assign` where a SQL oracle
+    must replay the argmin bit-for-bit (doc_semantic_dups does)."""
+    from promhouse_spark.operators.kmeans import assign_with_dist_vectorized
+
+    return assign_with_dist_vectorized(df, centers, vec_col).drop("dist")
+
+
 def ivf_add(spark, index_path: str, new_df: DataFrame, vec_col: str = "embedding") -> None:
     """Incrementally register vectors into a persisted IVF index: nearest-
     centroid assignment against the FROZEN sidecar (no re-fit — the
@@ -281,7 +297,9 @@ def ivf_add(spark, index_path: str, new_df: DataFrame, vec_col: str = "embedding
     append into the matching inverted-list directories. This is the
     streaming path: drop it in a ``foreachBatch`` and the index grows with
     the corpus; periodic full rebuilds (``ivf_build``) re-balance if the
-    distribution drifts."""
+    distribution drifts. Assignment uses the vectorized serving kernel
+    (:func:`ivf_assign_vectorized`) — an index append has no SQL-oracle
+    bit-exactness contract, so the 9× kernel is the right default."""
     centers_rows = spark.read.parquet(f"{index_path}/centroids").collect()
     centers_map = {r["centroid_id"]: list(r["centroid"]) for r in centers_rows}
     centers = [centers_map[i] for i in range(len(centers_map))]
@@ -291,7 +309,7 @@ def ivf_add(spark, index_path: str, new_df: DataFrame, vec_col: str = "embedding
     existing = spark.read.parquet(f"{index_path}/vectors").schema
     target_type = existing[vec_col].dataType
     new_df = new_df.withColumn(vec_col, F.col(vec_col).cast(target_type))
-    assigned = ivf_assign(new_df, centers, vec_col)
+    assigned = ivf_assign_vectorized(new_df, centers, vec_col)
     assigned.write.partitionBy("centroid_id").mode("append").parquet(
         f"{index_path}/vectors"
     )

@@ -257,14 +257,18 @@ def emb_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled Lloyd oracle: a{t} (argmin assignment), m{t} (per-
-    coordinate means, 1e-7 quantized), c{t} (rebuilt centroids, empty
-    clusters keep their previous center) — chained MATERIALIZED CTEs."""
-    dist = (
-        "list_sum(list_transform(range(1, len(c.c) + 1), "
-        "i -> (v[i] - c.c[i]) * (v[i] - c.c[i])))"
-    )
+_KM_DIST = (
+    "list_sum(list_transform(range(1, len(c.c) + 1), "
+    "i -> (v[i] - c.c[i]) * (v[i] - c.c[i])))"
+)
+
+
+def _kmeans_oracle_with() -> str:
+    """Shared WITH-prefix for the Lloyd oracles: a{t} (argmin
+    assignment), m{t} (per-coordinate means, 1e-7 quantized), c{t}
+    (rebuilt centroids, empty clusters keep their previous center) —
+    chained MATERIALIZED CTEs ending at c{_KM_ITERS}."""
+    dist = _KM_DIST
     head = f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -297,20 +301,80 @@ c{t} AS MATERIALIZED (
        (SELECT cid, list(m ORDER BY i) AS c FROM m{t} GROUP BY cid) n
        USING (cid)
 )""")
-    final = f"""
+    return head + "," + ",".join(steps)
+
+
+def _kmeans_oracle_sql() -> str:
+    """Full per-vector assignment at the fitted centroids (the verified
+    training-trajectory query's oracle)."""
+    return (
+        _kmeans_oracle_with()
+        + f"""
 SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist,
        count(*) OVER (PARTITION BY cid) AS cluster_n
 FROM (
   SELECT vec_id, cid, dist FROM (
-    SELECT e.vec_id, c.cid, {dist} AS dist,
+    SELECT e.vec_id, c.cid, {_KM_DIST} AS dist,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dist}, c.cid) AS rn
+                              ORDER BY {_KM_DIST}, c.cid) AS rn
     FROM e CROSS JOIN c{_KM_ITERS} c
   ) WHERE rn = 1
 )
 ORDER BY vec_id"""
-    return head + "," + ",".join(steps) + final
+    )
 
 
 QUERIES["emb_kmeans_topics"] = emb_kmeans_topics
 ORACLES["emb_kmeans_topics"] = _kmeans_oracle_sql()
+
+
+def emb_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path twin of emb_kmeans_topics: same oracle-exact Lloyd
+    fit, but the corpus-wide assignment pass runs through the
+    Arrow-batched numpy kernel (assign_with_dist_vectorized — the 100 TB
+    scoring path, measured 9× the interpreted fold at sf10). Output is
+    the per-cluster profile (size, mean/max distance) a corpus-mixing
+    stage consumes. The DuckDB oracle replays the fit and aggregates the
+    exact sequential-fold assignment — the hash match certifies the
+    vectorized kernel agrees with the bit-exact argmin on real data,
+    under the driver's independent gate rather than only in pytest."""
+    from promhouse_spark.operators.kmeans import (
+        assign_with_dist_vectorized,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = assign_with_dist_vectorized(emb, centers)
+    return (
+        assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.round(F.max("dist"), 4).alias("max_dist"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_serve_oracle_sql() -> str:
+    return (
+        _kmeans_oracle_with()
+        + f"""
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist
+FROM (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {_KM_DIST} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.cid) AS rn
+    FROM e CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn = 1
+)
+GROUP BY cid
+ORDER BY cid"""
+    )
+
+
+QUERIES["emb_kmeans_serve"] = emb_kmeans_serve
+ORACLES["emb_kmeans_serve"] = _kmeans_serve_oracle_sql()

@@ -98,3 +98,15 @@ def test_vectorized_assign_matches_fold(spark, sf_dir):
             n_tie_flips += 1
     # ties must be the exception, not a sign the kernel is broken
     assert n_tie_flips <= max(1, len(a) // 100)
+
+
+def test_fit_with_vectorized_assign_fn_matches_fold_fit(spark):
+    """kmeans_fit(assign_fn=assign_with_dist_vectorized) — the serving-
+    scale fit — lands on the same quantized centroids as the oracle-exact
+    fold on a corpus without near-exact centroid ties."""
+    from promhouse_spark.operators.kmeans import assign_with_dist_vectorized
+
+    df = _planted(spark)
+    fold = kmeans_fit(df, k=2, iters=3)
+    fast = kmeans_fit(df, k=2, iters=3, assign_fn=assign_with_dist_vectorized)
+    assert fold == fast

@@ -54,6 +54,9 @@ GATE = [
     # r10: Lloyd k-means fit+assign (map-side argmin over centroid
     # literals, one keyed agg per iteration — the verified-training path)
     "emb_kmeans_topics",
+    # r11: same fit, but the corpus-wide scoring pass through the
+    # Arrow-batched numpy kernel (the vectorized serving default)
+    "emb_kmeans_serve",
 ]
 
 # 10x data; near-linear would be ~10x wall. 15 leaves noise margin while
