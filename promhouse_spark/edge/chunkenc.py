@@ -393,3 +393,597 @@ def chunk_samples(
     if buf:
         out.append((buf[0][0], buf[-1][0], encode_xor_chunk(buf)))
     return out
+
+
+# ------------------------------------------------- native-histogram chunks
+# The public prometheus/tsdb/chunkenc native-histogram chunk formats
+# (histogram.go for integer histograms, floathistogram.go for float
+# histograms, varbit.go for the adaptive-width integer coding, plus the
+# layout metadata helpers). These are what a streamed remote-read
+# response carries for native-histogram series (Chunk.type HISTOGRAM=2 /
+# FLOAT_HISTOGRAM=3 in prompb types.proto) — entirely beyond the
+# reference, which predates native histograms.
+#
+# Chunk layout (both kinds):
+#   byte 0-1   uint16 BE sample count
+#   byte 2     counter-reset header: top 2 bits
+#              00 unknown / 01 not-reset / 10 counter-reset / 11 gauge
+#   byte 3+    bitstream:
+#     layout metadata (once, with the first sample):
+#       zero threshold   1 byte for 0 (0x00) or powers of two
+#                        2^(exp-1), exp in [-242, 11] (byte exp+243);
+#                        else 0xFF + raw 64-bit float
+#       schema           varbit int
+#       positive spans   varbit uint count, then per span
+#                        varbit uint LENGTH, varbit int OFFSET
+#       negative spans   same
+#       custom values    only when schema == -53 (NHCB): varbit uint
+#                        count then raw 64-bit floats (upstream packs
+#                        typical decimal bounds tighter — documented
+#                        deviation, flagged in decode by position only)
+#     integer chunk samples (histogram.go):
+#       s0   t varint; count, zero_count uvarint; sum raw 64 bits;
+#            positive then negative bucket lists in the SAME intra-sample
+#            delta form the prompb wire uses, each value a varint
+#       s1   tDelta varbit uint; count/zero_count deltas varbit int;
+#            sum XOR-coded; per-bucket delta-of-the-delta-form varbit int
+#       sN   t dod varbit int; count/zero_count delta-of-delta varbit
+#            int; sum XOR; buckets as in s1
+#     float chunk samples (floathistogram.go):
+#       s0   t varint; count, zero_count, sum, then every bucket's
+#            ABSOLUTE count as raw 64-bit floats
+#       s1   tDelta varbit uint; every float value XOR-coded against s0,
+#            each value tracking its own leading/trailing window
+#       sN   t dod varbit int; floats XOR-coded against the previous
+#            sample
+#
+# A single chunk requires one fixed layout: same schema, zero threshold
+# and custom values, and one bucket index set (the union over the
+# samples; absent buckets encode as zero counts, exactly how upstream
+# recodes a chunk when a new bucket appears mid-chunk).
+
+CHUNK_TYPE_HISTOGRAM = 2
+CHUNK_TYPE_FLOAT_HISTOGRAM = 3
+
+# counter-reset header values (histogram.go CounterResetHeader)
+CR_UNKNOWN = 0b00000000
+CR_NOT_RESET = 0b01000000
+CR_RESET = 0b10000000
+CR_GAUGE = 0b11000000
+
+_CUSTOM_BUCKETS_SCHEMA = -53
+
+
+def _put_varbit_int(w: BitWriter, val: int) -> None:
+    """varbit.go putVarbitInt: prefix-coded bit buckets 0/3/6/9/12/18/25/
+    56/64, each asymmetric ([-(2^(n-1))+1, 2^(n-1)]) except the 64-bit
+    escape (plain two's complement)."""
+    if val == 0:
+        w.write_bit(0)
+    elif _bit_range(val, 3):
+        w.write_bits(0b10, 2)
+        w.write_bits(val, 3)
+    elif _bit_range(val, 6):
+        w.write_bits(0b110, 3)
+        w.write_bits(val, 6)
+    elif _bit_range(val, 9):
+        w.write_bits(0b1110, 4)
+        w.write_bits(val, 9)
+    elif _bit_range(val, 12):
+        w.write_bits(0b11110, 5)
+        w.write_bits(val, 12)
+    elif _bit_range(val, 18):
+        w.write_bits(0b111110, 6)
+        w.write_bits(val, 18)
+    elif _bit_range(val, 25):
+        w.write_bits(0b1111110, 7)
+        w.write_bits(val, 25)
+    elif _bit_range(val, 56):
+        w.write_bits(0b11111110, 8)
+        w.write_bits(val, 56)
+    else:
+        w.write_bits(0b11111111, 8)
+        w.write_bits(val, 64)
+
+
+def _read_varbit_int(r: BitReader) -> int:
+    code = 0
+    while code < 8 and r.read_bit():
+        code += 1
+    nbits = (0, 3, 6, 9, 12, 18, 25, 56, 64)[code]
+    if nbits == 0:
+        return 0
+    return _sign_extend(r.read_bits(nbits), nbits)
+
+
+def _put_varbit_uint(w: BitWriter, val: int) -> None:
+    """varbit.go putVarbitUint: same prefix buckets, unsigned ranges."""
+    if val < 0:
+        raise ValueError("chunkenc: varbit uint is unsigned")
+    if val == 0:
+        w.write_bit(0)
+    elif val < 1 << 3:
+        w.write_bits(0b10, 2)
+        w.write_bits(val, 3)
+    elif val < 1 << 6:
+        w.write_bits(0b110, 3)
+        w.write_bits(val, 6)
+    elif val < 1 << 9:
+        w.write_bits(0b1110, 4)
+        w.write_bits(val, 9)
+    elif val < 1 << 12:
+        w.write_bits(0b11110, 5)
+        w.write_bits(val, 12)
+    elif val < 1 << 18:
+        w.write_bits(0b111110, 6)
+        w.write_bits(val, 18)
+    elif val < 1 << 25:
+        w.write_bits(0b1111110, 7)
+        w.write_bits(val, 25)
+    elif val < 1 << 56:
+        w.write_bits(0b11111110, 8)
+        w.write_bits(val, 56)
+    else:
+        w.write_bits(0b11111111, 8)
+        w.write_bits(val, 64)
+
+
+def _read_varbit_uint(r: BitReader) -> int:
+    code = 0
+    while code < 8 and r.read_bit():
+        code += 1
+    nbits = (0, 3, 6, 9, 12, 18, 25, 56, 64)[code]
+    return r.read_bits(nbits) if nbits else 0
+
+
+def _put_zero_threshold(w: BitWriter, threshold: float) -> None:
+    """histogram_meta putZeroThreshold: 0 → byte 0; powers of two
+    2^(exp-1) with exp in [-242, 11] → byte exp+243; else 0xFF + raw."""
+    import math as _m
+
+    if threshold == 0:
+        w.write_byte(0)
+        return
+    frac, exp = _m.frexp(threshold)
+    if frac == 0.5 and -242 <= exp <= 11:
+        w.write_byte(exp + 243)
+        return
+    w.write_byte(0xFF)
+    w.write_bits(_float_bits(threshold), 64)
+
+
+def _read_zero_threshold(r: BitReader) -> float:
+    import math as _m
+
+    b = r.read_byte()
+    if b == 0:
+        return 0.0
+    if b == 0xFF:
+        return _bits_float(r.read_bits(64))
+    return _m.ldexp(0.5, b - 243)
+
+
+def _put_layout_spans(w: BitWriter, spans: Sequence[tuple[int, int]]) -> None:
+    _put_varbit_uint(w, len(spans))
+    for offset, length in spans:
+        _put_varbit_uint(w, length)
+        _put_varbit_int(w, offset)
+
+
+def _read_layout_spans(r: BitReader) -> list[tuple[int, int]]:
+    n = _read_varbit_uint(r)
+    out = []
+    for _ in range(n):
+        length = _read_varbit_uint(r)
+        offset = _read_varbit_int(r)
+        out.append((offset, length))
+    return out
+
+
+def _union_layout(hists) -> tuple[list[int], list[int]]:
+    """Sorted union of the positive / negative bucket indexes across the
+    chunk's samples — the one fixed layout every sample is recoded onto
+    (absent buckets become explicit zero counts)."""
+    pos: set[int] = set()
+    neg: set[int] = set()
+    for h in hists:
+        pos.update(i for i, _ in h.positive)
+        neg.update(i for i, _ in h.negative)
+    return sorted(pos), sorted(neg)
+
+
+def _spans_for_indexes(indexes: list[int]) -> list[tuple[int, int]]:
+    from promhouse_spark.edge.prompb import _spans_from_buckets
+
+    return _spans_from_buckets([(i, 0.0) for i in indexes])
+
+
+def _counts_on_layout(pairs, indexes: list[int]) -> list[float]:
+    m = dict(pairs)
+    return [float(m.get(i, 0.0)) for i in indexes]
+
+
+def _deltas(values: list[int]) -> list[int]:
+    """The prompb/TSDB intra-sample delta form: first absolute, then
+    successive differences."""
+    out = []
+    prev = 0
+    for v in values:
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+def _undeltas(deltas: list[int]) -> list[int]:
+    out = []
+    cur = 0
+    for d in deltas:
+        cur += d
+        out.append(cur)
+    return out
+
+
+def _check_chunk_layout(hists) -> None:
+    h0 = hists[0]
+    for h in hists[1:]:
+        if (
+            h.schema != h0.schema
+            or _float_bits(h.zero_threshold) != _float_bits(h0.zero_threshold)
+            or list(h.custom_values) != list(h0.custom_values)
+        ):
+            raise ValueError(
+                "chunkenc: one histogram chunk holds one layout "
+                "(schema / zero threshold / custom values)"
+            )
+
+
+def encode_histogram_chunk(hists, counter_reset: int = CR_UNKNOWN) -> bytes:
+    """Encode integer native histograms (models.NativeHistogram with
+    integral counts) into one HISTOGRAM (type 2) chunk. Samples must be
+    timestamp-sorted and share one layout."""
+    if len(hists) > 0xFFFF:
+        raise ValueError("chunkenc: a chunk holds at most 65535 samples")
+    out_head = struct.pack(">H", len(hists)) + bytes([counter_reset & 0xC0])
+    if not hists:
+        return out_head
+    _check_chunk_layout(hists)
+    h0 = hists[0]
+    pos_idx, neg_idx = _union_layout(hists)
+    w = BitWriter()
+    _put_zero_threshold(w, h0.zero_threshold)
+    _put_varbit_int(w, h0.schema)
+    _put_layout_spans(w, _spans_for_indexes(pos_idx))
+    _put_layout_spans(w, _spans_for_indexes(neg_idx))
+    if h0.schema == _CUSTOM_BUCKETS_SCHEMA:
+        _put_varbit_uint(w, len(h0.custom_values))
+        for cv in h0.custom_values:
+            w.write_bits(_float_bits(cv), 64)
+
+    def int_counts(h, indexes, pairs):
+        vals = _counts_on_layout(pairs, indexes)
+        ints = [int(v) for v in vals]
+        if any(iv != v for iv, v in zip(ints, vals)):
+            raise ValueError(
+                "chunkenc: non-integral counts need the float histogram chunk"
+            )
+        return ints
+
+    prev_t = prev_tdelta = 0
+    prev_cnt = prev_zcnt = 0
+    prev_cnt_delta = prev_zcnt_delta = 0
+    prev_sum_bits = 0
+    leading, trailing = 0xFF, 0
+    prev_pos: list[int] = []
+    prev_neg: list[int] = []
+    for i, h in enumerate(hists):
+        t = int(h.timestamp_ms)
+        cnt = int(h.count)
+        zcnt = int(h.zero_count)
+        if h.count != cnt or h.zero_count != zcnt:
+            raise ValueError(
+                "chunkenc: non-integral counts need the float histogram chunk"
+            )
+        pos_d = _deltas(int_counts(h, pos_idx, h.positive))
+        neg_d = _deltas(int_counts(h, neg_idx, h.negative))
+        if i == 0:
+            w.write_varint(t)
+            w.write_uvarint(cnt)
+            w.write_uvarint(zcnt)
+            w.write_bits(_float_bits(h.sum), 64)
+            for d in pos_d:
+                w.write_varint(d)
+            for d in neg_d:
+                w.write_varint(d)
+        else:
+            tdelta = t - prev_t
+            if tdelta < 0:
+                raise ValueError("chunkenc: timestamps must be sorted")
+            cnt_delta = cnt - prev_cnt
+            zcnt_delta = zcnt - prev_zcnt
+            if i == 1:
+                _put_varbit_uint(w, tdelta)
+                _put_varbit_int(w, cnt_delta)
+                _put_varbit_int(w, zcnt_delta)
+            else:
+                _put_varbit_int(w, tdelta - prev_tdelta)
+                _put_varbit_int(w, cnt_delta - prev_cnt_delta)
+                _put_varbit_int(w, zcnt_delta - prev_zcnt_delta)
+            leading, trailing = _xor_write(
+                w, h.sum, prev_sum_bits, leading, trailing
+            )
+            for d, pd in zip(pos_d, prev_pos):
+                _put_varbit_int(w, d - pd)
+            for d, pd in zip(neg_d, prev_neg):
+                _put_varbit_int(w, d - pd)
+            prev_tdelta = tdelta
+            prev_cnt_delta = cnt_delta
+            prev_zcnt_delta = zcnt_delta
+        prev_t, prev_cnt, prev_zcnt = t, cnt, zcnt
+        prev_sum_bits = _float_bits(h.sum)
+        prev_pos, prev_neg = pos_d, neg_d
+    return out_head + w.bytes()
+
+
+def decode_histogram_chunk(data: bytes):
+    """Decode one HISTOGRAM (type 2) chunk → list of
+    models.NativeHistogram (union-layout zero buckets included).
+    Returns (histograms, counter_reset_header)."""
+    from promhouse_spark.edge.prompb import _expand_spans
+    from promhouse_spark.models import NativeHistogram
+
+    if len(data) < 3:
+        raise ValueError("chunkenc: truncated histogram chunk header")
+    (n,) = struct.unpack(">H", data[:2])
+    cr = data[2] & 0xC0
+    if n == 0:
+        return [], cr
+    r = BitReader(data[3:])
+    zero_threshold = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    pos_spans = _read_layout_spans(r)
+    neg_spans = _read_layout_spans(r)
+    custom_values: list[float] = []
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        n_cv = _read_varbit_uint(r)
+        custom_values = [_bits_float(r.read_bits(64)) for _ in range(n_cv)]
+    n_pos = sum(length for _, length in pos_spans)
+    n_neg = sum(length for _, length in neg_spans)
+
+    out = []
+    t = tdelta = 0
+    cnt = zcnt = 0
+    cnt_delta = zcnt_delta = 0
+    sum_bits = 0
+    leading, trailing = 0, 0
+    pos_d: list[int] = []
+    neg_d: list[int] = []
+    for i in range(n):
+        if i == 0:
+            t = r.read_varint()
+            cnt = r.read_uvarint()
+            zcnt = r.read_uvarint()
+            sum_bits = r.read_bits(64)
+            pos_d = [r.read_varint() for _ in range(n_pos)]
+            neg_d = [r.read_varint() for _ in range(n_neg)]
+        else:
+            if i == 1:
+                tdelta = _read_varbit_uint(r)
+                cnt_delta = _read_varbit_int(r)
+                zcnt_delta = _read_varbit_int(r)
+            else:
+                tdelta += _read_varbit_int(r)
+                cnt_delta += _read_varbit_int(r)
+                zcnt_delta += _read_varbit_int(r)
+            t += tdelta
+            cnt += cnt_delta
+            zcnt += zcnt_delta
+            sum_bits, leading, trailing = _xor_read(
+                r, sum_bits, leading, trailing
+            )
+            pos_d = [pd + _read_varbit_int(r) for pd in pos_d]
+            neg_d = [nd + _read_varbit_int(r) for nd in neg_d]
+        out.append(
+            NativeHistogram(
+                timestamp_ms=t,
+                count=float(cnt),
+                sum=_bits_float(sum_bits),
+                schema=schema,
+                zero_threshold=zero_threshold,
+                zero_count=float(zcnt),
+                positive=_expand_spans(pos_spans, list(pos_d), []),
+                negative=_expand_spans(neg_spans, list(neg_d), []),
+                is_float=False,
+                custom_values=list(custom_values),
+            )
+        )
+    return out, cr
+
+
+class _XorState:
+    """Per-value XOR window state (floathistogram.go xorValue)."""
+
+    __slots__ = ("bits", "leading", "trailing")
+
+    def __init__(self) -> None:
+        self.bits = 0
+        self.leading = 0xFF
+        self.trailing = 0
+
+
+def encode_float_histogram_chunk(hists, counter_reset: int = CR_UNKNOWN) -> bytes:
+    """Encode float native histograms into one FLOAT_HISTOGRAM (type 3)
+    chunk: every count is a float, XOR-coded against the previous sample
+    with an independent leading/trailing window per tracked value."""
+    if len(hists) > 0xFFFF:
+        raise ValueError("chunkenc: a chunk holds at most 65535 samples")
+    out_head = struct.pack(">H", len(hists)) + bytes([counter_reset & 0xC0])
+    if not hists:
+        return out_head
+    _check_chunk_layout(hists)
+    h0 = hists[0]
+    pos_idx, neg_idx = _union_layout(hists)
+    w = BitWriter()
+    _put_zero_threshold(w, h0.zero_threshold)
+    _put_varbit_int(w, h0.schema)
+    _put_layout_spans(w, _spans_for_indexes(pos_idx))
+    _put_layout_spans(w, _spans_for_indexes(neg_idx))
+    if h0.schema == _CUSTOM_BUCKETS_SCHEMA:
+        _put_varbit_uint(w, len(h0.custom_values))
+        for cv in h0.custom_values:
+            w.write_bits(_float_bits(cv), 64)
+
+    n_vals = 3 + len(pos_idx) + len(neg_idx)  # count, zcount, sum, buckets
+    states = [_XorState() for _ in range(n_vals)]
+    prev_t = prev_tdelta = 0
+    for i, h in enumerate(hists):
+        t = int(h.timestamp_ms)
+        vals = (
+            [float(h.count), float(h.zero_count), float(h.sum)]
+            + _counts_on_layout(h.positive, pos_idx)
+            + _counts_on_layout(h.negative, neg_idx)
+        )
+        if i == 0:
+            w.write_varint(t)
+            for v, st in zip(vals, states):
+                w.write_bits(_float_bits(v), 64)
+                st.bits = _float_bits(v)
+        else:
+            tdelta = t - prev_t
+            if tdelta < 0:
+                raise ValueError("chunkenc: timestamps must be sorted")
+            if i == 1:
+                _put_varbit_uint(w, tdelta)
+            else:
+                _put_varbit_int(w, tdelta - prev_tdelta)
+            for v, st in zip(vals, states):
+                st.leading, st.trailing = _xor_write(
+                    w, v, st.bits, st.leading, st.trailing
+                )
+                st.bits = _float_bits(v)
+            prev_tdelta = tdelta
+        prev_t = t
+    return out_head + w.bytes()
+
+
+def decode_float_histogram_chunk(data: bytes):
+    """Decode one FLOAT_HISTOGRAM (type 3) chunk → (list of
+    models.NativeHistogram with is_float=True, counter_reset_header)."""
+    from promhouse_spark.edge.prompb import _expand_spans
+    from promhouse_spark.models import NativeHistogram
+
+    if len(data) < 3:
+        raise ValueError("chunkenc: truncated histogram chunk header")
+    (n,) = struct.unpack(">H", data[:2])
+    cr = data[2] & 0xC0
+    if n == 0:
+        return [], cr
+    r = BitReader(data[3:])
+    zero_threshold = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    pos_spans = _read_layout_spans(r)
+    neg_spans = _read_layout_spans(r)
+    custom_values: list[float] = []
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        n_cv = _read_varbit_uint(r)
+        custom_values = [_bits_float(r.read_bits(64)) for _ in range(n_cv)]
+    n_pos = sum(length for _, length in pos_spans)
+    n_neg = sum(length for _, length in neg_spans)
+    n_vals = 3 + n_pos + n_neg
+
+    out = []
+    states = [_XorState() for _ in range(n_vals)]
+    for st in states:
+        st.leading = 0
+    t = tdelta = 0
+    for i in range(n):
+        if i == 0:
+            t = r.read_varint()
+            for st in states:
+                st.bits = r.read_bits(64)
+        else:
+            if i == 1:
+                tdelta = _read_varbit_uint(r)
+            else:
+                tdelta += _read_varbit_int(r)
+            t += tdelta
+            for st in states:
+                st.bits, st.leading, st.trailing = _xor_read(
+                    r, st.bits, st.leading, st.trailing
+                )
+        vals = [_bits_float(st.bits) for st in states]
+        pos_counts = vals[3 : 3 + n_pos]
+        neg_counts = vals[3 + n_pos :]
+        out.append(
+            NativeHistogram(
+                timestamp_ms=t,
+                count=vals[0],
+                sum=vals[2],
+                schema=schema,
+                zero_threshold=zero_threshold,
+                zero_count=vals[1],
+                positive=_expand_spans(pos_spans, [], pos_counts),
+                negative=_expand_spans(neg_spans, [], neg_counts),
+                is_float=True,
+                custom_values=list(custom_values),
+            )
+        )
+    return out, cr
+
+
+def _is_integral_histogram(h) -> bool:
+    return (
+        not h.is_float
+        and float(h.count) == int(h.count)
+        and float(h.zero_count) == int(h.zero_count)
+        and all(float(c) == int(c) for _, c in h.positive)
+        and all(float(c) == int(c) for _, c in h.negative)
+    )
+
+
+def chunk_native_histograms(hists, max_samples: int = 120):
+    """Cut a timestamp-sorted native-histogram run into chunks, the
+    upstream head-appender's cut rules re-expressed over a materialized
+    run: a new chunk whenever the LAYOUT changes (schema / zero
+    threshold / custom values / integer-vs-float class), the total count
+    drops (counter reset — the new chunk is stamped CR_RESET), or the
+    120-sample capacity fills (continuation chunks stamped
+    CR_NOT_RESET). Returns (min_t, max_t, chunk_type, bytes) tuples."""
+    out = []
+    buf: list = []
+    buf_reset = CR_UNKNOWN
+
+    def key(h):
+        return (
+            h.schema,
+            _float_bits(h.zero_threshold),
+            tuple(h.custom_values),
+            _is_integral_histogram(h),
+        )
+
+    def flush(next_reset):
+        nonlocal buf, buf_reset
+        if buf:
+            if _is_integral_histogram(buf[0]):
+                data = encode_histogram_chunk(buf, buf_reset)
+                ctype = CHUNK_TYPE_HISTOGRAM
+            else:
+                data = encode_float_histogram_chunk(buf, buf_reset)
+                ctype = CHUNK_TYPE_FLOAT_HISTOGRAM
+            out.append(
+                (buf[0].timestamp_ms, buf[-1].timestamp_ms, ctype, data)
+            )
+        buf = []
+        buf_reset = next_reset
+
+    prev = None
+    for h in hists:
+        if buf and key(h) != key(buf[0]):
+            flush(CR_UNKNOWN)
+        elif prev is not None and float(h.count) < float(prev.count):
+            flush(CR_RESET)
+        elif len(buf) >= max_samples:
+            flush(CR_NOT_RESET)
+        buf.append(h)
+        prev = h
+    flush(CR_UNKNOWN)
+    return out

@@ -54,12 +54,11 @@ def _format_value(v: float) -> str:
 
 
 def _holds_histograms(storage) -> bool:
-    """True when the storage holds native-histogram data. The streamed
-    XOR-chunk responses carry floats only (tsdb/chunkenc XOR has no
-    histogram chunk here), so a streamed answer over a
-    histogram-bearing store would silently drop those series; callers
-    gate the streamed fast paths on this and fall through to the sampled
-    response, which attaches histograms (prompb TimeSeries field 4).
+    """True when the storage holds native-histogram data. Streamed
+    responses serve those series as native-histogram chunks (tsdb/
+    chunkenc HISTOGRAM=2 / FLOAT_HISTOGRAM=3, edge/chunkenc.py); the
+    zero-decode chunked-tier path uses this to decide whether it must
+    merge the histogram sidecar into its float-chunk stream at all.
     Unknown/unreadable state counts as "holds" — correctness over speed."""
     hp = getattr(storage, "histograms_path", None)
     if hp is None:
@@ -70,6 +69,27 @@ def _holds_histograms(storage) -> bool:
         return fs.exists(storage.spark, hp)
     except Exception:  # noqa: BLE001
         return True
+
+
+def _mixed_chunks(ts) -> list[tuple[int, int, int, bytes]]:
+    """One series' wire chunks: Gorilla-XOR for the float samples plus
+    native-histogram chunks (types 2/3) for the histogram samples — the
+    full prompb Chunk.type surface, so a streamed response never has to
+    fall back to sampled just because histograms are present."""
+    from promhouse_spark.edge import chunkenc
+
+    chunks = [
+        (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
+        for mn, mx, data in chunkenc.chunk_samples(
+            (s.timestamp_ms, s.value) for s in ts.samples
+        )
+    ]
+    hists = getattr(ts, "histograms", None)
+    if hists:
+        chunks += chunkenc.chunk_native_histograms(
+            sorted(hists, key=lambda h: h.timestamp_ms)
+        )
+    return chunks
 
 
 def create_app(
@@ -264,25 +284,66 @@ def create_app(
         if (
             prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types
             and hasattr(storage, "read_chunks")
-            and not _holds_histograms(storage)
         ):
             # Zero-decode fast path (chunked storage tier): at-rest chunks
             # ARE wire chunks, so the streamed response is prune + frame —
             # no per-sample work, and the sampled read below never runs.
-            # Falls through when unsound (pending tombstones) or when the
-            # storage holds native-histogram data: XOR chunks carry floats
-            # only, so streaming would silently drop histogram series —
-            # the sampled path below attaches them (field 4).
+            # Falls through when unsound (pending tombstones). A
+            # histogram-bearing store merges its sidecar into the stream
+            # as native-histogram chunks (types 2/3), matched to the
+            # float stream's unsigned-fingerprint order.
             from promhouse_spark.edge import chunkenc
+            from promhouse_spark.functions.fingerprint import fingerprint
             from promhouse_spark.models import Label as MLabel
 
             per_query = [storage.read_chunks(q) for q in queries]
-            if all(r is not None for r in per_query):
+            if all(r is not None for r in per_query) and (
+                not _holds_histograms(storage)
+                or hasattr(storage, "histogram_series")
+            ):
                 counters["read_queries"] += len(queries)
+                # bounded driver-side lists (native-series cardinality);
+                # fetched eagerly so a failure 500s before the header
+                hists_per_query = (
+                    [storage.histogram_series(q) for q in queries]
+                    if _holds_histograms(storage)
+                    else [[] for _ in queries]
+                )
 
                 def raw_frames():
+                    def hist_frame(qi, entry):
+                        _ufp, labels, hists = entry
+                        msg = prompb.encode_chunked_read_response(
+                            [
+                                (
+                                    [
+                                        MLabel(n, v)
+                                        for n, v in sorted(labels.items())
+                                    ],
+                                    chunkenc.chunk_native_histograms(hists),
+                                )
+                            ],
+                            query_index=qi,
+                        )
+                        return chunkenc.frame_message(msg)
+
                     for qi, series_list in enumerate(per_query):
+                        hseries = hists_per_query[qi]
+                        hi = 0
                         for labels, chunks in series_list:
+                            ufp = fingerprint(labels)
+                            while hi < len(hseries) and hseries[hi][0] < ufp:
+                                yield hist_frame(qi, hseries[hi])
+                                hi += 1
+                            wire_chunks = [
+                                (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
+                                for mn, mx, data in chunks
+                            ]
+                            if hi < len(hseries) and hseries[hi][0] == ufp:
+                                wire_chunks += chunkenc.chunk_native_histograms(
+                                    hseries[hi][2]
+                                )
+                                hi += 1
                             msg = prompb.encode_chunked_read_response(
                                 [
                                     (
@@ -290,15 +351,15 @@ def create_app(
                                             MLabel(n, v)
                                             for n, v in sorted(labels.items())
                                         ],
-                                        [
-                                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
-                                            for mn, mx, data in chunks
-                                        ],
+                                        wire_chunks,
                                     )
                                 ],
                                 query_index=qi,
                             )
                             yield chunkenc.frame_message(msg)
+                        while hi < len(hseries):
+                            yield hist_frame(qi, hseries[hi])
+                            hi += 1
 
                 return Response(
                     raw_frames(),
@@ -315,7 +376,6 @@ def create_app(
             and not any(h is not None for h in hint_list)
             and getattr(storage, "cache_registry", False)
             and hasattr(storage, "iter_series")
-            and not _holds_histograms(storage)
         ):
             # Memory-bounded streamed serve (flat tier, and the chunked
             # tier's tombstone fallback): one series at a time off a
@@ -331,14 +391,8 @@ def create_app(
             def inc_frames():
                 for qi, q in enumerate(queries):
                     for ts in storage.iter_series(q):
-                        chunks = [
-                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
-                            for mn, mx, data in chunkenc.chunk_samples(
-                                (s.timestamp_ms, s.value) for s in ts.samples
-                            )
-                        ]
                         msg = prompb.encode_chunked_read_response(
-                            [(ts.labels, chunks)], query_index=qi
+                            [(ts.labels, _mixed_chunks(ts))], query_index=qi
                         )
                         yield chunkenc.frame_message(msg)
 
@@ -369,32 +423,21 @@ def create_app(
                 return Response(f"invalid matcher regex: {e}"[:500], status=400)
             raise
         counters["read_queries"] += len(queries)
-        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types and not any(
-            # XOR chunks carry floats only: a result with native-histogram
-            # samples must go out sampled (field 4) or the histograms vanish
-            getattr(ts, "histograms", None)
-            for series_list in results
-            for ts in series_list
-        ):
+        if prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted_types:
             # Streamed chunked remote read (Prometheus ≥ 2.13,
             # read_recent/remote-read streaming): one frame per series,
-            # each carrying Gorilla-XOR-compressed chunks — constant
-            # server memory per frame instead of materializing the whole
-            # snappy response. The reference never negotiates this
-            # (prom.go answers sampled unconditionally).
+            # each carrying Gorilla-XOR chunks for the float samples and
+            # native-histogram chunks (types 2/3) for histogram samples —
+            # constant server memory per frame instead of materializing
+            # the whole snappy response. The reference never negotiates
+            # this (prom.go answers sampled unconditionally).
             from promhouse_spark.edge import chunkenc
 
             def frames():
                 for qi, series_list in enumerate(results):
                     for ts in series_list:
-                        chunks = [
-                            (mn, mx, chunkenc.CHUNK_TYPE_XOR, data)
-                            for mn, mx, data in chunkenc.chunk_samples(
-                                (s.timestamp_ms, s.value) for s in ts.samples
-                            )
-                        ]
                         msg = prompb.encode_chunked_read_response(
-                            [(ts.labels, chunks)], query_index=qi
+                            [(ts.labels, _mixed_chunks(ts))], query_index=qi
                         )
                         yield chunkenc.frame_message(msg)
 

@@ -137,15 +137,31 @@ def read_remote(
                 for labels, chunks in prompb.decode_chunked_read_response(payload)[0]:
                     samples = sorted(
                         (t, v)
-                        for _mn, _mx, _ct, d in chunks
+                        for _mn, _mx, ct, d in chunks
+                        if ct == chunkenc.CHUNK_TYPE_XOR
                         for t, v in chunkenc.decode_xor_chunk(d)
                         if w_start <= t <= w_end
                     )
-                    if samples:
+                    hists = []
+                    for _mn, _mx, ct, d in chunks:
+                        if ct == chunkenc.CHUNK_TYPE_HISTOGRAM:
+                            decoded_h = chunkenc.decode_histogram_chunk(d)[0]
+                        elif ct == chunkenc.CHUNK_TYPE_FLOAT_HISTOGRAM:
+                            decoded_h = chunkenc.decode_float_histogram_chunk(d)[0]
+                        else:
+                            continue
+                        hists.extend(
+                            h
+                            for h in decoded_h
+                            if w_start <= h.timestamp_ms <= w_end
+                        )
+                    hists.sort(key=lambda h: h.timestamp_ms)
+                    if samples or hists:
                         series.append(
                             TimeSeries(
                                 labels=list(labels),
                                 samples=[Sample(value=v, timestamp_ms=t) for t, v in samples],
+                                histograms=hists,
                             )
                         )
         else:

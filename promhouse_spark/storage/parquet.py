@@ -735,37 +735,78 @@ class SparkParquetStorage(Storage):
         )
         return group_into_series(restricted).join(series, FINGERPRINT, "inner")
 
-    def _histograms_for(self, q: Query) -> list[tuple]:
+    def _histograms_for(self, q: Query, fps=None) -> list[tuple]:
         """(fingerprint, labels, NativeHistogram) rows in range for
         read() attachment — empty when the tier is absent. Bounded by
-        matched native-series cardinality (API-edge contract)."""
-        from promhouse_spark.models import NativeHistogram
+        matched native-series cardinality (API-edge contract).
+
+        ``fps``: optional pre-resolved fingerprint list (cached-registry
+        callers like ``iter_series``) — matcher evaluation then stays in
+        Python and labels come from the registry cache, so no Java regex
+        or distributed matcher error can fire from inside a streaming
+        generator after response headers are out."""
         from promhouse_spark.plans.read import select_series
 
         if not fs.exists(self.spark, self.histograms_path):
             return []
-        matched = select_series(self.registry_df(), q.matchers)
         hf = samples_in_range(self.histograms_df(), q.start_ms, q.end_ms)
+        if fps is not None:
+            if not fps:
+                return []
+            hf = restrict_to_series(hf, fps, self.max_series_inlist)
+            rows = hf.collect()
+            rows.sort(
+                key=lambda r: (to_unsigned64(r[FINGERPRINT]), r[TIMESTAMP_MS])
+            )
+            return [
+                (
+                    r[FINGERPRINT],
+                    dict(self._registry.get(to_unsigned64(r[FINGERPRINT]), {})),
+                    self._histogram_from_row(r),
+                )
+                for r in rows
+            ]
+        matched = select_series(self.registry_df(), q.matchers)
         hf = restrict_to_series(hf, matched.select(FINGERPRINT))
         rows = hf.join(matched, FINGERPRINT).collect()
         rows.sort(key=lambda r: (to_unsigned64(r[FINGERPRINT]), r[TIMESTAMP_MS]))
         return [
-            (
-                r[FINGERPRINT],
-                dict(r[LABELS]),
-                NativeHistogram(
-                    timestamp_ms=r[TIMESTAMP_MS],
-                    count=r["count"],
-                    sum=r["sum"],
-                    schema=r["schema"],
-                    zero_threshold=r["zero_threshold"],
-                    zero_count=r["zero_count"],
-                    positive=[(b["idx"], b["cnt"]) for b in r["positive"]],
-                    negative=[(b["idx"], b["cnt"]) for b in r["negative"]],
-                ),
-            )
+            (r[FINGERPRINT], dict(r[LABELS]), self._histogram_from_row(r))
             for r in rows
         ]
+
+    @staticmethod
+    def _histogram_from_row(r):
+        from promhouse_spark.models import NativeHistogram
+
+        return NativeHistogram(
+            timestamp_ms=r[TIMESTAMP_MS],
+            count=r["count"],
+            sum=r["sum"],
+            schema=r["schema"],
+            zero_threshold=r["zero_threshold"],
+            zero_count=r["zero_count"],
+            positive=[(b["idx"], b["cnt"]) for b in r["positive"]],
+            negative=[(b["idx"], b["cnt"]) for b in r["negative"]],
+        )
+
+    def histogram_series(self, q: Query, fps=None) -> list[tuple[int, dict, list]]:
+        """One query's native-histogram data grouped per series, in
+        unsigned-fingerprint order: ``[(ufp, labels_dict,
+        [NativeHistogram...])]`` with each series' histograms
+        timestamp-sorted. The streamed remote-read path merges this
+        (driver-resident, bounded by matched native-series cardinality —
+        the `_histograms_for` API-edge contract) against its
+        fingerprint-ordered float stream so histogram series ride the
+        chunked response instead of forcing a sampled fallback."""
+        out: list[tuple[int, dict, list]] = []
+        for fp, labels, hist in self._histograms_for(q, fps):
+            ufp = to_unsigned64(fp)
+            if out and out[-1][0] == ufp:
+                out[-1][2].append(hist)
+            else:
+                out.append((ufp, labels, [hist]))
+        return out
 
     def _attach_histograms(self, q: Query, res: list[TimeSeries]) -> list[TimeSeries]:
         """Merge the query's native histograms into the float read result
@@ -874,24 +915,51 @@ class SparkParquetStorage(Storage):
         if not self.cache_registry:
             raise ValueError("iter_series requires cache_registry")
         fps = self._resolve_fingerprints(q)
-        if not fps:
+        # native-histogram series for the same matchers, merged into the
+        # float stream by unsigned fingerprint (driver-resident but
+        # bounded by native cardinality); resolution reuses the cached-
+        # registry fps so no Java-regex matcher runs after headers
+        hseries = self.histogram_series(q, fps=fps)
+        if not fps and not hseries:
             return
-        restricted = self._restricted_scan(self.samples_df(), q, fps)
-        grouped = group_into_series(restricted).sort(
-            (F.col(FINGERPRINT) < 0).cast("int"), FINGERPRINT
-        )
-        label_of = {fp: self._registry[to_unsigned64(fp)] for fp in fps}
-        for r in grouped.toLocalIterator():
-            yield TimeSeries(
-                labels=[
-                    Label(n, v)
-                    for n, v in sorted(label_of[r[FINGERPRINT]].items())
-                ],
-                samples=[
-                    Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
-                    for s in r["samples"]
-                ],
+
+        def hist_only(entry):
+            ufp, labels, hists = entry
+            return TimeSeries(
+                labels=[Label(n, v) for n, v in sorted(labels.items())],
+                histograms=hists,
             )
+
+        hi = 0
+        if fps:
+            restricted = self._restricted_scan(self.samples_df(), q, fps)
+            grouped = group_into_series(restricted).sort(
+                (F.col(FINGERPRINT) < 0).cast("int"), FINGERPRINT
+            )
+            label_of = {fp: self._registry[to_unsigned64(fp)] for fp in fps}
+            for r in grouped.toLocalIterator():
+                ufp = to_unsigned64(r[FINGERPRINT])
+                while hi < len(hseries) and hseries[hi][0] < ufp:
+                    yield hist_only(hseries[hi])
+                    hi += 1
+                hists = []
+                if hi < len(hseries) and hseries[hi][0] == ufp:
+                    hists = hseries[hi][2]
+                    hi += 1
+                yield TimeSeries(
+                    labels=[
+                        Label(n, v)
+                        for n, v in sorted(label_of[r[FINGERPRINT]].items())
+                    ],
+                    samples=[
+                        Sample(value=s[VALUE], timestamp_ms=s[TIMESTAMP_MS])
+                        for s in r["samples"]
+                    ],
+                    histograms=hists,
+                )
+        while hi < len(hseries):
+            yield hist_only(hseries[hi])
+            hi += 1
 
     def cache_recent(self, days: int = 2) -> None:
         """Pin the hottest day partitions in executor memory (SURVEY §7 risk

@@ -368,14 +368,16 @@ def test_streamed_serve_is_lazy_and_never_collects(spark, tmp_path, monkeypatch)
     assert all(len(ts.samples) == 150 for ts in flat_series)
 
 
-def test_streamed_read_falls_back_when_histograms_present(spark, tmp_path):
-    """XOR chunks carry floats only — a store holding native-histogram
-    data must answer a STREAMED_XOR_CHUNKS request with the SAMPLED
-    response (which attaches histograms, prompb TimeSeries field 4)
-    instead of silently dropping every histogram series. Covers both
-    streamed fast paths: chunked read_chunks and flat iter_series."""
+def test_streamed_read_serves_histogram_chunks(spark, tmp_path):
+    """A store holding native-histogram data answers a
+    STREAMED_XOR_CHUNKS request with STREAMED frames: histogram series
+    ride as native-histogram chunks (tsdb/chunkenc type 2/3) next to the
+    float series' XOR chunks, instead of forcing the whole response down
+    the sampled fallback (the r9 behavior this replaces). Covers both
+    streamed fast paths: chunked read_chunks (sidecar merged by
+    fingerprint) and flat iter_series."""
     flask = pytest.importorskip("flask")  # noqa: F841
-    from promhouse_spark.edge import prompb, snappy_codec
+    from promhouse_spark.edge import chunkenc, prompb, snappy_codec
     from promhouse_spark.edge.http import create_app
     from promhouse_spark.models import NativeHistogram
 
@@ -399,15 +401,54 @@ def test_streamed_read_falls_back_when_histograms_present(spark, tmp_path):
         client = app.test_client()
         rq = snappy_codec.compress(
             prompb.encode_read_request_full(
-                [Query(T0, T0 + DAY, make_matchers(("__name__", "=", "lat")))],
+                [Query(T0, T0 + DAY, make_matchers(("job", "=", "h")))],
                 [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
             )
         )
         resp = client.post("/read", data=rq)
-        assert resp.status_code == 200
-        # sampled fallback, not a streamed frame response
-        assert resp.headers["Content-Type"] == "application/x-protobuf"
-        results = prompb.decode_read_response(snappy_codec.decompress(resp.data))
-        assert len(results) == 1 and len(results[0]) == 1
-        got = results[0][0]
-        assert len(got.histograms) == 1 and got.histograms[0].count == 3
+        assert resp.status_code == 200, sub
+        assert "x-streamed-protobuf" in resp.headers["Content-Type"], sub
+        got_hists = []
+        for payload in chunkenc.iter_frames(resp.data):
+            for labels, chunks in prompb.decode_chunked_read_response(payload)[0]:
+                for _mn, _mx, ct, d in chunks:
+                    assert ct in (
+                        chunkenc.CHUNK_TYPE_HISTOGRAM,
+                        chunkenc.CHUNK_TYPE_FLOAT_HISTOGRAM,
+                    ), sub
+                    dec = (
+                        chunkenc.decode_histogram_chunk(d)[0]
+                        if ct == chunkenc.CHUNK_TYPE_HISTOGRAM
+                        else chunkenc.decode_float_histogram_chunk(d)[0]
+                    )
+                    got_hists.extend(dec)
+        assert len(got_hists) == 1, sub
+        h = got_hists[0]
+        assert h.timestamp_ms == T0 + 1000 and h.count == 3 and h.sum == 6.0
+        assert dict(h.positive).get(1) == 3.0
+
+        # a matcher spanning float AND histogram series streams BOTH
+        # chunk kinds in one response
+        rq2 = snappy_codec.compress(
+            prompb.encode_read_request_full(
+                [Query(T0, T0 + DAY, ())],
+                [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
+            )
+        )
+        resp2 = client.post("/read", data=rq2)
+        assert resp2.status_code == 200, sub
+        assert "x-streamed-protobuf" in resp2.headers["Content-Type"], sub
+        types = set()
+        n_float_samples = 0
+        n_hist = 0
+        for payload in chunkenc.iter_frames(resp2.data):
+            for labels, chunks in prompb.decode_chunked_read_response(payload)[0]:
+                for _mn, _mx, ct, d in chunks:
+                    types.add(ct)
+                    if ct == chunkenc.CHUNK_TYPE_XOR:
+                        n_float_samples += len(chunkenc.decode_xor_chunk(d))
+                    elif ct == chunkenc.CHUNK_TYPE_HISTOGRAM:
+                        n_hist += len(chunkenc.decode_histogram_chunk(d)[0])
+        assert chunkenc.CHUNK_TYPE_XOR in types, sub
+        assert chunkenc.CHUNK_TYPE_HISTOGRAM in types, sub
+        assert n_float_samples == 30 and n_hist == 1, sub
