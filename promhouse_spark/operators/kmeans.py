@@ -30,9 +30,10 @@ iteration in both engines, crushing aggregation-order float drift
 driver side rounds half-away-from-zero via functions/quantize.py to
 match DuckDB's mode — Python's half-to-even builtin would diverge at an
 exact midpoint).
-Init is the k lowest-id vectors (deterministic, SQL-replayable);
-production would swap in k-means|| over a sample — the iteration shape
-is identical.
+Init is the k lowest-id vectors by default (deterministic,
+SQL-replayable — what the unrolled oracle pins); ``init="kmeans||"``
+switches to hash-seeded k-means|| (:func:`kmeans_parallel_init`) for
+skewed corpora — still deterministic, but not oracle-replayed.
 """
 
 from __future__ import annotations
@@ -92,6 +93,8 @@ def kmeans_fit(
     vec_col: str = "embedding",
     quant: int = 7,
     assign_fn=None,
+    init: str = "lowest_id",
+    seed: int = 42,
 ) -> list[list[float]]:
     """Lloyd's algorithm: assign (map-side argmin over centroid
     literals) then re-center (one keyed agg per iteration, k·dim rows
@@ -104,16 +107,29 @@ def kmeans_fit(
     :func:`assign_with_dist_vectorized` for serving-scale fits where
     bit-exactness vs a sequential engine is not needed (measured 9×
     per pass at sf10; centroids can differ only if some vector is a
-    near-exact tie between two centroids during training)."""
+    near-exact tie between two centroids during training).
+
+    ``init``: ``"lowest_id"`` (default — deterministic and trivially
+    SQL-replayable, what the unrolled oracle pins) or ``"kmeans||"``
+    (:func:`kmeans_parallel_init` — hash-seeded, still deterministic,
+    the production choice on skewed corpora where the k lowest ids can
+    all land in one dense region)."""
     if assign_fn is None:
         assign_fn = assign_with_dist
-    seeds = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    centers = [[float(x) for x in r["v"]] for r in seeds]
+    if init == "kmeans||":
+        centers = kmeans_parallel_init(
+            df, k, id_col, vec_col, seed=seed, assign_fn=assign_fn
+        )
+    elif init == "lowest_id":
+        seeds = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        centers = [[float(x) for x in r["v"]] for r in seeds]
+    else:
+        raise ValueError(f"kmeans_fit: unknown init {init!r}")
     dim = len(centers[0]) if centers else 0
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
@@ -198,3 +214,117 @@ def assign_with_dist_vectorized(
         .withColumn("dist", F.col("_a.dist"))
         .drop("_a")
     )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 42,
+    assign_fn=None,
+) -> list[list[float]]:
+    """k-means|| seeding (Bahmani et al., VLDB 2012 — the public
+    scalable-k-means++ algorithm MLlib also uses): ``rounds`` passes,
+    each sampling every point with probability ``l * d²(x, C) / φ(C)``
+    (l = oversample factor, default 2k), then a weighted k-means++ pass
+    over the ~l·rounds candidates on the driver.
+
+    Distributed shape: each round is ONE assignment pass (map-side
+    argmin over candidate literals) + one scalar agg for φ + a filtered
+    collect whose expected size is l — never the corpus. The Bernoulli
+    draw is a hash of (id, seed, round), so sampling is deterministic
+    and partitioning-independent; the driver-side k-means++ uses a
+    seeded generator — the whole init replays bit-identically.
+
+    The deterministic lowest-id init stays the default in
+    :func:`kmeans_fit` (it is what the unrolled SQL oracle replays);
+    this is the production option for skewed corpora, where lowest-id
+    can plant every seed in one dense region."""
+    if assign_fn is None:
+        assign_fn = assign_with_dist
+    l = oversample or 2 * k
+    first = (
+        df.orderBy(id_col)
+        .limit(1)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty input")
+    centers = [[float(x) for x in first[0]["v"]]]
+    for r in range(rounds):
+        assigned = assign_fn(df, centers, vec_col)
+        phi = assigned.agg(F.sum("dist").alias("s")).first()["s"] or 0.0
+        if phi <= 0:
+            break  # all points coincide with a center: nothing to sample
+        draw = (
+            (F.abs(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(r))) % 1_000_000)
+            / 1_000_000.0
+        )
+        cand = (
+            assigned.filter(draw < F.lit(float(l)) * F.col("dist") / F.lit(phi))
+            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        # collect order is partitioning-dependent; candidate order feeds
+        # the weighted k-means++ below, so pin it by id
+        cand.sort(key=lambda row: row[id_col])
+        centers.extend([float(x) for x in row["v"]] for row in cand)
+    # weight candidates by the size of their Voronoi cell, then k-means++
+    # over the (small, driver-resident) weighted candidate set
+    assigned = assign_fn(df, centers, vec_col)
+    wrows = assigned.groupBy("centroid_id").count().collect()
+    weights = [0.0] * len(centers)
+    for row in wrows:
+        weights[row["centroid_id"]] = float(row["count"])
+    return _weighted_kmeanspp(centers, weights, k, seed)
+
+
+def _weighted_kmeanspp(
+    cands: list[list[float]], weights: list[float], k: int, seed: int
+) -> list[list[float]]:
+    """Seeded k-means++ over a weighted candidate set (driver-side,
+    O(|cands|·k) — |cands| is the k-means|| oversample, not the corpus)."""
+    import random
+
+    rng = random.Random(seed)
+    if len(cands) <= k:
+        return [list(c) for c in cands]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    total = sum(weights)
+    # first pick: weighted draw
+    x = rng.random() * total
+    acc = 0.0
+    pick = 0
+    for i, w in enumerate(weights):
+        acc += w
+        if x <= acc:
+            pick = i
+            break
+    chosen = [pick]
+    mind = [d2(c, cands[pick]) for c in cands]
+    while len(chosen) < k:
+        scores = [w * d for w, d in zip(weights, mind)]
+        total = sum(scores)
+        if total <= 0:  # fewer than k distinct candidates: pad by weight
+            rest = [i for i in range(len(cands)) if i not in chosen]
+            rest.sort(key=lambda i: -weights[i])
+            chosen.extend(rest[: k - len(chosen)])
+            break
+        x = rng.random() * total
+        acc = 0.0
+        pick = len(cands) - 1
+        for i, s in enumerate(scores):
+            acc += s
+            if x <= acc:
+                pick = i
+                break
+        chosen.append(pick)
+        mind = [min(m, d2(c, cands[pick])) for m, c in zip(mind, cands)]
+    return [list(cands[i]) for i in chosen]

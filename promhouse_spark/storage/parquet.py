@@ -57,6 +57,19 @@ from promhouse_spark.storage import fs
 from promhouse_spark.storage.base import Storage
 
 
+#: Cardinality above which the driver-side registry dict auto-disables and
+#: series resolution stays distributed (plans.read.select_series). Measured
+#: (tools/cardinality_gate.py → tools/cardinality_gate_r11.json, BASELINE.md
+#: "registry cardinality" table): the dict costs ~1.2 GB driver RSS per 1M
+#: series and the Python matcher pass ~0.7 s per 1M (linear), while the
+#: distributed resolution is a ~0.8-2.5 s Spark job roughly independent of
+#: cardinality — at 1M the two matcher paths tie (0.62 s vs 0.76 s), at 5M
+#: the dict loses outright (3.6 s vs 2.3 s match, 7.5 s vs 2.5 s full read,
+#: 5.9 GB RSS, 106 s reload). 2M keeps the driver under ~2.4 GB and inside
+#: the regime where the cache still wins.
+DEFAULT_REGISTRY_CACHE_MAX_SERIES = 2_000_000
+
+
 class SparkParquetStorage(Storage):
     def __init__(
         self,
@@ -64,6 +77,7 @@ class SparkParquetStorage(Storage):
         root: str,
         max_series_inlist: int = DEFAULT_MAX_SERIES_INLIST,
         cache_registry: bool = True,
+        registry_cache_max_series: int | None = DEFAULT_REGISTRY_CACHE_MAX_SERIES,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -74,6 +88,11 @@ class SparkParquetStorage(Storage):
         self.tombstones_path = os.path.join(root, "tombstones")
         self.max_series_inlist = max_series_inlist
         self.cache_registry = cache_registry
+        # user intent, distinct from the effective flag: the reloader flips
+        # cache_registry off above the cardinality cutover and back on if
+        # retention brings the registry back under it
+        self._want_cache = cache_registry
+        self.registry_cache_max_series = registry_cache_max_series
         # fingerprint (unsigned) -> labels dict; the reference's in-memory
         # index (clickhouse.go:51-52), refreshed from disk on construction
         # (the 5 s reloader's job, clickhouse.go:155-204).
@@ -186,12 +205,47 @@ class SparkParquetStorage(Storage):
 
     def reload_registry(self) -> None:
         """S7: re-read the registry into the in-memory index
-        (``SELECT DISTINCT fingerprint, labels``, ``clickhouse.go:159``)."""
-        rows = self.registry_df().select(FINGERPRINT, LABELS).collect()
+        (``SELECT DISTINCT fingerprint, labels``, ``clickhouse.go:159``).
+
+        High-cardinality guard: a parquet-footer count runs first (cheap —
+        no row materialization) and when the registry exceeds
+        ``registry_cache_max_series`` the dict cache auto-disables instead
+        of collecting millions of label maps to the driver. Every read
+        path already degrades: matcher resolution runs distributed
+        (``plans.read.select_series``), the streamed chunked read joins
+        labels onto the frame distributed-side, and the iter_series fast
+        path steps aside for the materialized read. The flag flips back
+        on a later reload if retention brings cardinality under the
+        cutover. Pass ``registry_cache_max_series=None`` to force the
+        reference-parity always-cache behavior."""
+        if not self._want_cache:
+            # constructed cache-off: a stray reload (manual or reloader)
+            # must not build the dict behind the caller's back
+            self.cache_registry = False
+            self._registry = {}
+            return
+        reg = self.registry_df().select(FINGERPRINT, LABELS)
+        if self.registry_cache_max_series is not None:
+            n = reg.count()
+            if n > self.registry_cache_max_series:
+                if self.cache_registry:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "registry cardinality %d > %d: driver-side registry "
+                        "cache disabled, series resolution stays distributed",
+                        n,
+                        self.registry_cache_max_series,
+                    )
+                self.cache_registry = False
+                self._registry = {}
+                return
+        rows = reg.collect()
         merged = {to_unsigned64(r[FINGERPRINT]): dict(r[LABELS]) for r in rows}
         # keep read-your-own-writes for series written after the scan started
         merged.update(self._registry)
         self._registry = merged
+        self.cache_registry = self._want_cache
 
     def start_reloader(self, interval_seconds: float = 5.0):
         """Background registry refresh (the reference's 5 s reloader

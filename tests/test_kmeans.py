@@ -110,3 +110,52 @@ def test_fit_with_vectorized_assign_fn_matches_fold_fit(spark):
     fold = kmeans_fit(df, k=2, iters=3)
     fast = kmeans_fit(df, k=2, iters=3, assign_fn=assign_with_dist_vectorized)
     assert fold == fast
+
+
+def _skewed_planted(spark):
+    """Three far-apart blobs, with ALL of the k lowest ids being the SAME
+    point inside blob A — lowest-id seeding then starts with coincident
+    centers, the smallest-cid tie-break starves the duplicates, and
+    Lloyd can never un-collapse them (empty clusters keep their previous
+    centroid); k-means|| samples by distance mass and escapes."""
+    rows = []
+    for i in range(40):
+        rows.append((i, [0.0, 0.0]))
+    for i in range(20):
+        rows.append((100 + i, [100.0 + (i % 5) * 0.01, 0.0]))
+    for i in range(20):
+        rows.append((200 + i, [0.0, 100.0 + (i % 5) * 0.01]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _inertia(df, centers):
+    return (
+        assign_with_dist(df, centers)
+        .agg(F.sum("dist").alias("s"))
+        .first()["s"]
+    )
+
+
+def test_kmeans_parallel_init_beats_lowest_id_on_skew(spark):
+    """k-means|| seeding recovers the planted 3-blob partition that
+    lowest-id seeding (all 3 seeds in one blob) cannot: strictly lower
+    inertia AND an exact blob↔cluster bijection."""
+    df = _skewed_planted(spark)
+    low = kmeans_fit(df, k=3, iters=4)
+    par = kmeans_fit(df, k=3, iters=4, init="kmeans||")
+    i_low = _inertia(df, low)
+    i_par = _inertia(df, par)
+    assert i_par < i_low / 10, (i_par, i_low)
+    # exact recovery: each blob maps to exactly one distinct cluster
+    blobs = {}
+    for r in assign_with_dist(df, par).collect():
+        blobs.setdefault(r["vec_id"] // 100, set()).add(r["centroid_id"])
+    assert all(len(v) == 1 for v in blobs.values())
+    assert len({next(iter(v)) for v in blobs.values()}) == 3
+
+
+def test_kmeans_parallel_init_is_deterministic(spark):
+    df = _skewed_planted(spark)
+    a = kmeans_fit(df, k=3, iters=2, init="kmeans||")
+    b = kmeans_fit(df.repartition(7), k=3, iters=2, init="kmeans||")
+    assert a == b
