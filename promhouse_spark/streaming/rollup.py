@@ -81,7 +81,18 @@ def start_rollup_stream(
 ) -> StreamingQuery:
     """Tail the samples fact table as a file stream and maintain the rollup
     continuously: each micro-batch of newly-arrived sample files appends its
-    partial aggregates."""
+    partial aggregates.
+
+    CONTRACT (found by tests/test_soak.py): the tailed tier must stay
+    APPEND-ONLY while this stream runs. ``compact_samples`` deletes files
+    the file source may have registered but not yet read (the micro-batch
+    then fails on FILE_NOT_EXIST), and its consolidated rewrites are
+    indistinguishable from new data to a file stream, so the rollup would
+    double-count the whole rewritten partition even with
+    ``ignoreMissingFiles``. Production cadence: tail today's live
+    partition, compact only CLOSED (yesterday-and-older) partitions, or
+    stop/checkpoint the stream across a same-partition compaction — the
+    checkpoint makes the restart exactly-once either way."""
     from promhouse_spark.schemas import SAMPLES_SCHEMA
 
     stream = (
