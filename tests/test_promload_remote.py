@@ -129,3 +129,66 @@ def test_remote_roundtrip_preserves_streamed_chunks(live_server, tmp_path):
         [ts for ts in _all(store2) if ts.labels_map().get("__name__") == "dense"]
     )
     assert got == want
+
+
+def test_remote_read_streamed_histogram_chunks_roundtrip(live_server):
+    """Native-histogram series ride the streamed remote-read response as
+    HISTOGRAM / FLOAT_HISTOGRAM chunks and the read_remote client decodes
+    them back — integer-count and fractional-count (float chunk) series
+    in one response next to a float-sample series."""
+    from promhouse_spark.edge.promload import read_remote
+    from promhouse_spark.models import NativeHistogram
+
+    base, storage = live_server
+    storage.write(
+        [
+            TimeSeries(
+                labels=[Label("__name__", "lat_int"), Label("job", "h")],
+                histograms=[
+                    NativeHistogram(
+                        timestamp_ms=T0 + i * 15_000,
+                        count=float(3 + i),
+                        sum=1.5 * i,
+                        schema=0,
+                        zero_count=float(i),
+                        positive=[(0, 2.0), (1, float(1 + i))],
+                    )
+                    for i in range(5)
+                ],
+            ),
+            TimeSeries(
+                labels=[Label("__name__", "lat_float"), Label("job", "h")],
+                histograms=[
+                    NativeHistogram(
+                        timestamp_ms=T0 + i * 15_000,
+                        count=2.5 + i,
+                        sum=0.25 * i,
+                        schema=3,
+                        positive=[(2, 1.25 + i)],
+                        is_float=True,
+                    )
+                    for i in range(3)
+                ],
+            ),
+            TimeSeries(
+                labels=[Label("__name__", "floats"), Label("job", "h")],
+                samples=[Sample(float(i), T0 + i * 15_000) for i in range(5)],
+            ),
+        ]
+    )
+    got: dict[str, TimeSeries] = {}
+    for batch in read_remote(
+        f"{base}/read", step_ms=10**9, last_ms=10**9, end_ms=T0 + 10**6
+    ):
+        for ts in batch:
+            got[ts.labels_map()["__name__"]] = ts
+    assert set(got) == {"lat_int", "lat_float", "floats"}
+    assert [s.value for s in got["floats"].samples] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    hi = got["lat_int"].histograms
+    assert [h.count for h in hi] == [3.0, 4.0, 5.0, 6.0, 7.0]
+    assert all(not h.is_float for h in hi)
+    assert dict(hi[4].positive)[1] == 5.0 and hi[4].zero_count == 4.0
+    hf = got["lat_float"].histograms
+    assert [h.count for h in hf] == [2.5, 3.5, 4.5]
+    assert all(h.is_float for h in hf)
+    assert dict(hf[2].positive)[2] == 3.25 and hf[2].schema == 3
