@@ -135,6 +135,31 @@ def measure(spark, n: int) -> dict:
     out["read_distributed_sec"] = round(time.time() - t0, 2)
     assert len(res_d[0]) == len(res[0])
 
+    # --- streamed remote read end-to-end under each mode (the serve path
+    # the cutover protects: cached → iter_series fast path; distributed →
+    # materialized read, labels joined distributed, frames streamed) ---
+    try:
+        from promhouse_spark.edge import prompb, snappy_codec
+        from promhouse_spark.edge.http import create_app
+
+        rq = snappy_codec.compress(
+            prompb.encode_read_request_full(
+                [q], [prompb.RESPONSE_TYPE_STREAMED_XOR_CHUNKS]
+            )
+        )
+        for key, st in (("cached", store_c), ("distributed", store_d)):
+            app = create_app(st)
+            app.testing = True
+            client = app.test_client()
+            t0 = time.time()
+            resp = client.post("/read", data=rq)
+            body = resp.data  # drain the frame generator
+            out[f"streamed_read_{key}_sec"] = round(time.time() - t0, 2)
+            out[f"streamed_read_{key}_bytes"] = len(body)
+            assert resp.status_code == 200
+    except ImportError:
+        pass  # no flask in this environment: skip the HTTP layer
+
     # --- the auto-cutover itself: count-only reload, no collect ---
     t0 = time.time()
     store_auto = SparkParquetStorage(spark, root)  # default cutover
