@@ -60,6 +60,12 @@ def _holds_histograms(storage) -> bool:
     zero-decode chunked-tier path uses this to decide whether it must
     merge the histogram sidecar into its float-chunk stream at all.
     Unknown/unreadable state counts as "holds" — correctness over speed."""
+    probe = getattr(storage, "has_histograms", None)
+    if probe is not None:
+        try:
+            return bool(probe())
+        except Exception:  # noqa: BLE001
+            return True
     hp = getattr(storage, "histograms_path", None)
     if hp is None:
         return False
@@ -90,6 +96,24 @@ def _mixed_chunks(ts) -> list[tuple[int, int, int, bytes]]:
             sorted(hists, key=lambda h: h.timestamp_ms)
         )
     return chunks
+
+
+def _hist_chunk_series(storage, q) -> list[tuple[int, dict, list]]:
+    """One query's histogram series as WIRE chunks, unsigned-fp ordered:
+    zero-decode from the chunked tier's at-rest histogram chunks when
+    sound (histogram_series_chunks — None means pending tombstones), else
+    decode + re-encode through the flat path, which masks tombstones."""
+    fast = getattr(storage, "histogram_series_chunks", None)
+    if fast is not None:
+        res = fast(q)
+        if res is not None:
+            return res
+    from promhouse_spark.edge import chunkenc
+
+    return [
+        (ufp, labels, chunkenc.chunk_native_histograms(hs))
+        for ufp, labels, hs in storage.histogram_series(q)
+    ]
 
 
 def create_app(
@@ -303,16 +327,18 @@ def create_app(
             ):
                 counters["read_queries"] += len(queries)
                 # bounded driver-side lists (native-series cardinality);
-                # fetched eagerly so a failure 500s before the header
+                # fetched eagerly so a failure 500s before the header —
+                # zero-decode at-rest histogram chunks when the tier
+                # stores them that way
                 hists_per_query = (
-                    [storage.histogram_series(q) for q in queries]
+                    [_hist_chunk_series(storage, q) for q in queries]
                     if _holds_histograms(storage)
                     else [[] for _ in queries]
                 )
 
                 def raw_frames():
                     def hist_frame(qi, entry):
-                        _ufp, labels, hists = entry
+                        _ufp, labels, hchunks = entry
                         msg = prompb.encode_chunked_read_response(
                             [
                                 (
@@ -320,7 +346,7 @@ def create_app(
                                         MLabel(n, v)
                                         for n, v in sorted(labels.items())
                                     ],
-                                    chunkenc.chunk_native_histograms(hists),
+                                    hchunks,
                                 )
                             ],
                             query_index=qi,
@@ -340,9 +366,7 @@ def create_app(
                                 for mn, mx, data in chunks
                             ]
                             if hi < len(hseries) and hseries[hi][0] == ufp:
-                                wire_chunks += chunkenc.chunk_native_histograms(
-                                    hseries[hi][2]
-                                )
+                                wire_chunks += hseries[hi][2]
                                 hi += 1
                             msg = prompb.encode_chunked_read_response(
                                 [

@@ -111,6 +111,9 @@ class ChunkedParquetStorage(SparkParquetStorage):
     def __init__(self, spark: SparkSession, root: str, **kwargs) -> None:
         super().__init__(spark, root, **kwargs)
         self.chunks_path = os.path.join(root, "chunks")
+        # native histograms as tsdb/chunkenc histogram chunks (types 2/3)
+        # — same at-rest ≡ wire contract as the float chunks tier
+        self.hist_chunks_path = os.path.join(root, "hist_chunks")
 
     # ---------------------------------------------------------------- write
 
@@ -309,10 +312,136 @@ class ChunkedParquetStorage(SparkParquetStorage):
             return []
         return itertools.chain([first], it)
 
+    # ------------------------------------------------- histogram chunk tier
+
+    def hist_chunks_df(self) -> DataFrame:
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return self.spark.createDataFrame([], HIST_CHUNK_SCHEMA)
+        return self.spark.read.parquet(self.hist_chunks_path)
+
+    def has_histograms(self) -> bool:
+        return fs.exists(self.spark, self.hist_chunks_path)
+
+    def _write_histograms(self, hdf: DataFrame) -> None:
+        """Histogram ingest: one shuffle keyed (fingerprint, day), Arrow-
+        batched chunk encoding per group (edge/chunkenc histogram/
+        floathistogram formats), day-partitioned parquet out — the exact
+        write shape of the float chunks tier."""
+        df = hdf.withColumn(
+            DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+        )
+        chunks = df.groupBy(FINGERPRINT, DATE).applyInPandas(
+            _encode_hist_group, schema=HIST_CHUNK_SCHEMA
+        )
+        chunks.write.partitionBy(DATE).mode("append").parquet(
+            self.hist_chunks_path
+        )
+
+    def histograms_df(self) -> DataFrame:
+        """The decoded flat view (HISTOGRAMS_SCHEMA) — correct everywhere
+        the flat frame is expected; time-window pruning happens in
+        :meth:`histograms_range_df` where chunk envelopes can prune
+        before the decode barrier."""
+        from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            self.hist_chunks_df()
+            .repartition(par)
+            .mapInPandas(_decode_hist_chunks, schema=HISTOGRAMS_SCHEMA)
+        )
+        return self._apply_tombstones(decoded)
+
+    def histograms_range_df(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Time-bounded decode: day partitions and (min_ms, max_ms)
+        envelopes prune whole chunks BEFORE a histogram byte is decoded,
+        then the exact row filter applies above the decode."""
+        from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
+        cond = (F.col("max_ms") >= start_ms) & (F.col("min_ms") <= end_ms)
+        start_d = F.to_date(F.timestamp_millis(F.lit(int(start_ms))))
+        end_d = F.to_date(F.timestamp_millis(F.lit(int(end_ms))))
+        cond = cond & (F.col(DATE) >= start_d) & (F.col(DATE) <= end_d)
+        decoded = (
+            self.hist_chunks_df()
+            .filter(cond)
+            .mapInPandas(_decode_hist_chunks, schema=HISTOGRAMS_SCHEMA)
+            .filter(
+                (F.col(TIMESTAMP_MS) >= int(start_ms))
+                & (F.col(TIMESTAMP_MS) <= int(end_ms))
+            )
+        )
+        return self._apply_tombstones(decoded)
+
+    def histogram_series_chunks(self, q: Query, fps=None):
+        """Zero-decode histogram serve for the streamed remote-read path:
+        pruned at-rest chunk rows ARE the wire chunks. Returns
+        ``[(ufp, labels_dict, [(min_ms, max_ms, ctype, bytes), ...])]``
+        in unsigned-fingerprint order, ``None`` when unsound (pending
+        tombstones — deleted histograms may hide inside a chunk, callers
+        fall back to the decoding ``histogram_series`` which masks), or
+        ``[]`` when nothing matches. Driver memory is bounded by matched
+        native-series cardinality — the same API-edge contract as
+        ``histogram_series``."""
+        from promhouse_spark.functions.fingerprint import to_unsigned64
+        from promhouse_spark.schemas import LABELS
+
+        if fs.exists(self.spark, self.tombstones_path):
+            return None
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return []
+        if fps is None and self.cache_registry:
+            fps = self._resolve_fingerprints(q)
+            if not fps:
+                return []
+        chunks = self.hist_chunks_df()
+        cond = (F.col("max_ms") >= q.start_ms) & (F.col("min_ms") <= q.end_ms)
+        start_d = F.to_date(F.timestamp_millis(F.lit(int(q.start_ms))))
+        end_d = F.to_date(F.timestamp_millis(F.lit(int(q.end_ms))))
+        pruned = chunks.filter(
+            cond & (F.col(DATE) >= start_d) & (F.col(DATE) <= end_d)
+        ).select(FINGERPRINT, "min_ms", "max_ms", "ctype", "chunk")
+        if fps is not None:
+            pruned = restrict_to_series(pruned, fps, self.max_series_inlist)
+            registry = self._registry
+        else:  # cache off: matchers + labels resolve distributed
+            from promhouse_spark.plans.read import select_series
+
+            matched = select_series(self.registry_df(), q.matchers).select(
+                FINGERPRINT, LABELS
+            )
+            pruned = pruned.join(matched, FINGERPRINT)
+            registry = None
+        rows = pruned.collect()
+        rows.sort(
+            key=lambda r: (to_unsigned64(r[FINGERPRINT]), r["min_ms"], r["max_ms"])
+        )
+        out = []
+        for r in rows:
+            ufp = to_unsigned64(r[FINGERPRINT])
+            labels = (
+                dict(registry.get(ufp, {}))
+                if registry is not None
+                else dict(r[LABELS] or {})
+            )
+            entry = (r["min_ms"], r["max_ms"], int(r["ctype"]), bytes(r["chunk"]))
+            if out and out[-1][0] == ufp:
+                out[-1][2].append(entry)
+            else:
+                out.append((ufp, labels, [entry]))
+        return out
+
     # ------------------------------------------------------------ lifecycle
 
     def _date_partitioned_tiers(self) -> tuple[str, ...]:
-        return super()._date_partitioned_tiers() + (self.chunks_path,)
+        return super()._date_partitioned_tiers() + (
+            self.chunks_path,
+            self.hist_chunks_path,
+        )
 
     def clean_tombstones(self, files_per_day: int = 1) -> dict[str, int]:
         """Flat sidecars clean via the inherited rewrite; the chunks tier
@@ -370,14 +499,79 @@ class ChunkedParquetStorage(SparkParquetStorage):
                 ):
                     fs.delete(self.spark, self.chunks_path)
                 rewritten["chunks"] = len(affected)
+        n_hist = self._clean_hist_chunk_tombstones(t)
+        if n_hist:
+            rewritten["hist_chunks"] = n_hist
         rewritten.update(super().clean_tombstones(files_per_day))
         return rewritten
+
+    def _clean_hist_chunk_tombstones(self, t: DataFrame) -> int:
+        """Histogram-chunk analog of the float-chunk rewrite: decode,
+        mask, re-encode ONLY the day partitions whose chunk envelopes
+        intersect a pending tombstone."""
+        from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return 0
+        chunks = self.hist_chunks_df()
+        tt = t.select(F.col(FINGERPRINT).alias("__t_fp"), "min_ms", "max_ms")
+        hit = (
+            (chunks[FINGERPRINT] == tt["__t_fp"])
+            & (chunks["max_ms"] >= tt["min_ms"])
+            & (chunks["min_ms"] <= tt["max_ms"])
+        )
+        affected = [
+            r[DATE]
+            for r in chunks.join(tt, hit, "left_semi")
+            .select(DATE)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return 0
+        keep = chunks.filter(F.col(DATE).isin(affected))
+        decoded = keep.mapInPandas(_decode_hist_chunks, schema=HISTOGRAMS_SCHEMA)
+        surviving = self._apply_tombstones(decoded).withColumn(
+            DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+        )
+        reencoded = surviving.groupBy(FINGERPRINT, DATE).applyInPandas(
+            _encode_hist_group, schema=HIST_CHUNK_SCHEMA
+        )
+        tmp = self.hist_chunks_path + ".clean"
+        if fs.exists(self.spark, tmp):
+            raise RuntimeError(
+                f"stale {tmp} exists — previous clean crashed mid-swap; "
+                "inspect/remove it before cleaning again"
+            )
+        reencoded.write.partitionBy(DATE).mode("overwrite").parquet(tmp)
+        for d in affected:
+            part = f"{DATE}={d.isoformat()}"
+            fs.delete(self.spark, os.path.join(self.hist_chunks_path, part))
+            if fs.exists(self.spark, os.path.join(tmp, part)):
+                fs.rename(
+                    self.spark,
+                    os.path.join(tmp, part),
+                    os.path.join(self.hist_chunks_path, part),
+                )
+        fs.delete(self.spark, tmp)
+        if not any(
+            n.startswith(f"{DATE}=")
+            for n in fs.list_names(self.spark, self.hist_chunks_path)
+        ):
+            fs.delete(self.spark, self.hist_chunks_path)
+        return len(affected)
 
     def snapshot(self, name: str | None = None) -> str:
         name = super().snapshot(name)
         dest = os.path.join(self.root, "snapshots", name)
         if fs.exists(self.spark, self.chunks_path):
             fs.copy(self.spark, self.chunks_path, os.path.join(dest, "chunks"))
+        if fs.exists(self.spark, self.hist_chunks_path):
+            fs.copy(
+                self.spark,
+                self.hist_chunks_path,
+                os.path.join(dest, "hist_chunks"),
+            )
         return name
 
     def compact_samples(self, files_per_day: int = 1) -> None:
@@ -386,6 +580,7 @@ class ChunkedParquetStorage(SparkParquetStorage):
         chunks micro-batch ingestion accumulates (the Prometheus head-
         compaction analog). Same offline/single-writer contract as the
         flat tier's compaction."""
+        self._compact_hist_chunks(files_per_day)
         if not fs.exists(self.spark, self.chunks_path):
             return
         old = self.chunks_path + ".old"
@@ -416,3 +611,166 @@ class ChunkedParquetStorage(SparkParquetStorage):
         fs.rename(self.spark, tmp, self.chunks_path)
         fs.delete(self.spark, old)
         self._drop_recent_cache()
+
+    def _compact_hist_chunks(self, files_per_day: int = 1) -> None:
+        """Merge the overlapping histogram mini-chunks micro-batch
+        ingestion accumulates — decode, re-group per (fingerprint, day),
+        re-encode full-size chunks, swap."""
+        from promhouse_spark.schemas import HISTOGRAMS_SCHEMA
+
+        if not fs.exists(self.spark, self.hist_chunks_path):
+            return
+        old = self.hist_chunks_path + ".old"
+        if fs.exists(self.spark, old):
+            raise RuntimeError(
+                f"stale {old} exists — previous compaction crashed mid-swap; "
+                "inspect/remove it before compacting again"
+            )
+        decoded = (
+            self.hist_chunks_df()
+            .mapInPandas(_decode_hist_chunks, schema=HISTOGRAMS_SCHEMA)
+            .withColumn(DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS))))
+        )
+        reencoded = decoded.groupBy(FINGERPRINT, DATE).applyInPandas(
+            _encode_hist_group, schema=HIST_CHUNK_SCHEMA
+        )
+        tmp = self.hist_chunks_path + ".compact"
+        (
+            reencoded.repartition(
+                max(files_per_day * 8, 32),
+                F.col(DATE),
+                F.pmod(F.col(FINGERPRINT), F.lit(files_per_day)),
+            )
+            .sortWithinPartitions(FINGERPRINT, "min_ms")
+            .write.partitionBy(DATE)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.rename(self.spark, self.hist_chunks_path, old)
+        fs.rename(self.spark, tmp, self.hist_chunks_path)
+        fs.delete(self.spark, old)
+
+
+# --------------------------------------------------- histogram chunk tier
+# Native histograms stored AS tsdb/chunkenc histogram chunks (types 2/3,
+# edge/chunkenc.py) instead of flat parquet rows — the same at-rest ≡ wire
+# design as the float chunks tier, so a streamed remote read ships
+# histogram chunk bytes without re-encoding. Layout mirrors CHUNK_SCHEMA
+# plus the chunk type.
+
+HIST_CHUNK_SCHEMA = (
+    f"{FINGERPRINT} long, {DATE} date, min_ms long, max_ms long, "
+    "n int, ctype int, chunk binary"
+)
+
+
+def _bucket_pairs(cell):
+    """array<struct<idx,cnt>> cell as Arrow hands it to pandas — a
+    sequence of dicts (or Rows); None for missing."""
+    if cell is None:
+        return []
+    return [
+        (int(b["idx"]), float(b["cnt"]))
+        if isinstance(b, dict)
+        else (int(b[0]), float(b[1]))
+        for b in cell
+    ]
+
+
+def _encode_hist_group(pdf):
+    """(fingerprint, date) group of HISTOGRAMS_SCHEMA(+date) rows →
+    histogram chunk rows. Runs on executors."""
+    import pandas as pd
+
+    from promhouse_spark.edge.chunkenc import chunk_native_histograms
+    from promhouse_spark.models import NativeHistogram
+
+    pdf = pdf.sort_values(TIMESTAMP_MS)
+    fp = int(pdf[FINGERPRINT].iloc[0])
+    date = pdf[DATE].iloc[0]
+    hists = [
+        NativeHistogram(
+            timestamp_ms=int(t),
+            count=float(cnt),
+            sum=float(s),
+            schema=int(sch),
+            zero_threshold=float(zt),
+            zero_count=float(zc),
+            positive=_bucket_pairs(pos),
+            negative=_bucket_pairs(neg),
+        )
+        for t, cnt, s, sch, zt, zc, pos, neg in zip(
+            pdf[TIMESTAMP_MS],
+            pdf["count"],
+            pdf["sum"],
+            pdf["schema"],
+            pdf["zero_threshold"],
+            pdf["zero_count"],
+            pdf["positive"],
+            pdf["negative"],
+        )
+    ]
+    rows = [
+        (fp, date, mn, mx, int.from_bytes(data[:2], "big"), ctype, data)
+        for mn, mx, ctype, data in chunk_native_histograms(hists)
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[FINGERPRINT, DATE, "min_ms", "max_ms", "n", "ctype", "chunk"],
+    )
+
+
+def _decode_hist_chunks(batches: Iterator) -> Iterator:
+    """Histogram chunk rows → flat HISTOGRAMS_SCHEMA rows. Zero-count
+    union-layout padding buckets are dropped: absent ≡ zero for absolute
+    bucket counts, and the flat tier's canonical form omits them."""
+    import pandas as pd
+
+    from promhouse_spark.edge.chunkenc import (
+        CHUNK_TYPE_HISTOGRAM,
+        decode_float_histogram_chunk,
+        decode_histogram_chunk,
+    )
+
+    cols = [
+        FINGERPRINT,
+        TIMESTAMP_MS,
+        "schema",
+        "zero_threshold",
+        "zero_count",
+        "count",
+        "sum",
+        "positive",
+        "negative",
+    ]
+    for pdf in batches:
+        rows = []
+        for fp, ctype, data in zip(pdf[FINGERPRINT], pdf["ctype"], pdf["chunk"]):
+            hs = (
+                decode_histogram_chunk(bytes(data))[0]
+                if int(ctype) == CHUNK_TYPE_HISTOGRAM
+                else decode_float_histogram_chunk(bytes(data))[0]
+            )
+            for h in hs:
+                rows.append(
+                    (
+                        int(fp),
+                        int(h.timestamp_ms),
+                        int(h.schema),
+                        float(h.zero_threshold),
+                        float(h.zero_count),
+                        float(h.count),
+                        float(h.sum),
+                        [
+                            {"idx": int(i), "cnt": float(c)}
+                            for i, c in h.positive
+                            if c != 0.0
+                        ],
+                        [
+                            {"idx": int(i), "cnt": float(c)}
+                            for i, c in h.negative
+                            if c != 0.0
+                        ],
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)

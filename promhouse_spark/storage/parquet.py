@@ -150,10 +150,37 @@ class SparkParquetStorage(Storage):
             return df
         return apply_tombstones(df, self.tombstones_df())
 
+    def _write_histograms(self, hdf: DataFrame) -> None:
+        """Persist one write-batch of native-histogram rows
+        (HISTOGRAMS_SCHEMA, no date column). The chunked tier overrides
+        this with histogram-chunk encoding (at-rest ≡ wire)."""
+        (
+            hdf.withColumn(
+                DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
+            )
+            .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
+            .write.partitionBy(DATE)
+            .mode("append")
+            .parquet(self.histograms_path)
+        )
+
+    def has_histograms(self) -> bool:
+        """True when the native-histogram tier holds data — the seam the
+        HTTP layer and read attachment check (the chunked tier stores
+        histograms under a different layout/path)."""
+        return fs.exists(self.spark, self.histograms_path)
+
     def histograms_df(self) -> DataFrame:
         if not fs.exists(self.spark, self.histograms_path):
             return self.spark.createDataFrame([], HISTOGRAMS_SCHEMA)
         return self._apply_tombstones(self.spark.read.parquet(self.histograms_path))
+
+    def histograms_range_df(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Time-bounded histogram frame — the pruning seam: the flat tier
+        filters rows (+ the derived date predicate for partition
+        pruning); the chunked tier prunes whole chunks by envelope BEFORE
+        its decode barrier."""
+        return samples_in_range(self.histograms_df(), start_ms, end_ms)
 
     def read_histograms(self, query) -> DataFrame:
         """Native-histogram read: the same matcher-resolution +
@@ -167,7 +194,7 @@ class SparkParquetStorage(Storage):
         )
 
         matched = select_series(self.registry_df(), query.matchers)
-        hf = samples_in_range(self.histograms_df(), query.start_ms, query.end_ms)
+        hf = self.histograms_range_df(query.start_ms, query.end_ms)
         hf = restrict_to_series(hf, matched.select(FINGERPRINT))
         return hf.join(matched, FINGERPRINT).select(
             LABELS,
@@ -337,15 +364,8 @@ class SparkParquetStorage(Storage):
             df = self.spark.createDataFrame(sample_rows, SAMPLES_SCHEMA)
             self.ingest_df(df)
         if hist_rows:
-            hdf = self.spark.createDataFrame(hist_rows, HISTOGRAMS_SCHEMA)
-            (
-                hdf.withColumn(
-                    DATE, F.to_date(F.timestamp_millis(F.col(TIMESTAMP_MS)))
-                )
-                .sortWithinPartitions(FINGERPRINT, TIMESTAMP_MS)
-                .write.partitionBy(DATE)
-                .mode("append")
-                .parquet(self.histograms_path)
+            self._write_histograms(
+                self.spark.createDataFrame(hist_rows, HISTOGRAMS_SCHEMA)
             )
         if exemplar_rows:
             edf = self.spark.createDataFrame(exemplar_rows, EXEMPLARS_SCHEMA)
@@ -801,9 +821,9 @@ class SparkParquetStorage(Storage):
         generator after response headers are out."""
         from promhouse_spark.plans.read import select_series
 
-        if not fs.exists(self.spark, self.histograms_path):
+        if not self.has_histograms():
             return []
-        hf = samples_in_range(self.histograms_df(), q.start_ms, q.end_ms)
+        hf = self.histograms_range_df(q.start_ms, q.end_ms)
         if fps is not None:
             if not fps:
                 return []
