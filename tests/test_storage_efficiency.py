@@ -27,3 +27,63 @@ def test_compressed_bytes_per_sample_beats_reference(spark):
     assert bps < 5.3, f"compressed storage {bps:.2f} B/sample >= reference 5.3"
     # sanity floor: it's a real measurement, not an empty write
     assert bps > 0.1
+
+
+def test_histogram_chunks_beat_flat_sidecar(spark, tmp_path):
+    """The hist_chunks tier (tsdb/chunkenc histogram chunks at rest) must
+    stay smaller than the flat parquet sidecar on a realistic scrape
+    shape — guards the measured 1.9× (ARCHITECTURE.md round 11) against
+    regressions in the encoder or the cutter."""
+    import random
+
+    from promhouse_spark.models import Label, NativeHistogram, TimeSeries
+    from promhouse_spark.storage.chunked import ChunkedParquetStorage
+    from promhouse_spark.storage.parquet import SparkParquetStorage
+
+    T0 = 1_767_225_600_000
+    rng = random.Random(7)
+
+    def series(k):
+        counts = [rng.randint(0, 3) for _ in range(20)]
+        total = sum(counts)
+        hists = []
+        for i in range(360):
+            for b in range(20):
+                inc = rng.randint(0, 2) if rng.random() < 0.3 else 0
+                counts[b] += inc
+                total += inc
+            hists.append(
+                NativeHistogram(
+                    timestamp_ms=T0 + i * 60_000,
+                    count=float(total),
+                    sum=total * 0.37 + i * 0.01,
+                    schema=0,
+                    zero_count=float(i % 5),
+                    positive=[
+                        (idx - 5, float(c)) for idx, c in enumerate(counts) if c
+                    ],
+                )
+            )
+        return TimeSeries(
+            labels=[Label("__name__", "lat"), Label("inst", f"i{k}")],
+            histograms=hists,
+        )
+
+    def du(path):
+        t = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                t += os.path.getsize(os.path.join(root, f))
+        return t
+
+    data = [series(k) for k in range(40)]
+    flat = SparkParquetStorage(spark, str(tmp_path / "flat"))
+    chun = ChunkedParquetStorage(spark, str(tmp_path / "chun"))
+    flat.write(data)
+    chun.write(data)
+    n = 40 * 360
+    flat_b = du(flat.histograms_path) / n
+    chunk_b = du(chun.hist_chunks_path) / n
+    assert chunk_b < flat_b, (chunk_b, flat_b)
+    # sanity: both are real measurements of real data
+    assert 1.0 < chunk_b < 40.0 and 1.0 < flat_b < 80.0
