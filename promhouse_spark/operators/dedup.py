@@ -220,41 +220,39 @@ def minhash_lsh_candidates(
     return minhash_lsh_from_signatures(sig, id_col, num_hashes, bands)
 
 
-def minhash_lsh_from_signatures(
+def minhash_lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 48,
     bands: int = 12,
 ) -> DataFrame:
-    """The banding + candidate-join stage of :func:`minhash_lsh_candidates`,
-    taking an already-computed ``(id, signature array<long>)`` frame —
-    split out so a PERSISTED signature table can feed it: the xxhash64
-    signature computation is the only non-SQL-expressible step, so staging
-    the signatures lets a SQL oracle replay banding, candidate join, and
-    the agreement estimate over the identical longs."""
+    """Banding + candidate self-join ONLY: deduped (doc_a, doc_b) pairs
+    without the signature re-attach — for consumers that verify candidates
+    with their own exact measure (``doc_shingle_jaccard_lsh`` re-scores
+    with exact shingle Jaccard and never reads ``est_jaccard``; executing
+    the two attach joins there was pure waste — 2 broadcast builds + 2
+    signature scans per run, measured r11)."""
     rows = num_hashes // bands
     # the band self-join moves only (id, band, bucket) — 24 bytes/row, not
     # the 48-long signature; at corpus scale the exchange is 20× slimmer and
-    # the dedup shuffle never carries arrays
+    # the dedup shuffle never carries arrays. The band array is built as ONE
+    # SQL expression string: the per-band F.struct/F.xxhash64/F.slice loop
+    # cost ~0.5 s of py4j round trips per query BUILD (measured r11 —
+    # repeated bench/driver invocations rebuild the plan each time), while
+    # a single expr() parses server-side in ~1 ms; the analyzed plan is
+    # identical (same functions, same literals).
+    bands_sql = ", ".join(
+        f"struct({i} AS band, "
+        f"xxhash64(slice(signature, {i * rows + 1}, {rows})) AS bucket)"
+        for i in range(bands)
+    )
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("signature", i * rows + 1, rows)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({bands_sql}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -267,6 +265,21 @@ def minhash_lsh_from_signatures(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 48,
+    bands: int = 12,
+) -> DataFrame:
+    """The banding + candidate-join stage of :func:`minhash_lsh_candidates`,
+    taking an already-computed ``(id, signature array<long>)`` frame —
+    split out so a PERSISTED signature table can feed it: the xxhash64
+    signature computation is the only non-SQL-expressible step, so staging
+    the signatures lets a SQL oracle replay banding, candidate join, and
+    the agreement estimate over the identical longs."""
+    pairs = minhash_lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     # candidate pairs ≪ corpus: attach signatures after dedup (AQE picks
     # broadcast/shuffle by runtime size; ids are unique so no skew)
     attached = pairs.join(

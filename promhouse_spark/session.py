@@ -54,6 +54,16 @@ def get_spark(
     return spark
 
 
+# DataFrame-handle memo for load_table: repeated query builds re-resolve the
+# same parquet sources, and every spark.read.parquet() pays driver-side file
+# listing + footer schema read (~0.15-0.2 s each — guide §6 file-listing
+# cost; measured r11: q5 built 6 scans = ~0.6 s of pure metadata per bench
+# run). The memo stores the resolved DataFrame PLAN only — no rows, no
+# results; every execution still scans parquet. Keyed by (application, path,
+# mtime) so a rewritten table (or a new session) re-resolves.
+_TABLE_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table, normalizing physical quirks.
 
@@ -61,8 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a long which we convert to a proper timestamp column (microsecond
     truncation — same instant the oracle sees).
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Belt-and-braces for sessions we didn't build: if the scan still came
@@ -70,6 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for fname, ftype in df.dtypes:
         if ftype == "timestamp_ntz":
             df = df.withColumn(fname, F.col(fname).cast("timestamp"))
+    _TABLE_MEMO[key] = df
     return df
 
 

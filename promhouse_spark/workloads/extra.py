@@ -777,12 +777,13 @@ def ph_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     staged = _stage(
-        ev.select(
+        lambda: ev.select(
             "event_type",
             F.xxhash64(F.col("user_id").cast("string")).alias("h"),
         ).distinct(),
         _HLL_STAGE,
         sf_dir,
+        spark,
     )
     w = F.col("h").bitwiseAND(F.lit(_HLL_WMASK))
     rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
@@ -1300,12 +1301,13 @@ def ph_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     staged = _stage(
-        ev.select(
+        lambda: ev.select(
             "event_type",
             F.xxhash64(F.col("user_id").cast("string")).alias("h"),
         ).distinct(),
         _KMV_STAGE,
         sf_dir,
+        spark,
     )
     u = (F.col("h").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
     agg = (

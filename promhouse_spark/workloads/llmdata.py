@@ -270,17 +270,32 @@ _SIMHASH_STAGE = f"{_STAGE_DIR}/simhash_fps.parquet"
 _STAGED_FOR: dict[str, tuple[str, str]] = {}
 
 
-def _stage(df, path: str, sf_dir: str):
-    """Write ``df`` to the staging path (memoized per app+sf) and return
-    the read-back frame, so query and oracle consume identical bytes."""
+# read-back DataFrame handles for staged artifacts, keyed like _STAGED_FOR:
+# plan objects only (no rows) — re-resolving the staged parquet costs a
+# driver-side listing + footer read per query build otherwise
+_STAGE_READ_MEMO: dict[str, tuple[tuple[str, str], "DataFrame"]] = {}
+
+
+def _stage(df_thunk, path: str, sf_dir: str, spark: SparkSession = None):
+    """Write ``df_thunk()`` to the staging path (memoized per app+sf) and
+    return the read-back frame, so query and oracle consume identical
+    bytes. Takes a THUNK, not a DataFrame: building the signature
+    expression tree costs ~0.6 s of py4j round trips (measured r11), and
+    when the staged artifact is already current that tree was built only
+    to be discarded — the thunk defers construction to the one call that
+    actually writes."""
     import os
 
-    spark = df.sparkSession
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if _STAGED_FOR.get(path) != key:
-        df.write.mode("overwrite").parquet(path)
+        df_thunk().write.mode("overwrite").parquet(path)
         _STAGED_FOR[path] = key
-    return spark.read.parquet(path)
+    memo = _STAGE_READ_MEMO.get(path)
+    if memo is not None and memo[0] == key:
+        return memo[1]
+    out = spark.read.parquet(path)
+    _STAGE_READ_MEMO[path] = (key, out)
+    return out
 
 
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +306,9 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs. The staged signature table is also the production shape — at
     100 TB you materialize signatures once and band from the table."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = _stage(D.minhash_signatures(docs), _MINHASH_STAGE, sf_dir)
+    staged = _stage(
+        lambda: D.minhash_signatures(docs), _MINHASH_STAGE, sf_dir, spark
+    )
     return D.minhash_lsh_from_signatures(staged).orderBy("doc_a", "doc_b")
 
 
@@ -326,7 +343,7 @@ def doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL pairs by XOR+popcount — equal to the banded path by the pigeonhole
     completeness the banding guarantees (and tests/test_recall.py pins)."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = _stage(D.simhash(docs), _SIMHASH_STAGE, sf_dir)
+    staged = _stage(lambda: D.simhash(docs), _SIMHASH_STAGE, sf_dir, spark)
     return D.simhash_pairs_from_fingerprints(staged, max_hamming=8).orderBy(
         "doc_a", "doc_b"
     )
@@ -364,8 +381,17 @@ def doc_shingle_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     12×4 banding is 1-(1-J⁴)¹² ≥ 0.998 (gated in tests/test_recall.py for
     the 0.9 regime). Hash-paired via the staged signature table."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = _stage(D.minhash_signatures(docs), _JACC_SIG_STAGE, sf_dir)
-    cand = D.minhash_lsh_from_signatures(staged).select("doc_a", "doc_b")
+    staged = _stage(
+        lambda: D.minhash_signatures(docs), _JACC_SIG_STAGE, sf_dir, spark
+    )
+    # pairs only — the est_jaccard attach would execute two signature
+    # joins whose output this query never reads (measured r11: 2 broadcast
+    # builds + 2 staged scans per run removed). The deduped pair set is
+    # ≪ corpus by LSH construction, so one eager localCheckpoint
+    # materializes it ONCE for its three consumers (ids union + the two
+    # verification joins) — previously the whole banded self-join pipeline
+    # re-executed three times inside one query (plan showed 3 copies).
+    cand = D.minhash_lsh_candidate_pairs(staged).localCheckpoint(eager=True)
     # shingle sets ONLY for candidate documents (semi-join first): the
     # verification cost is bounded by |candidates|, and the join build side
     # stays broadcast-small — materializing shingles for the whole corpus
@@ -457,13 +483,19 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle reads (the k-means fit isn't SQL-expressible, but probe
     # selection + list scan + cosine top-k over the persisted index ARE —
     # the oracle replays them from these exact tables), then probe from
-    # the staged copy so query and oracle read identical bytes
-    spark.read.parquet(f"{path}/vectors").write.partitionBy(
-        "centroid_id"
-    ).mode("overwrite").parquet(f"{_IVF_STAGE}/vectors")
-    spark.read.parquet(f"{path}/centroids").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{_IVF_STAGE}/centroids")
+    # the staged copy so query and oracle read identical bytes. The copy
+    # is memoized per (app, sf) exactly like _STAGED_FOR: it is a
+    # deterministic function of the (already memoized) index, and
+    # re-running the two write jobs per query build cost two full Spark
+    # jobs per bench iteration (measured r11).
+    if _STAGED_FOR.get(_IVF_STAGE) != key:
+        spark.read.parquet(f"{path}/vectors").write.partitionBy(
+            "centroid_id"
+        ).mode("overwrite").parquet(f"{_IVF_STAGE}/vectors")
+        spark.read.parquet(f"{path}/centroids").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{_IVF_STAGE}/centroids")
+        _STAGED_FOR[_IVF_STAGE] = key
     return S.ivf_probe(spark, _IVF_STAGE, _query_vec(spark, sf_dir), k=10, nprobe=10)
 
 
