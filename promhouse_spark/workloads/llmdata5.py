@@ -243,11 +243,18 @@ def emb_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supervised path."""
     from pyspark.sql import Window
 
-    from promhouse_spark.operators.kmeans import assign_with_dist, kmeans_fit
+    from promhouse_spark.operators.kmeans import (
+        assign_with_dist_exact,
+        kmeans_fit,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     centers = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
-    assigned = assign_with_dist(emb, centers)
+    # assign_with_dist_exact replays the column fold's IEEE operation
+    # order in numpy batches — bit-identical centroid_id AND dist (the
+    # oracle hash is over these), ~10× the interpreted fold (r11: the
+    # 5 fold passes were 312 s of the 719 s sf100 gate)
+    assigned = assign_with_dist_exact(emb, centers)
     w = Window.partitionBy("centroid_id")
     return assigned.select(
         "vec_id",

@@ -100,6 +100,50 @@ def test_vectorized_assign_matches_fold(spark, sf_dir):
     assert n_tie_flips <= max(1, len(a) // 100)
 
 
+def test_exact_kernel_is_bit_identical_to_fold(spark, sf_dir):
+    """assign_with_dist_exact (the default training kernel since r11)
+    must be BIT-identical to the column fold — same centroid_id and the
+    same double dist for every row (it replays the fold's sequential
+    coordinate accumulation, so not even last-ulp drift is allowed) —
+    and a constructed exact tie must break to the smaller cid in both."""
+    from promhouse_spark.operators.kmeans import assign_with_dist_exact
+    from promhouse_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = kmeans_fit(emb, k=4, iters=2, assign_fn=assign_with_dist)
+    a = sorted(
+        (r["vec_id"], r["centroid_id"], r["dist"])
+        for r in assign_with_dist(emb, centers).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["centroid_id"], r["dist"])
+        for r in assign_with_dist_exact(emb, centers).collect()
+    )
+    assert a == b  # exact equality, doubles included
+
+    # fits agree too (trajectory preserved step for step)
+    fold_fit = kmeans_fit(emb, k=4, iters=2, assign_fn=assign_with_dist)
+    exact_fit = kmeans_fit(emb, k=4, iters=2)  # default = exact kernel
+    assert fold_fit == exact_fit
+
+    # exact tie: point (1,0) equidistant from (0,0) and (2,0) → cid 0
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [2.0, 0.0]]
+    ta = [
+        (r["vec_id"], r["centroid_id"], r["dist"])
+        for r in assign_with_dist(df, cents).orderBy("vec_id").collect()
+    ]
+    tb = [
+        (r["vec_id"], r["centroid_id"], r["dist"])
+        for r in assign_with_dist_exact(df, cents).orderBy("vec_id").collect()
+    ]
+    assert ta == tb
+    assert ta[2][1] == 0  # the tie broke to the smaller cid
+
+
 def test_fit_with_vectorized_assign_fn_matches_fold_fit(spark):
     """kmeans_fit(assign_fn=assign_with_dist_vectorized) — the serving-
     scale fit — lands on the same quantized centroids as the oracle-exact
