@@ -142,7 +142,11 @@ def _merged_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_col=F.unix_millis(F.date_trunc("day", F.col("ts"))),
         window_name="day_ms",
     )
-    wire = hist_to_wire(daily, {}, F.col("day_ms"))
+    # the wire-shape daily tier is tiny (types × days rows) but its
+    # lineage is the full events aggregation; wire_hist_sum consumes its
+    # input twice (group targets + bucket regroup, joined) — checkpoint
+    # so the events scan+agg runs once per query, not twice (r11)
+    wire = hist_to_wire(daily, {}, F.col("day_ms")).localCheckpoint(eager=True)
     return wire_hist_sum(wire)
 
 
