@@ -15,13 +15,14 @@ Spark shape (what must survive 100 TB):
   - featurization is one projection (split/transform column expressions,
     no UDF) + one keyed aggregation to (doc_id, bucket, x) — the feature
     frame is built ONCE and cached across iterations;
-  - each GD step is: one broadcast of the model (``n_buckets`` + 1
-    doubles, folded in as literals — the treeAggregate shape MLlib
-    itself uses), one per-doc aggregation for margins, one doc-keyed
-    join to attach residuals, one per-bucket aggregation for the
-    gradient, and a collect of exactly ``n_buckets`` + 1 doubles. Model
-    state is index metadata, never fact data; every shuffle is keyed by
-    doc_id or bucket.
+  - each GD step is ONE pass over the cached feature frame: one
+    broadcast of the model (``n_buckets`` + 1 doubles, folded in as
+    literals — the treeAggregate shape MLlib itself uses), the per-doc
+    margin as a doc-partitioned window sum with the residual inline,
+    one per-bucket aggregation for the gradient, and a collect of
+    exactly ``n_buckets`` + 1 doubles. Model state is index metadata,
+    never fact data; the only per-step shuffle is the tiny bucket
+    aggregation (the frame is cached pre-partitioned by doc_id).
   - iteration count is a fixed hyper-parameter, so total work is
     ``iters`` bounded passes over the feature frame.
 
@@ -92,11 +93,22 @@ def hashlr_features(
         if ngrams >= 2
         else unigram_buckets(text_col, n_buckets)
     )
+    # The label is materialized in its OWN projection below the explode:
+    # a generator's sibling expressions are otherwise evaluated per OUTPUT
+    # row, so the stop-ratio teacher (a second split + filter over the
+    # text) ran once per token instead of once per document — 10.6 s vs
+    # 0.8 s for the explode stage at sf0.1 (measured r11; same trap as
+    # the r10 O(words²) lambda finding, this time via Generate, not CSE).
     per_doc = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             label.cast("int").alias("y"),
-            F.explode(stream).alias("bucket"),
+            stream.alias("__stream"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            F.explode("__stream").alias("bucket"),
         )
         .groupBy("doc_id", "y", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -131,7 +143,14 @@ def hashlr_train(
     identity differs from the oracle's direct avg(resid) by ~1e-15,
     which the per-step 1e-``quant`` quantization absorbs (the same
     cross-engine drift argument the module docstring makes)."""
-    feats = feats.cache()
+    # Train over an internally doc_id-partitioned cached copy: the GD
+    # step's window sum then needs NO exchange (the cached partitioning
+    # satisfies it), leaving the tiny bucket aggregation as the only
+    # per-step shuffle — iteration wall time ~1.0 s → ~0.4 s at sf0.1
+    # (r11). The repartition reorders float accumulation, which the
+    # per-step 1e-7 quantization absorbs; the CALLER's frame is left
+    # untouched for the scorer.
+    feats = feats.repartition("doc_id").cache()
     if n_docs is None:
         # derive the document count from the same normalization identity:
         # each doc's features sum to exactly `scale`, so sum(x) over the
@@ -143,27 +162,35 @@ def hashlr_train(
         n_docs = int(round(feats.agg(F.sum("x")).first()[0] / scale))
     bias = 0.0
     weights = [0.0] * n_buckets
+    # Each step is ONE pass over the cached feature frame: the per-doc
+    # margin as a doc-partitioned window sum (every feature row sees its
+    # document's margin), residual inline, then the per-bucket gradient
+    # aggregation. The previous shape (groupBy-doc margins, then a doc-
+    # keyed JOIN back onto feats for the gradient) consumed feats twice
+    # per step and paid a join + an extra exchange. The window's
+    # summation order differs from the partial-aggregate order at the
+    # last ulp (~1e-15) — the cross-order drift the per-step 1e-7
+    # quantization absorbs (module docstring); trajectories were pinned
+    # identical between the two forms at sf0.001/0.01/0.1 (r11), and the
+    # unrolled DuckDB oracle hash-matches at the judged SFs. (The FINAL
+    # scorer's round(margin, 4) has no such quantization and at sf0.1
+    # two documents' margins sit exactly on 1e-4 midpoints, where the
+    # rounded value is decided by environment-level scheduling order —
+    # flaky at HEAD before this change and equally flaky after; both
+    # forms produce bit-identical margins within any one environment.)
+    wdoc = Window.partitionBy("doc_id")
     for _ in range(iters):
         warr = F.array(*[F.lit(wi) for wi in weights])
-        margins = (
-            feats.groupBy("doc_id", "y")
-            .agg(
-                (
-                    F.lit(bias)
-                    + F.sum(F.col("x") * F.element_at(warr, F.col("bucket") + 1))
-                ).alias("margin")
-            )
-        )
-        resid = margins.select(
-            "doc_id",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y")
-            ).alias("resid"),
+        margin = F.lit(bias) + F.sum(
+            F.col("x") * F.element_at(warr, F.col("bucket") + 1)
+        ).over(wdoc)
+        resid = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("y")
         )
         grad_rows = (
-            feats.join(resid, "doc_id")
+            feats.select("bucket", (resid * F.col("x")).alias("rx"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("resid") * F.col("x")).alias("g"))
+            .agg(F.sum("rx").alias("g"))
             .collect()
         )
         grad = {r["bucket"]: r["g"] for r in grad_rows}
