@@ -922,13 +922,46 @@ def winnowing_fingerprints(
     ``minhash_signatures`` documents. Flat rows + a window function keep
     each hash computed once and inside codegen."""
     c = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
-        lambda i: c.substr(i, F.lit(k)),
+    # Per-position k-gram hashes via Horner over k SHIFTED SLICES of a
+    # once-computed char-code array, instead of hashing each k-char
+    # substring independently: the per-gram fold re-ran substr+ascii
+    # k times per position (len·k string ops, 7.8 s of the 10 s
+    # fingerprint stage at sf0.1 — measured r11), while here each char
+    # code is extracted once and the k Horner passes are integer-only
+    # zip_with sweeps. The arithmetic is the identical
+    # ``acc·B + code (mod M)`` recurrence over the identical codes, so
+    # every hash is the same long (integer-exact; pinned by equality
+    # tests) and the DuckDB oracle is untouched. Docs shorter than k
+    # keep the single truncated-gram hash via the per-gram fold.
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda j: F.ascii(c.substr(j, F.lit(1))).cast("long"),
     )
-    pos = df.select(
-        F.col(id_col), F.posexplode(grams).alias("__i", "__gram")
-    ).select(F.col(id_col), "__i", _gram_hash(F.col("__gram")).alias("__h"))
+    # bind the code array to an ATTRIBUTE before slicing: the k shifted
+    # slices below would otherwise each re-evaluate the codes transform
+    # (no CSE across interpreted expressions — measured 3× SLOWER than
+    # the per-gram fold when left inline, r11)
+    staged = df.select(
+        F.col(id_col), c.alias("__t"), codes.alias("__cd")
+    )
+    tc = F.col("__t")
+    npos = F.greatest(F.length(tc) - (k - 1), F.lit(1))
+    acc = F.slice(F.col("__cd"), 1, npos)
+    for j in range(1, k):
+        acc = F.zip_with(
+            F.slice(F.col("__cd"), j + 1, npos),
+            acc,
+            lambda cj, a: (a * _WINNOW_BASE + cj) % _WINNOW_MOD,
+        )
+    # NULL text keeps its single (pos 0, NULL-hash) row exactly like the
+    # per-gram form (greatest() ignores NULL, so the old sequence still
+    # emitted one gram); without the isNull arm the row would vanish
+    hashes = F.when(
+        tc.isNull() | (F.length(tc) < k), F.array(_gram_hash(tc))
+    ).otherwise(acc)
+    pos = staged.select(
+        F.col(id_col), F.posexplode(hashes).alias("__i", "__h")
+    )
     from pyspark.sql import Window as W
 
     doc_w = W.partitionBy(id_col).orderBy("__i")
@@ -965,7 +998,16 @@ def winnowing_overlap_pairs(
     fingerprint value — bucketed by construction (each fp joins only its
     own bucket), never all-pairs; hot fingerprints (boilerplate) can be
     capped upstream exactly like ``max_df`` in the Jaccard path."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    # materialize the fingerprint set ONCE: both sides of the self-join
+    # consume it, and without the checkpoint the whole fingerprint
+    # pipeline (posexplode + per-gram k-char polynomial hash + rolling
+    # window + distinct) executed twice per run (r11; the fingerprint
+    # set is the winnowed ~2/(w+1) selection of positions, far smaller
+    # than the gram stream it derives from — at production scale this is
+    # the "stage the signatures" shape the minhash path already uses)
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
+        eager=True
+    )
     a = fps.select(F.col(id_col).alias("doc_a"), "fp")
     b = fps.select(F.col(id_col).alias("doc_b"), "fp")
     return (

@@ -301,6 +301,55 @@ def test_winnowing_matches_python_model(spark):
     assert got == want
 
 
+def test_winnowing_horner_matches_per_gram_fold(spark):
+    """The r11 Horner-over-shifted-slices hash path must produce the
+    exact per-position hash longs of the per-gram fold it replaced —
+    including the truncated-gram arm for docs shorter than k and the
+    single NULL-hash row a NULL text keeps."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""),
+        (2, "ab"),
+        (3, None),
+        (4, "exactly16charsXY"),
+        (5, "seventeen chars!!"),
+        (6, "the quick brown fox jumps over the lazy dog" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    for k in (16, 5):
+        c = F.col("text")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+        old = (
+            df.select(F.col("doc_id"), F.posexplode(grams).alias("__i", "__gram"))
+            .select("doc_id", "__i", D._gram_hash(F.col("__gram")).alias("__h"))
+        )
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda j: F.ascii(c.substr(j, F.lit(1))).cast("long"),
+        )
+        staged = df.select(F.col("doc_id"), c.alias("__t"), codes.alias("__cd"))
+        tc = F.col("__t")
+        npos = F.greatest(F.length(tc) - (k - 1), F.lit(1))
+        acc = F.slice(F.col("__cd"), 1, npos)
+        for j in range(1, k):
+            acc = F.zip_with(
+                F.slice(F.col("__cd"), j + 1, npos),
+                acc,
+                lambda cj, a: (a * D._WINNOW_BASE + cj) % D._WINNOW_MOD,
+            )
+        hashes = F.when(
+            tc.isNull() | (F.length(tc) < k), F.array(D._gram_hash(tc))
+        ).otherwise(acc)
+        new = staged.select(F.col("doc_id"), F.posexplode(hashes).alias("__i", "__h"))
+        assert sorted(map(tuple, old.collect())) == sorted(
+            map(tuple, new.collect())
+        ), f"hash mismatch at k={k}"
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Schleimer et al. guarantee: a shared substring of length ≥ w+k-1
     forces at least one identical selected fingerprint in both docs."""
