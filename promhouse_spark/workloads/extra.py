@@ -388,6 +388,42 @@ QUERIES.update({"ph_rate_counter": ph_rate_counter})
 ORACLES.update({"ph_rate_counter": PH_RATE_COUNTER_SQL})
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, sf_dir: str):
+    """Scope the session's shuffle-partition setting (which fixes a NEW
+    streaming query's state-store partition count at its first
+    checkpoint) to a value derived from the INPUT SIZE instead of the
+    batch default. A stateful micro-batch pays per-state-partition file
+    I/O (delta + snapshot + commit files in the checkpoint dir) on every
+    batch regardless of rows; with the bench corpus (2 MB of events at
+    sf0.1) the 32 inherited partitions made each ph_stream_* query spend
+    10-17 s in state-store overhead vs ~4 s at a size-appropriate count
+    (measured r11, same session, interleaved). The rule is
+    ceil(bytes / 16 MB) clamped to [2, session parallelism] — it GROWS
+    with the corpus (sf10's 182 MB events → 12 partitions, a 100 TB
+    stream saturates the cluster cap), so this is partition sizing by
+    data (guide §2.2/§6), not a local[32] constant. Restored on exit."""
+    import math
+    import os
+
+    from promhouse_spark.session import default_parallelism
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    parts = max(2, min(math.ceil(size / (16 << 20)), default_parallelism()))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous stateful increase (streaming/stateful.py) driven as a real
     two-micro-batch Structured Streaming run: events are time-split at the
@@ -414,25 +450,26 @@ def ph_stream_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ph_stream_inc_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     name = f"ph_stream_inc_{uuid.uuid4().hex[:8]}"
-    samples.filter(F.col("timestamp_ms") < mid).write.parquet(src)
-    q = (
-        continuous_increase(
-            spark.readStream.schema(SAMPLES_SCHEMA).parquet(src)
+    with _stream_state_partitions(spark, sf_dir):
+        samples.filter(F.col("timestamp_ms") < mid).write.parquet(src)
+        q = (
+            continuous_increase(
+                spark.readStream.schema(SAMPLES_SCHEMA).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        samples.filter(F.col("timestamp_ms") >= mid).write.mode(
-            "append"
-        ).parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+            samples.filter(F.col("timestamp_ms") >= mid).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)  # memory sink rows outlive the stream + tmp dir
     shutil.rmtree(tmp, ignore_errors=True)
     # update mode emits one row per (series, batch); the final state of a
@@ -514,26 +551,27 @@ def ph_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ph_stream_dedup_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     name = f"ph_stream_dedup_{uuid.uuid4().hex[:8]}"
-    first.write.parquet(src)
-    q = (
-        spark.readStream.schema(SAMPLES_SCHEMA)
-        .parquet(src)
-        .dropDuplicates(["fingerprint", "timestamp_ms"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
-            first.filter(F.col("fingerprint") % 3 == 0)
+    with _stream_state_partitions(spark, sf_dir):
+        first.write.parquet(src)
+        q = (
+            spark.readStream.schema(SAMPLES_SCHEMA)
+            .parquet(src)
+            .dropDuplicates(["fingerprint", "timestamp_ms"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        second.write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+            second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
+                first.filter(F.col("fingerprint") % 3 == 0)
+            )
+            second.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     shutil.rmtree(tmp, ignore_errors=True)
     agg = (
@@ -892,29 +930,30 @@ def ph_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ph_stream_late_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     name = f"ph_stream_late_{uuid.uuid4().hex[:8]}"
-    first.write.parquet(src)
-    q = (
-        spark.readStream.schema(SAMPLES_SCHEMA)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_millis(F.col("timestamp_ms")))
-        .withWatermark("ts", "0 seconds")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
-            first.filter(F.col("timestamp_ms") < late_cut)
+    with _stream_state_partitions(spark, sf_dir):
+        first.write.parquet(src)
+        q = (
+            spark.readStream.schema(SAMPLES_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_millis(F.col("timestamp_ms")))
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        second.write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+            second = samples.filter(F.col("timestamp_ms") >= mid).unionAll(
+                first.filter(F.col("timestamp_ms") < late_cut)
+            )
+            second.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     shutil.rmtree(tmp, ignore_errors=True)
     # update mode re-emits a window each time its count grows; the final
@@ -1142,29 +1181,30 @@ def ph_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ph_stream_sess_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     name = f"ph_stream_sess_{uuid.uuid4().hex[:8]}"
-    ev.filter(F.col("ts") < F.lit(mid)).write.parquet(src)
-    q = (
-        session_counts(spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        ev.filter(F.col("ts") >= F.lit(mid)).write.mode("append").parquet(src)
-        q.processAllAvailable()
-        # sentinel far past the data: pushes the global watermark beyond
-        # every real session's close so append mode flushes them all
-        spark.createDataFrame(
-            [(-1,)], "user_id bigint"
-        ).select(
-            "user_id", (F.lit(hi) + F.expr("INTERVAL 10 DAYS")).alias("ts")
-        ).write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark, sf_dir):
+        ev.filter(F.col("ts") < F.lit(mid)).write.parquet(src)
+        q = (
+            session_counts(spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ev.filter(F.col("ts") >= F.lit(mid)).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # sentinel far past the data: pushes the global watermark beyond
+            # every real session's close so append mode flushes them all
+            spark.createDataFrame(
+                [(-1,)], "user_id bigint"
+            ).select(
+                "user_id", (F.lit(hi) + F.expr("INTERVAL 10 DAYS")).alias("ts")
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name).filter(F.col("user_id") >= 0)
     agg_rows = (
         out.groupBy("user_id")
@@ -1222,28 +1262,29 @@ def ph_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ph_stream_enrich_")
     msrc, asrc, ckpt = f"{tmp}/m", f"{tmp}/a", f"{tmp}/ckpt"
     name = f"ph_stream_enrich_{uuid.uuid4().hex[:8]}"
-    # batch 1: early measurements only — their annotations arrive LATE
-    measures.filter(F.col("m_ts") < F.lit(mid)).write.parquet(msrc)
-    marks.limit(0).write.parquet(asrc)
-    q = (
-        interval_enrich(
-            spark.readStream.schema(MEASURE_SCHEMA).parquet(msrc),
-            spark.readStream.schema(MARK_SCHEMA).parquet(asrc),
+    with _stream_state_partitions(spark, sf_dir):
+        # batch 1: early measurements only — their annotations arrive LATE
+        measures.filter(F.col("m_ts") < F.lit(mid)).write.parquet(msrc)
+        marks.limit(0).write.parquet(asrc)
+        q = (
+            interval_enrich(
+                spark.readStream.schema(MEASURE_SCHEMA).parquet(msrc),
+                spark.readStream.schema(MARK_SCHEMA).parquet(asrc),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        # batch 2: the rest of the measurements + ALL annotations (late)
-        measures.filter(F.col("m_ts") >= F.lit(mid)).write.mode("append").parquet(msrc)
-        marks.write.mode("append").parquet(asrc)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+            # batch 2: the rest of the measurements + ALL annotations (late)
+            measures.filter(F.col("m_ts") >= F.lit(mid)).write.mode("append").parquet(msrc)
+            marks.write.mode("append").parquet(asrc)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     agg_rows = (
         out.groupBy("fingerprint")

@@ -481,12 +481,25 @@ def doc_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical chain as a CTE pipeline over the pieces that were each
     hash-validated stand-alone."""
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = D.remove_repeated_spans(docs, n=8, min_docs=2).select(
-        "doc_id", "source", X.scrub_pii("clean_text").alias("text")
+    # `cleaned` has THREE consumers (the trigram model build, the NLL
+    # scorer, and the text re-attach join) and `scored` two (the p90
+    # threshold and the filter); without materialization each consumer
+    # re-executed the span-removal + PII-scrub chain — the plan held 292
+    # Exchange nodes and the query ran 28 s at sf0.1 (r11). One eager
+    # localCheckpoint per tier computes each chain once; values are
+    # unchanged (the recomputations were deterministic replays of the
+    # same plan). At 100 TB this tier is what a production pipeline
+    # stages to storage between passes — same shape, durable medium.
+    cleaned = (
+        D.remove_repeated_spans(docs, n=8, min_docs=2)
+        .select("doc_id", "source", X.scrub_pii("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
     )
     model = X.char_ngram_model(cleaned, "text", n=3)
-    scored = X.charlm_score(cleaned, model, n=3).join(
-        cleaned.select("doc_id", "source", "text"), "doc_id"
+    scored = (
+        X.charlm_score(cleaned, model, n=3)
+        .join(cleaned.select("doc_id", "source", "text"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     thresh = scored.agg(
         F.percentile("avg_nll", F.lit(0.9)).alias("t")

@@ -277,10 +277,13 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from promhouse_spark.workloads.promql3 import _idiv
 
     docs = load_table(spark, sf_dir, "documents")
+    # the union below consumes `pairs` twice (a-side + b-side), which
+    # re-executed the whole paragraph-Jaccard self-join per side;
+    # checkpoint the (threshold-bounded, tiny) pair set once (r11)
     pairs = paragraph_jaccard_pairs(
         docs, chunk_words=_CHUNK, threshold=0.8, group_col="source",
         prefix_filter=False,
-    )
+    ).localCheckpoint(eager=True)
     boiler = (
         pairs.select(F.col("doc_a").alias("doc_id"), F.col("para_a").alias("para_idx"))
         .unionByName(
@@ -384,10 +387,12 @@ def doc_curation_pipeline3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from promhouse_spark.workloads.promql3 import _idiv
 
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint the pair set: the union consumes it twice (r11, same
+    # fix as doc_boilerplate_ratio)
     pairs = paragraph_jaccard_pairs(
         docs, chunk_words=_CHUNK, threshold=0.8, group_col="source",
         prefix_filter=False,
-    )
+    ).localCheckpoint(eager=True)
     boiler = (
         pairs.select(F.col("doc_a").alias("doc_id"), F.col("para_a").alias("para_idx"))
         .unionByName(
@@ -811,7 +816,17 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx int, weight double",
     ).coalesce(1).write.mode("overwrite").parquet(_QM_STAGE)
     linear, _ = quality_score(intercept, weights)
-    kept = docs.filter(linear >= 0).select("doc_id", "source", "text")
+    # `kept` has four consumers (signature staging, shingle semi-join,
+    # the final anti-join, the per-source rollup) and `final` below
+    # feeds the ITERATIVE BPE trainer — every merge step is its own
+    # action, so an unmaterialized `final` re-executed the whole
+    # quality-gate + dedup chain once per merge (r11; 35 s at sf0.1).
+    # Eager checkpoints compute each tier once; values unchanged.
+    kept = (
+        docs.filter(linear >= 0)
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
 
     sig = D.minhash_signatures(kept)
     sig.write.mode("overwrite").parquet(_CAP4_SIG_STAGE)
@@ -834,7 +849,9 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(inter / union, 4) >= 0.8)
     )
     drops = ver.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept.join(drops, "doc_id", "left_anti")
+    final = kept.join(drops, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     _merges, vocab = bpe_train(final, "text", n_merges=_BPE_K)
     words = final.select("source", F.explode(tokens("text")).alias("wd"))
