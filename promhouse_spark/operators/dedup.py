@@ -1183,7 +1183,15 @@ def semantic_dedup_pairs_staged(
         [(i, c) for i, c in enumerate(centers)],
         "centroid_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(centroids_path)
-    assigned = assign_nearest_centroid(df, centers, vec_col)
+    # materialize the assignment ONCE: embedding_cosine_duplicates
+    # consumes the assigned frame on several subtrees (both join sides,
+    # norm prefilter), and without the checkpoint the plan held 8 copies
+    # of the Arrow assignment kernel — the corpus was re-assigned eight
+    # times per run (r11). Production shape: the assignment IS the
+    # partitioned IVF layout a real index materializes to storage.
+    assigned = assign_nearest_centroid(df, centers, vec_col).localCheckpoint(
+        eager=True
+    )
     return embedding_cosine_duplicates(
         assigned,
         id_col=id_col,
