@@ -37,6 +37,20 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
+# Extended tier (r12, additions-only per the r11 verdict): one representative
+# each of the curation / streaming / k-means / native-histogram surfaces the
+# r11 optimizations landed on, so cross-round PERF sees that surface. They are
+# timed with the identical methodology and ADDED to the `queries` map;
+# `value` stays the sum of the original 13-query HEADLINE so the headline
+# total remains comparable across every prior round, and `value_extended`
+# reports the headline+extended total.
+EXTENDED = [
+    "doc_curation_pipeline2",
+    "ph_stream_dedup",
+    "emb_kmeans_topics",
+    "nhist_quantile",
+]
+
 
 def _loadavg() -> list[float] | None:
     """1/5/15-minute load averages, None where /proc is unavailable."""
@@ -59,7 +73,13 @@ def main() -> None:
     # comparisons know the number is polluted.
     load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
-    ncpu = os.cpu_count() or 1
+    # ncpu is the EFFECTIVE parallelism ($SPARK_GRAFT_CPUS, the local[N] the
+    # session really runs with) — r11 reported os.cpu_count() here, which made
+    # the driver's low-core scaling run look like the env var was ignored.
+    from promhouse_spark.session import default_parallelism
+
+    ncpu = default_parallelism()
+    host_cpus = os.cpu_count() or 1
     waited = 0.0
     load_before = _loadavg()
     while (
@@ -97,7 +117,7 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     timings_max: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         fn = QUERIES[name]
         t0 = time.time()
         try:
@@ -115,25 +135,35 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    total = round(sum(timings.values()), 3)
+    # value = the original 13-query HEADLINE total (comparable to every
+    # prior round's artifact); the extended tier is reported alongside.
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    total_ext = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_extended": total_ext,
         # spread across the 3 timed runs per query — sub-second queries
         # wobble ±25-50% run-to-run on local mode, so cross-round deltas
         # smaller than (value - value_min) are measurement noise, not a
         # plan change (r10 verdict: a ±0.3 s wobble must not read as a
         # regression)
-        "value_min": round(sum(timings_min.values()), 3) if timings_min else None,
-        "value_max": round(sum(timings_max.values()), 3) if timings_max else None,
+        "value_min": round(sum(v for n, v in timings_min.items() if n in HEADLINE), 3)
+        if timings_min
+        else None,
+        "value_max": round(sum(v for n, v in timings_max.items() if n in HEADLINE), 3)
+        if timings_max
+        else None,
         "queries_min": timings_min,
         "queries_max": timings_max,
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "ncpu": ncpu,
+        "host_cpus": host_cpus,
+        "master": spark.sparkContext.master,
         "quiet": quiet,
     }
     if errors:

@@ -93,6 +93,7 @@ def instant_vector(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = 300_000,
+    fingerprints_df: DataFrame | None = None,
 ) -> DataFrame:
     """PromQL range-query evaluation: for every series and every evaluation
     timestamp on the [start, end] step grid, the most recent sample within
@@ -104,6 +105,14 @@ def instant_vector(
     stream, and the distinct is the only extra exchange; the as-of itself
     is the one-shuffle union-merge above.
 
+    ``fingerprints_df`` (one column, UNIQUE ``fingerprint`` values covering
+    at least the sample stream's fingerprints) replaces the distinct over
+    the fact table as the grid source when the caller already has the
+    series dimension materialized (the PromQL engine does): extra
+    fingerprints with no samples only produce stale grid rows, which the
+    final NULL filter drops, so the result is unchanged while the plan
+    loses one full fact-table scan + distinct per selector.
+
     Expects the (fingerprint, timestamp_ms, value) sample shape used across
     promql_lite."""
     grid_ts = F.explode(
@@ -111,9 +120,12 @@ def instant_vector(
             F.lit(start_ms), F.lit(end_ms), F.lit(step_ms)
         )
     ).alias("eval_ms")
-    grid = samples_df.select("fingerprint").distinct().select(
-        "fingerprint", grid_ts
+    fps = (
+        fingerprints_df.select("fingerprint")
+        if fingerprints_df is not None
+        else samples_df.select("fingerprint").distinct()
     )
+    grid = fps.select("fingerprint", grid_ts)
     joined = asof_join(
         grid,
         samples_df,

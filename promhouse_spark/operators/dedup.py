@@ -992,12 +992,20 @@ def winnowing_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 3,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints:
     (doc_a, doc_b, n_shared). The pair generator is an equi-join on the
     fingerprint value — bucketed by construction (each fp joins only its
-    own bucket), never all-pairs; hot fingerprints (boilerplate) can be
-    capped upstream exactly like ``max_df`` in the Jaccard path."""
+    own bucket), never all-pairs.
+
+    ``max_df`` is the hot-key guard (guide §2.5, same contract as the
+    Jaccard path's ``max_df``): a fingerprint present in more than that
+    FRACTION of documents — boilerplate shared by f docs produces f² join
+    rows — is dropped before the self-join, bounding the per-key fan-out
+    at the cost of not counting boilerplate fingerprints toward
+    ``n_shared`` (overlap becomes approximate on the reduced set). Leave
+    None for the exact oracle-comparable semantics."""
     # materialize the fingerprint set ONCE: both sides of the self-join
     # consume it, and without the checkpoint the whole fingerprint
     # pipeline (posexplode + per-gram k-char polynomial hash + rolling
@@ -1008,6 +1016,19 @@ def winnowing_overlap_pairs(
     fps = winnowing_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
         eager=True
     )
+    if max_df is not None:
+        # document frequency per fingerprint over the (already distinct
+        # per doc) fingerprint set — one fp-keyed aggregate, tiny next to
+        # the self-join it gates; the threshold scales with the corpus
+        n_docs = df.select(id_col).distinct().count()
+        cap = max(1, int(max_df * n_docs))
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("doc_a"), "fp")
     b = fps.select(F.col(id_col).alias("doc_b"), "fp")
     return (

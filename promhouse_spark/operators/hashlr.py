@@ -151,6 +151,29 @@ def hashlr_train(
     # per-step 1e-7 quantization absorbs; the CALLER's frame is left
     # untouched for the scorer.
     feats = feats.repartition("doc_id").cache()
+    try:
+        return _hashlr_train_cached(
+            feats, n_buckets, iters, lr, quant, scale, n_docs
+        )
+    finally:
+        # cache hygiene (r11 verdict): without the unpersist the cached,
+        # repartitioned corpus leaks across queries in a long-lived
+        # session — and because the CacheManager matches by analyzed
+        # plan, a SECOND run of the same query in one process would
+        # silently reuse the materialized featurization (cross-run result
+        # reuse the moment this query enters a timed path)
+        feats.unpersist()
+
+
+def _hashlr_train_cached(
+    feats: DataFrame,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+    quant: int,
+    scale: float,
+    n_docs: int | None,
+) -> tuple[float, list[float]]:
     if n_docs is None:
         # derive the document count from the same normalization identity:
         # each doc's features sum to exactly `scale`, so sum(x) over the

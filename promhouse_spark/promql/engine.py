@@ -137,6 +137,39 @@ def _resolve_start_end(node, start_ms: int, end_ms: int):
     return walk(node)
 
 
+def _count_instant_selectors(node, counts: dict) -> None:
+    """Count how many times each instant-selector shape occurs in the
+    expression (keyed like PromQLEngine._sel_key, minus the engine-resolved
+    @), WITHOUT crossing range-selector or subquery boundaries — those are
+    evaluated through different machinery (the sliding-window explode / an
+    inner engine on a finer grid), so their selectors never share this
+    engine's instant tier. Used to decide which instant tiers to
+    materialize for reuse across operands (guide §3.3)."""
+    if isinstance(node, VectorSelector):
+        key = (
+            node.name,
+            tuple(sorted((m.name, m.op, m.value) for m in node.matchers)),
+            node.offset_ms or 0,
+            node.at_ms,
+        )
+        counts[key] = counts.get(key, 0) + 1
+        return
+    if isinstance(node, (RangeSelector, Subquery, NumberLiteral, StringLiteral)):
+        return
+    if isinstance(node, Unary):
+        _count_instant_selectors(node.expr, counts)
+    elif isinstance(node, Call):
+        for a in node.args:
+            _count_instant_selectors(a, counts)
+    elif isinstance(node, Aggregation):
+        _count_instant_selectors(node.expr, counts)
+        if node.param is not None:
+            _count_instant_selectors(node.param, counts)
+    elif isinstance(node, BinaryOp):
+        _count_instant_selectors(node.lhs, counts)
+        _count_instant_selectors(node.rhs, counts)
+
+
 def _lit_float(node, what: str) -> float:
     """Resolve a literal numeric argument to its float value. The parser
     keeps `-1` as Unary('-', NumberLiteral(1)), so reading `.value`
@@ -275,6 +308,18 @@ class PromQLEngine:
         # swaps self.samples for the query's FindMinMaxTime window so the
         # layout prunes before its decode barrier
         self._samples_source = None
+        # §3.3 shared-tier dedup (r12): the series dimension is
+        # materialized once per engine (see _materialize_series), and
+        # instant-vector tiers of selectors that appear in MULTIPLE
+        # operands of one expression are checkpointed so each operand
+        # reuses one execution instead of re-deriving the as-of tier.
+        # Both memos live on the engine object, which the declared
+        # queries construct fresh inside every run — nothing survives a
+        # run, so every bench/oracle invocation still computes from the
+        # parquet inputs.
+        self._series_mat = False
+        self._iv_memo: dict = {}
+        self._sel_counts: dict = {}
 
     # -- public ------------------------------------------------------------
 
@@ -343,6 +388,12 @@ class PromQLEngine:
         # start/end reaching one of those would resolve against the wrong
         # range (Prometheus preprocesses @ the same way)
         node = _resolve_start_end(node, self.start_ms, self.end_ms)
+        self._materialize_series()
+        # fresh per-eval instant-tier memo: selector tiers are shared
+        # between operands of THIS expression only
+        self._iv_memo = {}
+        self._sel_counts = {}
+        _count_instant_selectors(node, self._sel_counts)
         if self._samples_source is not None:
             from promhouse_spark.promql.parser import find_min_max_time
 
@@ -375,6 +426,38 @@ class PromQLEngine:
         )
 
     # -- scaffolding --------------------------------------------------------
+
+    @staticmethod
+    def _materialize(df: DataFrame) -> DataFrame:
+        """Eagerly truncate the lineage of a small multiply-consumed tier
+        (optimization guide §3.3). ``localCheckpoint`` creates a fresh RDD
+        per call — there is no plan-matching reuse across runs (unlike
+        ``persist``), so a re-run of the same query recomputes everything.
+        Streaming frames pass through untouched (cannot be checkpointed)."""
+        if df.isStreaming:
+            return df
+        return df.localCheckpoint(eager=True)
+
+    def _materialize_series(self) -> None:
+        """Materialize the series dimension once per engine. Every selector
+        resolution filters ``self.series`` (often a distinct over the fact
+        table, as in the workloads' ``_engine``) and every ``_attach``
+        joins it back — without this, one binary expression re-executes
+        that distinct 4-8× (measured: ph_promql_ratio held 20 fact scans).
+        The tier is series-dimension-sized (fingerprint + labels), far
+        smaller than the sample stream."""
+        if self._series_mat or self.series.isStreaming:
+            return
+        self.series = self._materialize(self.series)
+        self._series_mat = True
+
+    def _sel_key(self, sel: VectorSelector):
+        return (
+            sel.name,
+            tuple(sorted((m.name, m.op, m.value) for m in sel.matchers)),
+            sel.offset_ms or 0,
+            self._at_ms(sel),
+        )
 
     def _grid(self) -> Column:
         return F.explode(
@@ -430,23 +513,36 @@ class PromQLEngine:
         return sel.at_ms
 
     def _instant(self, sel: VectorSelector) -> DataFrame:
+        key = self._sel_key(sel)
+        memo = self._iv_memo.get(key)
+        if memo is not None:
+            return self._attach(*memo)
         samples, series = self._selected(sel)
+        # with the series dimension materialized, its fingerprints replace
+        # the distinct over the (semi-joined) fact table as the grid source
+        fps = series if self._series_mat else None
         at = self._at_ms(sel)
         if at is not None:
             # @ modifier: one evaluation at the pinned timestamp, its value
             # broadcast to every grid point (promql step-invariant @)
             iv = instant_vector(
                 samples, at, at, max(self.step_ms, 1),
-                self.lookback_ms,
+                self.lookback_ms, fingerprints_df=fps,
             )
-            pinned = iv.select("fingerprint", "value").crossJoin(
+            tier = iv.select("fingerprint", "value").crossJoin(
                 iv.sparkSession.range(1).select(self._grid())
             )
-            return self._attach(pinned, series)
-        iv = instant_vector(
-            samples, self.start_ms, self.end_ms, self.step_ms, self.lookback_ms
-        )
-        return self._attach(iv, series)
+        else:
+            tier = instant_vector(
+                samples, self.start_ms, self.end_ms, self.step_ms,
+                self.lookback_ms, fingerprints_df=fps,
+            )
+        if self._sel_counts.get(key, 0) >= 2:
+            # this selector feeds ≥2 operands of the current expression:
+            # materialize the tier once so each operand reuses it (§3.3)
+            tier = self._materialize(tier)
+            self._iv_memo[key] = (tier, series)
+        return self._attach(tier, series)
 
     # -- native histograms ---------------------------------------------------
 
@@ -716,9 +812,17 @@ class PromQLEngine:
                 self.samples, self.series, fine_start, self.end_ms - off,
                 step, self.lookback_ms,
             )
+            # self.series is already the materialized tier — the inner
+            # engine reuses it instead of re-deriving the distinct
+            inner._series_mat = self._series_mat
             vec = inner._compile(arg.expr)
             if isinstance(vec, float):
                 vec = inner._scalar_frame(vec)
+            # the inner evaluation feeds THREE consumers (the exploded
+            # samples-like frame, the series-like distinct, and the final
+            # _attach join) — materialize it once (§3.3); it is
+            # grid-sized (series × fine grid points), not corpus-sized
+            vec = self._materialize(vec)
             from promhouse_spark.functions.labels import labels_map_to_json
 
             key = labels_map_to_json("labels")
@@ -866,6 +970,7 @@ class PromQLEngine:
                 self.samples, self.series, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
             )
+            sub._series_mat = self._series_mat
             new_args = list(node.args)
             if isinstance(rs, RangeSelector):
                 sel = dataclasses.replace(rs.selector, at_ms=None)
@@ -1239,6 +1344,7 @@ class PromQLEngine:
             arg = node.args[0]
             if isinstance(arg, VectorSelector):
                 samples, series = self._selected(arg)
+                fps = series if self._series_mat else None
                 # _selected shifted timestamps by +offset for the as-of
                 # match; report the unshifted sample timestamp
                 raw_ts = F.col("sample_ts_ms") - F.lit(arg.offset_ms or 0)
@@ -1246,7 +1352,7 @@ class PromQLEngine:
                 if at is not None:
                     iv = instant_vector(
                         samples, at, at, max(self.step_ms, 1),
-                        self.lookback_ms,
+                        self.lookback_ms, fingerprints_df=fps,
                     )
                     pinned = iv.select(
                         "fingerprint", (raw_ts / 1000.0).alias("value")
@@ -1256,7 +1362,7 @@ class PromQLEngine:
                     return self._attach(pinned, series, drop_name=True)
                 iv = instant_vector(
                     samples, self.start_ms, self.end_ms, self.step_ms,
-                    self.lookback_ms,
+                    self.lookback_ms, fingerprints_df=fps,
                 ).select(
                     "fingerprint", "eval_ms",
                     (raw_ts / 1000.0).alias("value"),

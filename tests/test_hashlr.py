@@ -67,3 +67,20 @@ def test_training_is_deterministic_across_runs(spark):
     fit1 = hashlr_train(feats1, iters=4)
     fit2 = hashlr_train(feats2, iters=4)
     assert fit1 == fit2
+
+
+def test_train_unpersists_feature_cache(spark):
+    """Cache hygiene (r11 verdict): the trainer's internal cached feature
+    frame must be unpersisted when training returns — otherwise it leaks
+    across queries in a long-lived session, and the CacheManager's
+    analyzed-plan matching would silently serve the SECOND run of the
+    same query from the first run's materialized featurization (cross-run
+    result reuse). Two consecutive fits must both execute and agree."""
+    docs = _planted_corpus(spark)
+    feats = hashlr_features(docs, label=F.col("lang") == "en")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    fit1 = hashlr_train(feats, iters=2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    fit2 = hashlr_train(feats, iters=2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert fit1 == fit2

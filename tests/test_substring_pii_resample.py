@@ -363,6 +363,37 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
 
 
+def test_winnowing_hot_fingerprint_cap(spark):
+    """Adversarial hot key (r11 verdict): one boilerplate block present in
+    EVERY document makes its fingerprints n_docs-hot — f docs sharing a
+    fingerprint produce f² join rows. With ``max_df`` the hot fingerprints
+    are dropped before the self-join and the job completes with only the
+    genuinely-shared (rare) overlaps; without it the semantics stay exact
+    (the default, used by the declared oracle query)."""
+    k, w = 5, 4
+    boiler = "this_boilerplate_footer_appears_in_every_single_document"
+    rare = "zqxjkvbwpfmgydl_rare_shared_block"
+    rows = [
+        (i, f"doc {i} unique words {i * 7919} {boiler}") for i in range(40)
+    ]
+    # docs 0 and 1 additionally share a rare block
+    rows[0] = (0, f"{rare} {rows[0][1]}")
+    rows[1] = (1, f"{rare} {rows[1][1]}")
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    # min_shared=6 ignores the up-to-4-fingerprint accidental overlaps the
+    # short "doc N" prefixes create between a handful of docs; the
+    # boilerplate block alone still clears it for EVERY pair in exact mode
+    capped = D.winnowing_overlap_pairs(
+        df, k=k, w=w, min_shared=6, max_df=0.5
+    ).collect()
+    # the all-docs boilerplate fingerprints are gone: the only surviving
+    # pair is the rare shared block
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, 1)}
+    # exact mode still counts boilerplate overlap for every pair
+    exact = D.winnowing_overlap_pairs(df, k=k, w=w, min_shared=6)
+    assert exact.count() == 40 * 39 // 2
+
+
 def test_pack_sequences_partition_independent(spark):
     from promhouse_spark.operators.sampling import pack_sequences
 
