@@ -635,9 +635,17 @@ def wire_hist_sum(frame: DataFrame, avg: bool = False) -> DataFrame:
     buckets — with uniform thresholds, the overwhelmingly common case,
     the two behaviors coincide).
 
-    Shape: one shuffle keyed on (labels-json, timestamp_ms) for the
-    group targets, then the bucket regroup shuffles on a superset of the
-    same key — AQE-local, no fact-table window."""
+    Shape (r12, guide §2.4): ONE shuffle keyed on (labels-json,
+    timestamp_ms). The bucket regroup needs the group's target schema
+    (min) and zero threshold (max), which are only known after the
+    aggregation — the previous form computed them in a first pass and
+    joined them back onto an exploded second scan of the input (two scans
+    of the — possibly checkpointed — wire tier + a join). Instead the
+    same groupBy now also collect_lists each member's (schema, positive,
+    negative), and the rescale/zero-fold runs as row-local array
+    expressions post-aggregation. Memory per group is unchanged: the old
+    form's collect_list already gathered every member bucket of the group
+    into one row before the final fold."""
     key = F.to_json("labels").alias("__k")
     f = frame.select(
         key, "labels", "timestamp_ms", "schema", "zero_threshold",
@@ -651,52 +659,41 @@ def wire_hist_sum(frame: DataFrame, avg: bool = False) -> DataFrame:
         F.sum("sum").alias("sum"),
         F.sum("zero_count").alias("__z0"),
         F.count("*").alias("__n"),
-    )
-    sides = F.concat(
-        F.transform(
-            "positive",
-            lambda x: F.struct(
-                F.lit(1).alias("sgn"), x["idx"].alias("idx"), x["cnt"].alias("cnt")
-            ),
-        ),
-        F.transform(
-            "negative",
-            lambda x: F.struct(
-                F.lit(-1).alias("sgn"), x["idx"].alias("idx"), x["cnt"].alias("cnt")
-            ),
+        F.collect_list(F.struct("schema", "positive", "negative")).alias(
+            "__rows"
         ),
     )
-    ex = f.select("__k", "timestamp_ms", "schema", F.explode(sides).alias("b"))
-    ex = ex.join(
-        g.select("__k", "timestamp_ms", "__st", "__zt"), ["__k", "timestamp_ms"]
-    )
-    factor = F.pow(F.lit(2.0), (F.col("schema") - F.col("__st")).cast("double"))
-    new_idx = F.ceil(F.col("b.idx") / factor).cast("int")
-    base_t = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("__st").cast("double")))
-    upper = F.pow(base_t, new_idx.cast("double"))
-    in_zero = upper <= F.col("__zt")
-    rescaled = ex.select(
-        "__k", "timestamp_ms", F.col("b.sgn").alias("sgn"),
-        new_idx.alias("idx"), F.col("b.cnt").alias("cnt"),
-        in_zero.alias("__fold"),
-    )
-    merged = (
-        rescaled.groupBy("__k", "timestamp_ms")
-        .agg(
-            F.sum(F.when(F.col("__fold"), F.col("cnt")).otherwise(0.0)).alias(
-                "__zfold"
+    # row-local regroup: rescale every member bucket to the group's
+    # coarsest schema, tag the ones whose whole interval falls inside the
+    # group's zero threshold — identical arithmetic to the exploded form
+    def member_sides(e):
+        factor = F.pow(F.lit(2.0), (e["schema"] - F.col("__st")).cast("double"))
+        mk = lambda sgn, arr: F.transform(  # noqa: E731
+            arr,
+            lambda x: F.struct(
+                F.lit(sgn).alias("sgn"),
+                F.ceil(x["idx"] / factor).cast("int").alias("idx"),
+                x["cnt"].alias("cnt"),
             ),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        ~F.col("__fold"),
-                        F.struct("sgn", "idx", "cnt"),
-                    )
-                )
-            ).alias("__bs"),
         )
+        return F.concat(mk(1, e["positive"]), mk(-1, e["negative"]))
+
+    base_t = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("__st").cast("double")))
+    in_zero = lambda x: F.pow(base_t, x["idx"].cast("double")) <= F.col("__zt")  # noqa: E731
+    fl = F.flatten(F.transform("__rows", member_sides))
+    # the zero-fold sums in SORTED bucket order (deterministic; the
+    # exploded form's F.sum order was partition-arbitrary)
+    zfold = F.aggregate(
+        F.sort_array(F.filter(fl, in_zero)),
+        F.lit(0.0),
+        lambda a, x: a + x["cnt"],
     )
-    out = g.join(merged, ["__k", "timestamp_ms"], "left")
+    out = g.select(
+        "__k", "timestamp_ms", "labels", "__st", "__zt", "count", "sum",
+        "__z0", "__n",
+        zfold.alias("__zfold"),
+        F.sort_array(F.filter(fl, lambda x: ~in_zero(x))).alias("__bs"),
+    )
     # regrouped buckets may collide on idx after rescaling — fold equal
     # indexes together, per side, in one row-local pass
     def side(sgn: int) -> Column:
