@@ -110,12 +110,29 @@ def assign_with_dist_exact(
     near-exact ties. Argmin tie-break: ``np.argmin`` takes the first
     (smallest cid) occurrence, matching the fold's struct-min.
     tests/test_kmeans.py pins full-frame equality on real data plus a
-    constructed exact tie."""
+    constructed exact tie.
+
+    Degenerate inputs match the fold exactly (r11 ADVICE — the bare
+    kernel crashed where the fold degraded gracefully): a NULL, ragged
+    (length ≠ dim), or NULL-element vector yields (centroid_id=0,
+    dist=NULL), a NaN coordinate yields (0, NaN) — the NULL semantics are
+    applied JVM-side from a validity predicate so the kernel stays pure
+    float64. CENTERS must be finite: the fold's struct-min sorts a NaN
+    distance last while np.argmin would sort it first, so a non-finite
+    centroid breaks the bit-exactness contract — asserted up front. (A
+    NaN/±Inf coordinate in a VECTOR poisons every centroid's distance
+    identically in both forms, so those stay bit-exact.)"""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     C = np.asarray(centers, dtype=np.float64)  # k x dim
+    if C.size and not np.isfinite(C).all():
+        raise ValueError(
+            "assign_with_dist_exact requires finite centroids: the fold "
+            "ranks a NaN distance last, np.argmin first — a non-finite "
+            "center would silently break the bit-identical contract"
+        )
     dim = C.shape[1] if C.size else 0
 
     schema = T.StructType(
@@ -126,9 +143,29 @@ def assign_with_dist_exact(
     )
 
     def kernel(vecs):
-        V = np.asarray(vecs.tolist(), dtype=np.float64)  # n x dim
-        if V.size == 0:
+        raw = vecs.tolist()
+        if not raw:
             return pd.DataFrame({"centroid_id": [], "dist": []})
+        try:  # fast path: rectangular, no NULLs — the training-loop shape
+            V = np.asarray(raw, dtype=np.float64)  # n x dim
+            ok = V.ndim == 2 and V.shape[1] == dim
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            # NULL / ragged / NULL-element rows: substitute a zeros
+            # placeholder so the batch stays vectorized; the JVM layer
+            # overrides their output with the fold's (0, NULL)
+            clean = [
+                v
+                if (
+                    v is not None
+                    and len(v) == dim
+                    and not any(x is None for x in v)
+                )
+                else [0.0] * dim
+                for v in raw
+            ]
+            V = np.asarray(clean, dtype=np.float64)
         n = V.shape[0]
         acc = np.zeros((n, C.shape[0]), dtype=np.float64)
         for j in range(dim):  # fold's coordinate order, one lane per row
@@ -141,12 +178,28 @@ def assign_with_dist_exact(
         )
 
     kernel_udf = F.pandas_udf(kernel, returnType=schema)
-    out = df.withColumn(
-        "_a", kernel_udf(F.col(vec_col).cast("array<double>"))
+    v = F.col(vec_col).cast("array<double>")
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & ~F.exists(v, lambda x: x.isNull())
     )
+    # a NaN coordinate poisons every centroid distance → the fold answers
+    # (0, NaN); restore the NaN here because the Arrow boundary turns the
+    # kernel's NaN dist into NULL on the way back
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    out = df.withColumn("_a", kernel_udf(v))
     return (
-        out.withColumn("centroid_id", F.col("_a.centroid_id"))
-        .withColumn("dist", F.col("_a.dist"))
+        out.withColumn(
+            "centroid_id",
+            F.when(valid, F.col("_a.centroid_id")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "dist",
+            F.when(
+                valid & has_nan, F.lit(float("nan"))
+            ).otherwise(F.when(valid, F.col("_a.dist"))),
+        )
         .drop("_a")
     )
 

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reliable checkpoints (materialize_tier durable=True) are
+        # reference-tracked and deleted when the DataFrame is GC'd, so
+        # repeated runs don't accumulate checkpoint files
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -61,7 +65,7 @@ def get_spark(
 # run). The memo stores the resolved DataFrame PLAN only — no rows, no
 # results; every execution still scans parquet. Keyed by (application, path,
 # mtime) so a rewritten table (or a new session) re-resolves.
-_TABLE_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+_TABLE_MEMO: dict[tuple[str, str, float, int], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,10 +77,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        mtime = os.path.getmtime(path)
+        st = os.stat(path)
+        mtime, fsize = st.st_mtime, st.st_size
     except OSError:
-        mtime = -1.0
-    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+        mtime, fsize = -1.0, -1
+    app = spark.sparkContext.applicationId
+    # size is in the key alongside mtime (a rewrite within one mtime tick
+    # would otherwise serve a stale file listing — r11 ADVICE), and
+    # entries of stopped sessions / superseded (path, mtime, size) keys
+    # are evicted on insert so the memo cannot grow without bound
+    key = (app, os.path.abspath(path), mtime, fsize)
     cached = _TABLE_MEMO.get(key)
     if cached is not None:
         return cached
@@ -89,8 +99,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for fname, ftype in df.dtypes:
         if ftype == "timestamp_ntz":
             df = df.withColumn(fname, F.col(fname).cast("timestamp"))
+    for k in [
+        k
+        for k in _TABLE_MEMO
+        if k[0] != app or (k[1] == key[1] and k != key)
+    ]:
+        del _TABLE_MEMO[k]
     _TABLE_MEMO[key] = df
     return df
+
+
+def materialize_tier(df: DataFrame, durable: bool = False) -> DataFrame:
+    """Eagerly materialize a multiply-consumed intermediate tier, truncating
+    its lineage so each consumer reuses ONE execution (optimization guide
+    §3.3/§5). Always computed inside the calling query's run — a fresh
+    RDD per call, no plan-matching reuse across runs (unlike ``persist``,
+    whose CacheManager would silently serve a second identical run from
+    the first run's cache).
+
+    ``durable=False`` (default, for decision-sized tiers: candidate pairs,
+    signatures, sketches) uses ``localCheckpoint`` — executor-local
+    storage, cheapest, but the data dies with an executor.
+
+    ``durable=True`` is for CORPUS-SIZED tiers (a cleaned/filtered copy of
+    the input corpus): ``localCheckpoint`` would pin the whole corpus to
+    executor-local storage with NO lineage, so at 100 TB any executor loss
+    kills the job. A reliable checkpoint writes through the checkpoint dir
+    — ``$SPARK_GRAFT_CHECKPOINT_DIR`` in production (durable storage:
+    HDFS/object store), a per-app temp dir locally — and survives executor
+    loss. Checkpoint files are reference-tracked and cleaned on GC
+    (``spark.cleaner.referenceTracking.cleanCheckpoints``, set by
+    get_spark)."""
+    if df.isStreaming:
+        return df
+    if not durable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or os.path.join(
+            tempfile.gettempdir(), f"phs_ckpt_{sc.applicationId}"
+        )
+        sc.setCheckpointDir(base)
+    return df.checkpoint(eager=True)
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:

@@ -287,9 +287,15 @@ def _stage(df_thunk, path: str, sf_dir: str, spark: SparkSession = None):
     import os
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if _STAGED_FOR.get(path) != key:
+    # verify the staged artifact still exists before trusting the memo
+    # (r11 ADVICE): a tmp cleaner removing /tmp/promhouse_oracle_staging
+    # mid-session would otherwise leave query AND oracle reading a
+    # missing artifact — re-stage on miss
+    intact = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if _STAGED_FOR.get(path) != key or not intact:
         df_thunk().write.mode("overwrite").parquet(path)
         _STAGED_FOR[path] = key
+        _STAGE_READ_MEMO.pop(path, None)
     memo = _STAGE_READ_MEMO.get(path)
     if memo is not None and memo[0] == key:
         return memo[1]
@@ -488,7 +494,10 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic function of the (already memoized) index, and
     # re-running the two write jobs per query build cost two full Spark
     # jobs per bench iteration (measured r11).
-    if _STAGED_FOR.get(_IVF_STAGE) != key:
+    intact = os.path.exists(
+        f"{_IVF_STAGE}/vectors/_SUCCESS"
+    ) and os.path.exists(f"{_IVF_STAGE}/centroids/_SUCCESS")
+    if _STAGED_FOR.get(_IVF_STAGE) != key or not intact:
         spark.read.parquet(f"{path}/vectors").write.partitionBy(
             "centroid_id"
         ).mode("overwrite").parquet(f"{_IVF_STAGE}/vectors")

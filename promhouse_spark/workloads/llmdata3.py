@@ -21,7 +21,7 @@ from promhouse_spark.operators import dedup as D
 from promhouse_spark.operators import sampling as SP
 from promhouse_spark.operators import similarity as S
 from promhouse_spark.operators import text as X
-from promhouse_spark.session import load_table
+from promhouse_spark.session import load_table, materialize_tier
 
 
 def doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,20 +486,23 @@ def doc_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold and the filter); without materialization each consumer
     # re-executed the span-removal + PII-scrub chain — the plan held 292
     # Exchange nodes and the query ran 28 s at sf0.1 (r11). One eager
-    # localCheckpoint per tier computes each chain once; values are
+    # materialization per tier computes each chain once; values are
     # unchanged (the recomputations were deterministic replays of the
-    # same plan). At 100 TB this tier is what a production pipeline
-    # stages to storage between passes — same shape, durable medium.
-    cleaned = (
+    # same plan). Both tiers are CORPUS-SIZED (they carry the cleaned
+    # text), so they stage through the RELIABLE checkpoint dir — durable
+    # storage in production via $SPARK_GRAFT_CHECKPOINT_DIR — rather than
+    # localCheckpoint, which would pin the whole corpus to executor-local
+    # storage with no lineage (any executor loss kills a 100 TB job).
+    cleaned = materialize_tier(
         D.remove_repeated_spans(docs, n=8, min_docs=2)
-        .select("doc_id", "source", X.scrub_pii("clean_text").alias("text"))
-        .localCheckpoint(eager=True)
+        .select("doc_id", "source", X.scrub_pii("clean_text").alias("text")),
+        durable=True,
     )
     model = X.char_ngram_model(cleaned, "text", n=3)
-    scored = (
+    scored = materialize_tier(
         X.charlm_score(cleaned, model, n=3)
-        .join(cleaned.select("doc_id", "source", "text"), "doc_id")
-        .localCheckpoint(eager=True)
+        .join(cleaned.select("doc_id", "source", "text"), "doc_id"),
+        durable=True,
     )
     thresh = scored.agg(
         F.percentile("avg_nll", F.lit(0.9)).alias("t")

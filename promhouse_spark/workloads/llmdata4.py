@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from promhouse_spark.session import load_table
+from promhouse_spark.session import load_table, materialize_tier
 
 _BPE_K = 8
 
@@ -821,11 +821,15 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the ITERATIVE BPE trainer — every merge step is its own
     # action, so an unmaterialized `final` re-executed the whole
     # quality-gate + dedup chain once per merge (r11; 35 s at sf0.1).
-    # Eager checkpoints compute each tier once; values unchanged.
-    kept = (
-        docs.filter(linear >= 0)
-        .select("doc_id", "source", "text")
-        .localCheckpoint(eager=True)
+    # Eager materializations compute each tier once; values unchanged.
+    # Both tiers are CORPUS-SIZED (a filtered copy of the input corpus
+    # with its text), so they stage through the RELIABLE checkpoint dir
+    # (durable storage in production) — localCheckpoint would pin the
+    # corpus to executor-local storage with no lineage (r11 verdict:
+    # at 100 TB any executor loss kills the job).
+    kept = materialize_tier(
+        docs.filter(linear >= 0).select("doc_id", "source", "text"),
+        durable=True,
     )
 
     sig = D.minhash_signatures(kept)
@@ -849,8 +853,8 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(inter / union, 4) >= 0.8)
     )
     drops = ver.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept.join(drops, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    final = materialize_tier(
+        kept.join(drops, "doc_id", "left_anti"), durable=True
     )
 
     _merges, vocab = bpe_train(final, "text", n_merges=_BPE_K)

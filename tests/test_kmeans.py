@@ -203,3 +203,49 @@ def test_kmeans_parallel_init_is_deterministic(spark):
     a = kmeans_fit(df, k=3, iters=2, init="kmeans||")
     b = kmeans_fit(df.repartition(7), k=3, iters=2, init="kmeans||")
     assert a == b
+
+
+def test_exact_kernel_degenerate_inputs_match_fold(spark):
+    """r11 ADVICE guard: NULL / ragged / NULL-element / NaN / Inf vectors
+    must degrade exactly like the column fold — (0, NULL) for malformed
+    vectors, (0, NaN) for a NaN coordinate (which the Arrow boundary
+    would otherwise surface as NULL), (0, Inf) for an Inf coordinate —
+    and non-finite CENTERS are rejected up front (the fold ranks a NaN
+    distance last, np.argmin first)."""
+    import math
+
+    import pytest
+
+    from promhouse_spark.operators.kmeans import assign_with_dist_exact
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [1.0]),
+        (4, [1.0, 2.0, 3.0]),
+        (5, [float("nan"), 1.0]),
+        (6, [None, 2.0]),
+        (7, [float("inf"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = [[0.0, 0.0], [1.0, 2.0]]
+    fold = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in assign_with_dist(df, centers).collect()
+    }
+    ex = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in assign_with_dist_exact(df, centers).collect()
+    }
+    assert fold.keys() == ex.keys()
+    for k in fold:
+        (fc, fd), (ec, ed) = fold[k], ex[k]
+        assert fc == ec, k
+        if fd is None or ed is None:
+            assert fd is None and ed is None, k
+        elif math.isnan(fd) or math.isnan(ed):
+            assert math.isnan(fd) and math.isnan(ed), k
+        else:
+            assert fd == ed, k
+    with pytest.raises(ValueError, match="finite centroids"):
+        assign_with_dist_exact(df, [[float("nan"), 0.0]])
