@@ -308,16 +308,16 @@ class PromQLEngine:
         # swaps self.samples for the query's FindMinMaxTime window so the
         # layout prunes before its decode barrier
         self._samples_source = None
-        # §3.3 shared-tier dedup (r12): the series dimension is
-        # materialized once per engine (see _materialize_series), and
-        # instant-vector tiers of selectors that appear in MULTIPLE
-        # operands of one expression are checkpointed so each operand
-        # reuses one execution instead of re-deriving the as-of tier.
-        # Both memos live on the engine object, which the declared
-        # queries construct fresh inside every run — nothing survives a
-        # run, so every bench/oracle invocation still computes from the
-        # parquet inputs.
-        self._series_mat = False
+        # §3.3 shared-tier dedup (r12): instant-vector tiers of selectors
+        # that appear in MULTIPLE operands of one expression are built
+        # once and the same plan object shared (identical canonical
+        # subtrees — Spark's runtime exchange reuse then executes the
+        # tier once). Measured note: EAGER localCheckpoint of the shared
+        # tiers was tried and rejected — exchange reuse already dedupes
+        # execution, so the eager jobs only added ~0.5-5 s of build-time
+        # cost/jitter per query (interleaved A/B at sf0.1, r12). The memo
+        # lives on the engine object, which the declared queries
+        # construct fresh inside every run.
         self._iv_memo: dict = {}
         self._sel_counts: dict = {}
 
@@ -388,7 +388,6 @@ class PromQLEngine:
         # start/end reaching one of those would resolve against the wrong
         # range (Prometheus preprocesses @ the same way)
         node = _resolve_start_end(node, self.start_ms, self.end_ms)
-        self._materialize_series()
         # fresh per-eval instant-tier memo: selector tiers are shared
         # between operands of THIS expression only
         self._iv_memo = {}
@@ -426,30 +425,6 @@ class PromQLEngine:
         )
 
     # -- scaffolding --------------------------------------------------------
-
-    @staticmethod
-    def _materialize(df: DataFrame) -> DataFrame:
-        """Eagerly truncate the lineage of a small multiply-consumed tier
-        (optimization guide §3.3). ``localCheckpoint`` creates a fresh RDD
-        per call — there is no plan-matching reuse across runs (unlike
-        ``persist``), so a re-run of the same query recomputes everything.
-        Streaming frames pass through untouched (cannot be checkpointed)."""
-        if df.isStreaming:
-            return df
-        return df.localCheckpoint(eager=True)
-
-    def _materialize_series(self) -> None:
-        """Materialize the series dimension once per engine. Every selector
-        resolution filters ``self.series`` (often a distinct over the fact
-        table, as in the workloads' ``_engine``) and every ``_attach``
-        joins it back — without this, one binary expression re-executes
-        that distinct 4-8× (measured: ph_promql_ratio held 20 fact scans).
-        The tier is series-dimension-sized (fingerprint + labels), far
-        smaller than the sample stream."""
-        if self._series_mat or self.series.isStreaming:
-            return
-        self.series = self._materialize(self.series)
-        self._series_mat = True
 
     def _sel_key(self, sel: VectorSelector):
         return (
@@ -518,9 +493,11 @@ class PromQLEngine:
         if memo is not None:
             return self._attach(*memo)
         samples, series = self._selected(sel)
-        # with the series dimension materialized, its fingerprints replace
-        # the distinct over the (semi-joined) fact table as the grid source
-        fps = series if self._series_mat else None
+        # the matched series' fingerprints replace the distinct over the
+        # (semi-joined) fact table as the grid source — one aggregation
+        # over the fact stream removed per selector, and the series
+        # subtree is shared (exchange-reused) with the semi-join/_attach
+        fps = series if not series.isStreaming else None
         at = self._at_ms(sel)
         if at is not None:
             # @ modifier: one evaluation at the pinned timestamp, its value
@@ -539,8 +516,9 @@ class PromQLEngine:
             )
         if self._sel_counts.get(key, 0) >= 2:
             # this selector feeds ≥2 operands of the current expression:
-            # materialize the tier once so each operand reuses it (§3.3)
-            tier = self._materialize(tier)
+            # share ONE plan object so the operands hold identical
+            # canonical subtrees (runtime exchange reuse executes the
+            # tier once) and the expression tree is built once (§3.3)
             self._iv_memo[key] = (tier, series)
         return self._attach(tier, series)
 
@@ -812,17 +790,15 @@ class PromQLEngine:
                 self.samples, self.series, fine_start, self.end_ms - off,
                 step, self.lookback_ms,
             )
-            # self.series is already the materialized tier — the inner
-            # engine reuses it instead of re-deriving the distinct
-            inner._series_mat = self._series_mat
             vec = inner._compile(arg.expr)
             if isinstance(vec, float):
                 vec = inner._scalar_frame(vec)
             # the inner evaluation feeds THREE consumers (the exploded
             # samples-like frame, the series-like distinct, and the final
-            # _attach join) — materialize it once (§3.3); it is
-            # grid-sized (series × fine grid points), not corpus-sized
-            vec = self._materialize(vec)
+            # _attach join) as one shared plan object — identical
+            # canonical subtrees, so runtime exchange reuse executes the
+            # shared stages once (eager localCheckpoint here was measured
+            # net-negative, r12)
             from promhouse_spark.functions.labels import labels_map_to_json
 
             key = labels_map_to_json("labels")
@@ -970,7 +946,6 @@ class PromQLEngine:
                 self.samples, self.series, at, at, max(self.step_ms, 1),
                 self.lookback_ms,
             )
-            sub._series_mat = self._series_mat
             new_args = list(node.args)
             if isinstance(rs, RangeSelector):
                 sel = dataclasses.replace(rs.selector, at_ms=None)
@@ -1344,7 +1319,7 @@ class PromQLEngine:
             arg = node.args[0]
             if isinstance(arg, VectorSelector):
                 samples, series = self._selected(arg)
-                fps = series if self._series_mat else None
+                fps = series if not series.isStreaming else None
                 # _selected shifted timestamps by +offset for the as-of
                 # match; report the unshifted sample timestamp
                 raw_ts = F.col("sample_ts_ms") - F.lit(arg.offset_ms or 0)

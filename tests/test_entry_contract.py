@@ -2,6 +2,8 @@
 (schema resolution catches renamed columns / typos without executing), every
 oracle key must have an implementation, and entry() must run."""
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -22,7 +24,14 @@ def test_queries_and_oracles_consistent():
     assert set(qs) - set(os_) == set()
 
 
+@pytest.mark.slow
 def test_all_queries_analyze(spark, sf_dir):
+    # slow tier (r12): building all 151 queries takes ~8 min — several
+    # curation/dedup builds EXECUTE their eager tier materializations at
+    # construction time. The default tier still covers the contract:
+    # test_queries_and_oracles_consistent pins the registry shape, and
+    # tests/test_oracle_tail.py EXECUTES the full 101-query tail (the
+    # driver itself executes the 50-query judged prefix).
     qs = entrymod.queries()
     for name, fn in sorted(qs.items()):
         df = fn(spark, sf_dir)

@@ -92,7 +92,10 @@ def _run_once(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+@pytest.mark.slow
 def test_sf1_over_sf01_total_ratio_is_near_linear(spark, sf1_dir):
+    # slow tier (r12): ~3.5 min of timed sf0.1+sf1 runs — a perf gate,
+    # not a correctness net; run with -m slow (or the full suite).
     # warm both paths' footers + plans once so compile noise hits both sides
     small = _run_once(spark, SF01_DIR)
     small = _run_once(spark, SF01_DIR)  # second pass: plans warm
