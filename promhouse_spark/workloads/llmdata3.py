@@ -496,13 +496,13 @@ def doc_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = materialize_tier(
         D.remove_repeated_spans(docs, n=8, min_docs=2)
         .select("doc_id", "source", X.scrub_pii("clean_text").alias("text")),
-        durable=True,
+        durable=True, site="pipeline2_cleaned",
     )
     model = X.char_ngram_model(cleaned, "text", n=3)
     scored = materialize_tier(
         X.charlm_score(cleaned, model, n=3)
         .join(cleaned.select("doc_id", "source", "text"), "doc_id"),
-        durable=True,
+        durable=True, site="pipeline2_scored",
     )
     thresh = scored.agg(
         F.percentile("avg_nll", F.lit(0.9)).alias("t")

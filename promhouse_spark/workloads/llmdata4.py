@@ -829,7 +829,7 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB any executor loss kills the job).
     kept = materialize_tier(
         docs.filter(linear >= 0).select("doc_id", "source", "text"),
-        durable=True,
+        durable=True, site="pipeline4_kept",
     )
 
     sig = D.minhash_signatures(kept)
@@ -854,7 +854,7 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = ver.select(F.col("doc_b").alias("doc_id")).distinct()
     final = materialize_tier(
-        kept.join(drops, "doc_id", "left_anti"), durable=True
+        kept.join(drops, "doc_id", "left_anti"), durable=True, site="pipeline4_final"
     )
 
     _merges, vocab = bpe_train(final, "text", n_merges=_BPE_K)
