@@ -30,6 +30,11 @@ from promhouse_spark.models import (
 from promhouse_spark.storage import fs
 from promhouse_spark.storage.parquet import SparkParquetStorage
 
+# slow tier (r12): TSDB admin integration (~3 min of multi-tier delete/mask runs). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 T0 = 1767225600000  # 2026-01-01T00:00:00Z
 DAY = 86_400_000
 

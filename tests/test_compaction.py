@@ -7,6 +7,14 @@ from promhouse_spark.models import Query, make_matchers
 from promhouse_spark.storage.parquet import SparkParquetStorage
 from tests.fixtures import T0, get_data, normalize
 
+import pytest
+
+# slow tier (r12): compaction-under-ingest integration (~2 min). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def test_compact_preserves_results_and_reduces_files(spark, tmp_path):
     st = SparkParquetStorage(spark, str(tmp_path / "store"))

@@ -7,6 +7,12 @@ import pytest
 
 from promhouse_spark.streaming.docdedup import StreamingDocDedup
 
+# slow tier (r12): streaming doc-dedup integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 BASE = "the quick brown fox jumps over the lazy dog while seventeen green "\
     "turtles carry heavy baskets of ripe mangoes across the shallow river "\
     "during a warm october afternoon under pale clouds"

@@ -7,6 +7,12 @@ from promhouse_spark.edge.exposition import merge_series, parse_exposition
 from promhouse_spark.models import Label, Sample, TimeSeries
 from tests.fixtures import T0
 
+# slow tier (r12): exporter integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture()
 def app():

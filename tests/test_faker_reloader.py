@@ -9,6 +9,14 @@ from promhouse_spark.models import Query, make_matchers
 from promhouse_spark.storage.parquet import SparkParquetStorage
 from tests.fixtures import get_data, T0
 
+import pytest
+
+# slow tier (r12): reloader integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def test_fake_value_rules():
     rng = random.Random(1)

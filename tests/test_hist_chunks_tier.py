@@ -22,6 +22,11 @@ from promhouse_spark.models import (
 from promhouse_spark.storage.chunked import ChunkedParquetStorage
 from promhouse_spark.storage.parquet import SparkParquetStorage
 
+# slow tier (r12): histogram chunk tier integration (~2 min). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 T0 = 1_767_225_600_000
 DAY = 86_400_000
 

@@ -26,6 +26,11 @@ from tests.fixtures import T0
 
 from pyspark.sql import functions as F
 
+# slow tier (r12): streaming native-histogram integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 
 def _hist_map(df):
     return {

@@ -13,6 +13,12 @@ from promhouse_spark.edge import otlp
 from promhouse_spark.edge.http import create_app
 from promhouse_spark.storage.parquet import SparkParquetStorage
 
+# slow tier (r12): OTLP ingest integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 T_NS = 1_767_225_600_000_000_000  # 2026-01-01T00:00:00Z in ns
 
 

@@ -15,6 +15,12 @@ from promhouse_spark.models import Label, Sample, TimeSeries
 from promhouse_spark.storage.memory import MemoryStorage
 from tests.fixtures import T0, get_data, normalize
 
+# slow tier (r12): remote-write load integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def _free_port() -> int:
     with socket.socket() as s:

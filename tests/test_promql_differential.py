@@ -21,6 +21,12 @@ import pytest
 from promhouse_spark.promql import PromQLEngine
 from tests.promql_reference import NAME, RefEval, RefSeries
 
+# slow tier (r12): engine-vs-reference differential (~8 min) — the compile + conformance golden nets cover the fast tier. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 START, END, STEP = 600_000, 1_200_000, 60_000
 LOOKBACK = 300_000
 

@@ -41,6 +41,11 @@ from tests.test_promql_differential import (
     _gen_series,
 )
 
+# slow tier (r12): 180-expression fuzz corpus (~6 min) — redundancy layer over the compile/conformance/differential nets. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 # metrics with NaN-free float values (quantile/sort-sensitive ops allowed)
 _CLEAN = ["http_requests_total", "mem_usage", "up"]
 _RANGES = [60_000, 150_000, 240_000, 300_000]

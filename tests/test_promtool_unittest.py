@@ -11,6 +11,12 @@ import pytest
 
 from promhouse_spark.promql.unittest import parse_series_values, run_rule_tests
 
+# slow tier (r12): promtool rule-test integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def test_value_notation():
     assert parse_series_values("1 2 3") == [1.0, 2.0, 3.0]

@@ -25,6 +25,12 @@ from promhouse_spark.operators import dedup as D
 from promhouse_spark.operators import similarity as S
 from promhouse_spark.session import load_table
 
+# slow tier (r12): ANN recall gates with planted corpora (~3 min). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):

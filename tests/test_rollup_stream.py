@@ -5,6 +5,7 @@ preserves results."""
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.storage.parquet import SparkParquetStorage
 from promhouse_spark.streaming.rollup import (
+
     compact_rollup,
     downsample_partial,
     merge_rollup,
@@ -12,6 +13,13 @@ from promhouse_spark.streaming.rollup import (
     start_rollup_stream,
 )
 from tests.fixtures import T0
+
+import pytest
+
+# slow tier (r12): continuous rollup stream integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 
 def _rollup_map(df):

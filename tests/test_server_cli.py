@@ -14,6 +14,12 @@ import pytest
 
 from promhouse_spark.server import build_parser, build_storage, parse_addr
 
+# slow tier (r12): server CLI integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def test_flag_surface_defaults():
     args = build_parser().parse_args([])

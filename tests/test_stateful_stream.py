@@ -9,6 +9,12 @@ import pytest
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.streaming.stateful import continuous_increase
 
+# slow tier (r12): stateful streaming integration (35 s timeout-reap soak). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def _write_batch(spark, path, rows):
     spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.mode(

@@ -9,6 +9,14 @@ from promhouse_spark.storage.parquet import SparkParquetStorage
 from promhouse_spark.streaming.ingest import start_ingest
 from tests.fixtures import T0
 
+import pytest
+
+# slow tier (r12): stream-ingest integration (~2 min). The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def _write_jsonl(path, rows):
     with open(path, "w") as f:

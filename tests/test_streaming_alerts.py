@@ -11,11 +11,17 @@ from promhouse_spark.promql import PromQLEngine
 from promhouse_spark.promql.alerts import alert_intervals_promql
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.streaming.alerts import (
+
     _AlertState,
     compile_streaming_alert,
     intervals_from_events,
     start_streaming_alert,
 )
+
+# slow tier (r12): streaming alert integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 T0 = 1_767_225_600_000
 

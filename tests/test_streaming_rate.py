@@ -12,6 +12,12 @@ from pyspark.sql import Row
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.streaming.rate import sliding_rate, start_sliding_rate_stream
 
+# slow tier (r12): streaming rate integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 T0 = 1_767_225_600_000  # aligned to every step used here
 
 

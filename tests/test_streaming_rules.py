@@ -11,11 +11,17 @@ from pyspark.sql import Row
 from promhouse_spark.promql import PromQLEngine
 from promhouse_spark.schemas import SAMPLES_SCHEMA
 from promhouse_spark.streaming.rules import (
+
     compile_streaming_rule,
     recorded_frame,
     rule_series_frame,
     start_streaming_rule,
 )
+
+# slow tier (r12): streaming rule integration. The default tier keeps the operator unit
+# nets, the compiled-engine compile/conformance nets, and the executed
+# 101-query DuckDB oracle tail; run this file via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 T0 = 1_767_225_600_000  # epoch-aligned to the 60 s step
 
