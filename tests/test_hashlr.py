@@ -69,6 +69,37 @@ def test_training_is_deterministic_across_runs(spark):
     assert fit1 == fit2
 
 
+def test_weights_literal_bitexact(spark):
+    """The server-parsed array literal (_weights_lit, ONE py4j round trip
+    instead of n_buckets Literal constructions — the GD loop builds it
+    every step) must be BIT-IDENTICAL to the per-element F.lit form for
+    every double the trainer can produce: repr() round-trips and the SQL
+    parser's Double.parseDouble is correctly rounded. Pinned element-wise
+    over signed zeros, denormal-adjacent exponents and quantized values;
+    the non-finite fallback path must also agree."""
+    import random
+    import struct
+
+    from promhouse_spark.operators.hashlr import _weights_lit
+
+    random.seed(7)
+    ws = [random.uniform(-0.5, 0.5) * (10 ** random.randint(-9, 1)) for _ in range(256)]
+    ws[:6] = [0.0, -0.0, 1e-300, -1.2345678901234567e-07, 0.1234567, -2.5e-07]
+    df = spark.range(1, len(ws) + 1).select(F.col("id").cast("int").alias("i"))
+    rows = df.select(
+        F.element_at(_weights_lit(ws), F.col("i")).alias("a"),
+        F.element_at(F.array(*[F.lit(w) for w in ws]), F.col("i")).alias("b"),
+    ).collect()
+    assert len(rows) == len(ws)
+    assert all(
+        struct.pack("<d", r["a"]) == struct.pack("<d", r["b"]) for r in rows
+    )
+    # non-finite weights take the per-element Literal fallback
+    nf = [1.0, float("inf"), float("nan")]
+    got = spark.range(1).select(_weights_lit(nf).alias("w")).first()["w"]
+    assert got[0] == 1.0 and got[1] == float("inf") and got[2] != got[2]
+
+
 def test_train_unpersists_feature_cache(spark):
     """Cache hygiene (r11 verdict): the trainer's internal cached feature
     frame must be unpersisted when training returns — otherwise it leaks
