@@ -831,22 +831,42 @@ def remove_repeated_spans(
     the tokens of every other occurrence. Returns the input columns plus
     ``clean_text`` and ``n_removed_tokens``.
 
-    Distributed shape: span detection is the one keyed aggregation above;
-    the keeper choice is a second keyed aggregation on the gram (min-pair);
-    per-doc span lists come back via one join on the doc id; the final mask
-    is a pure per-row two-arg ``filter`` lambda over the token array — no
-    window functions, nothing driver-side.
+    Distributed shape: ONE positional gram explode feeds both a single
+    gram-keyed aggregation — the distinct-doc dup test AND the
+    globally-first keeper (min (id, pos) packed into a sortable struct,
+    avoiding a window over the full span stream) come out of the same
+    pass — and the join probe that re-attaches every occurrence; both
+    sides hash-partition on the gram, so runtime exchange reuse executes
+    the explode once. (The previous form ran the dup test as its own
+    explode+aggregation (repeated_ngram_spans), joined, then aggregated
+    the surviving span stream AGAIN for the keeper — two more gram-scale
+    exchanges over the corpus for values this single aggregation already
+    had. The keeper min is over the same set either way: the spans of a
+    dup gram are exactly that gram's occurrences.) Per-doc span lists
+    come back via one join on the doc id; the final mask is a pure
+    per-row two-arg ``filter`` lambda over the token array — no window
+    functions, nothing driver-side.
     """
-    spans = repeated_ngram_spans(df, id_col, text_col, n, min_docs)
-    # globally-first occurrence per gram: min by (id, pos) packed into a
-    # sortable struct (avoids a window over the full span stream)
+    toks0 = F.split(F.col(text_col), " ")
+    pos_grams = (
+        ensure_parallelism(df, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles(toks0, n)).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    )
     keeper = (
-        spans.groupBy("gram")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))
+        pos_grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"),
+        )
+        .filter(F.col("_nd") >= min_docs)
         .select("gram", F.col(f"k.{id_col}").alias("_kid"), F.col("k.pos").alias("_kpos"))
     )
     removed = (
-        spans.join(keeper, "gram")
+        pos_grams.join(keeper, "gram")
         .filter(~((F.col(id_col) == F.col("_kid")) & (F.col("pos") == F.col("_kpos"))))
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_starts"))
