@@ -299,14 +299,23 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     )
 
 
-def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bpe_vocab(
+    df: DataFrame, text_col: str = "text", word_counts: DataFrame | None = None
+) -> DataFrame:
     """The BPE training state: distinct words with corpus counts and their
     initial symbol arrays (characters + a final ``</w>`` end-of-word
     marker). Training iterates over THIS frame, never the corpus — the
     word-frequency table is Zipf-bounded (millions of rows at 100 TB, vs
     trillions of tokens), which is what makes driver-looped BPE tractable
-    at scale (the fastBPE/Sennrich formulation)."""
-    words = (
+    at scale (the fastBPE/Sennrich formulation).
+
+    ``word_counts`` (a ``(w, cnt)`` frame) lets a caller that already
+    aggregated the corpus's word frequencies — e.g. a pipeline that needs
+    per-source counts anyway — hand them in, skipping this function's
+    token explode (one full corpus tokenize+shuffle). Counts must be the
+    same integers the explode would produce; downstream merges depend on
+    nothing else."""
+    words = word_counts if word_counts is not None else (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -343,6 +352,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint_every: int = 8,
+    word_counts: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Iterative BPE tokenizer induction (Sennrich et al. 2016): K driver
     iterations, each one keyed pair-count aggregation + a 1-row argmax
@@ -354,8 +364,10 @@ def bpe_train(
     with the count measured BEFORE that merge was applied; final_vocab is
     the symbolized word frame after all merges (the tokenizer's word
     segmentation). Lineage is truncated every ``checkpoint_every`` rounds —
-    K nested folds would otherwise grow the plan unboundedly."""
-    vocab = bpe_vocab(df, text_col).persist()
+    K nested folds would otherwise grow the plan unboundedly.
+    ``word_counts`` is forwarded to :func:`bpe_vocab` (pre-aggregated
+    ``(w, cnt)`` — skips the corpus tokenize when the caller has one)."""
+    vocab = bpe_vocab(df, text_col, word_counts=word_counts).persist()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (

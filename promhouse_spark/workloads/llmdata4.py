@@ -857,10 +857,28 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(drops, "doc_id", "left_anti"), durable=True, site="pipeline4_final"
     )
 
-    _merges, vocab = bpe_train(final, "text", n_merges=_BPE_K)
-    words = final.select("source", F.explode(tokens("text")).alias("wd"))
+    # ONE tokenize of the survivors serves both BPE training and the
+    # per-source rollup: the (source, word) count tier is decision-sized
+    # (Zipf-bounded vocabulary × sources), so it localCheckpoints; the
+    # BPE word frequencies are its source-marginal (same integers the
+    # trainer's own explode produced) and the rollup re-weights by cnt
+    # (n_words = Σcnt, n_bpe = Σcnt·n_syms — exact integer identities).
+    # Previously bpe_train and the rollup each exploded the staged
+    # `final` tier — two full corpus tokenize+shuffle passes for counts
+    # one pass already had.
+    swf = materialize_tier(
+        final.select("source", F.explode(tokens("text")).alias("wd"))
+        .groupBy("source", "wd")
+        .agg(F.count("*").cast("long").alias("cnt")),
+        site="pipeline4_swf",
+    )
+    wf = swf.groupBy("wd").agg(F.sum("cnt").cast("long").alias("cnt"))
+    _merges, vocab = bpe_train(
+        final, "text", n_merges=_BPE_K,
+        word_counts=wf.select(F.col("wd").alias("w"), "cnt"),
+    )
     tok = (
-        words.join(
+        swf.join(
             F.broadcast(
                 vocab.select(F.col("w").alias("wd"), F.size("syms").cast("long").alias("n_syms"))
             ),
@@ -868,8 +886,8 @@ def doc_curation_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("n_syms").cast("long").alias("n_bpe"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_bpe"),
         )
     )
     n_in = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
