@@ -36,7 +36,8 @@ _MH_MAX = (1 << 32) - 1
 
 def _plan_probe(df: DataFrame) -> tuple[bool, int] | None:
     """Best-effort peek at Catalyst internals through the PRIVATE ``_jdf``
-    py4j bridge — the ONLY place in the engine that touches it. Returns
+    py4j bridge — the only function in the engine that touches it (other
+    operators import THIS helper rather than the bridge). Returns
     ``(plan_already_repartitioned, optimized_size_in_bytes)``, or ``None``
     whenever the bridge is unavailable or its shape changed (Spark Connect,
     version drift). Never raises: callers must treat ``None`` as "unknown"

@@ -169,10 +169,31 @@ def hashlr_train(
     # step's window sum then needs NO exchange (the cached partitioning
     # satisfies it), leaving the tiny bucket aggregation as the only
     # per-step shuffle — iteration wall time ~1.0 s → ~0.4 s at sf0.1
-    # (r11). The repartition reorders float accumulation, which the
-    # per-step 1e-7 quantization absorbs; the CALLER's frame is left
-    # untouched for the scorer.
-    feats = feats.repartition("doc_id").cache()
+    # (r11). The partition count is sized from the optimizer's input
+    # estimate (ceil(bytes/16MB) clamped to [2, parallelism] — the same
+    # grows-with-data rule the streaming state stores use, guide §2.2)
+    # instead of inheriting spark.sql.shuffle.partitions: every GD step
+    # launches a job over this layout, so a 32-partition default put 32
+    # near-empty tasks per stage per step on a few-MB frame (r12,
+    # measured ~0.9 s/step of pure task overhead at sf0.1; a 100 TB
+    # corpus estimate saturates the parallelism clamp instead). The
+    # repartition reorders float accumulation, which the per-step 1e-7
+    # quantization absorbs; the CALLER's frame is left untouched for the
+    # scorer.
+    from promhouse_spark.operators.dedup import _plan_probe
+
+    probe = _plan_probe(feats)
+    if probe is not None:
+        parts = max(
+            2,
+            min(
+                math.ceil(probe[1] / (16 << 20)),
+                feats.sparkSession.sparkContext.defaultParallelism,
+            ),
+        )
+        feats = feats.repartition(parts, "doc_id").cache()
+    else:
+        feats = feats.repartition("doc_id").cache()
     try:
         return _hashlr_train_cached(
             feats, n_buckets, iters, lr, quant, scale, n_docs
@@ -224,7 +245,8 @@ def _hashlr_train_cached(
     # flaky at HEAD before this change and equally flaky after; both
     # forms produce bit-identical margins within any one environment.)
     wdoc = Window.partitionBy("doc_id")
-    for _ in range(iters):
+
+    def _grad_rows_column_api(bias: float, weights: list[float]) -> list:
         warr = _weights_lit(weights)
         margin = F.lit(bias) + F.sum(
             F.col("x") * F.element_at(warr, F.col("bucket") + 1)
@@ -232,21 +254,54 @@ def _hashlr_train_cached(
         resid = (
             F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("y")
         )
-        grad_rows = (
+        return (
             feats.select("bucket", (resid * F.col("x")).alias("rx"))
             .groupBy("bucket")
             .agg(F.sum("rx").alias("g"))
             .collect()
         )
-        grad = {r["bucket"]: r["g"] for r in grad_rows}
-        # sum in bucket order: collect order varies run-to-run and float
-        # addition does not commute at the last ulp
-        bias_g = sum(grad[k] for k in sorted(grad)) / (n_docs * scale)
-        weights = [
-            quantize(w - lr * grad.get(k, 0.0) / n_docs, quant)
-            for k, w in enumerate(weights)
-        ]
-        bias = quantize(bias - lr * bias_g, quant)
+
+    # The per-step query is shipped as ONE SQL string over a temp view of
+    # the cached frame (the view resolves to the same analyzed plan, so
+    # the CacheManager serves it from the in-memory copy): one py4j round
+    # trip per step instead of the ~10 Column-API calls that built the
+    # same expressions object-by-object (~0.3 s of pure driver time per
+    # step at 1024 buckets, × iters — same lesson as _weights_lit). The
+    # parsed tree is the identical margin-window/residual/gradient plan:
+    # 1.0D literals keep the arithmetic double (plain 1.0 parses as
+    # DECIMAL), repr() round-trips every weight bit-exactly, and the
+    # trajectory was re-pinned identical to the Column form at
+    # sf0.001/0.01/0.1. Non-finite model state (the SQL parser rejects
+    # inf/nan) falls back to the Column form.
+    spark = feats.sparkSession
+    import uuid
+
+    view = f"__hashlr_feats_{uuid.uuid4().hex[:8]}"
+    feats.createOrReplaceTempView(view)
+    try:
+        for _ in range(iters):
+            if math.isfinite(bias) and all(map(math.isfinite, weights)):
+                arr_sql = "array(" + ",".join(repr(w) + "D" for w in weights) + ")"
+                grad_rows = spark.sql(
+                    "SELECT bucket, sum(rx) AS g FROM ("
+                    f"SELECT bucket, (1.0D / (1.0D + exp(-({bias!r}D + "
+                    f"sum(x * element_at({arr_sql}, bucket + 1)) "
+                    "OVER (PARTITION BY doc_id)))) - y) * x AS rx "
+                    f"FROM {view}) GROUP BY bucket"
+                ).collect()
+            else:
+                grad_rows = _grad_rows_column_api(bias, weights)
+            grad = {r["bucket"]: r["g"] for r in grad_rows}
+            # sum in bucket order: collect order varies run-to-run and
+            # float addition does not commute at the last ulp
+            bias_g = sum(grad[k] for k in sorted(grad)) / (n_docs * scale)
+            weights = [
+                quantize(w - lr * grad.get(k, 0.0) / n_docs, quant)
+                for k, w in enumerate(weights)
+            ]
+            bias = quantize(bias - lr * bias_g, quant)
+    finally:
+        spark.catalog.dropTempView(view)
     return bias, weights
 
 
