@@ -363,11 +363,20 @@ def bpe_train(
     Returns (merges, final_vocab): merges as (step, left, right, count)
     with the count measured BEFORE that merge was applied; final_vocab is
     the symbolized word frame after all merges (the tokenizer's word
-    segmentation). Lineage is truncated every ``checkpoint_every`` rounds —
-    K nested folds would otherwise grow the plan unboundedly.
-    ``word_counts`` is forwarded to :func:`bpe_vocab` (pre-aggregated
-    ``(w, cnt)`` — skips the corpus tokenize when the caller has one)."""
+    segmentation), materialized. Lineage is truncated (and the frame
+    re-anchored) every ``checkpoint_every`` rounds — K nested folds would
+    otherwise grow the plan unboundedly. Between anchors the merge folds
+    stay LAZY: each step's argmax action re-derives ≤ ``checkpoint_every``
+    array folds from the persisted anchor, which is cheaper than the
+    previous per-step ``persist()+count()`` materialization — that shape
+    ran a SECOND action and a full cache write of the word table every
+    step for folds the next aggregation re-runs in-line anyway (r12,
+    measured: the 8-step loop spent ~half its wall time in those
+    materialization jobs). ``word_counts`` is forwarded to
+    :func:`bpe_vocab` (pre-aggregated ``(w, cnt)`` — skips the corpus
+    tokenize when the caller has one)."""
     vocab = bpe_vocab(df, text_col, word_counts=word_counts).persist()
+    anchor = vocab  # the persisted frame the lazy fold chain re-derives from
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -380,14 +389,18 @@ def bpe_train(
             break
         l, r, c = top[0]["left"], top[0]["right"], top[0]["cnt"]
         merges.append((step, l, r, c))
-        nxt = vocab.select("w", "cnt", merge_pair_expr(F.col("syms"), l, r).alias("syms"))
+        vocab = vocab.select(
+            "w", "cnt", merge_pair_expr(F.col("syms"), l, r).alias("syms")
+        )
         if step % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist()
-            nxt.count()  # materialize before dropping the parent
-        vocab.unpersist()
-        vocab = nxt
+            vocab = vocab.localCheckpoint(eager=True)
+            anchor.unpersist()
+            anchor = vocab
+    if vocab is not anchor:
+        # preserve the return contract: final_vocab is materialized and
+        # self-contained (callers iterate/join it repeatedly)
+        vocab = vocab.localCheckpoint(eager=True)
+        anchor.unpersist()
     return merges, vocab
 
 
