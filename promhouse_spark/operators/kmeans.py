@@ -40,9 +40,15 @@ skewed corpora — still deterministic, but not oracle-replayed.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, functions as F
 
 from promhouse_spark.functions.quantize import quantize
+
+# per-fit temp-view names (means step below): unique per kmeans_fit call so
+# concurrent fits in one session never clobber each other's view
+_FIT_VIEW_IDS = itertools.count()
 
 
 def assign_with_dist(
@@ -253,30 +259,44 @@ def kmeans_fit(
         centers = [[float(x) for x in r["v"]] for r in seeds]
     else:
         raise ValueError(f"kmeans_fit: unknown init {init!r}")
-    dim = len(centers[0]) if centers else 0
-    v = F.col(vec_col).cast("array<double>")
-    for _ in range(iters):
-        assigned = assign_fn(df, centers, vec_col)
-        # per-coordinate avg as `dim` aggregate columns in ONE keyed agg —
-        # not posexplode: exploding N×dim rows through a shuffle per
-        # iteration dominated the fit at sf10 (128M-row explodes, 44 s);
-        # column aggregates combine map-side and shuffle k×(dim+1) doubles
-        means = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                *[
-                    F.avg(F.element_at(v, i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
+    if not centers:
+        return centers
+    dim = len(centers[0])
+    # per-coordinate avg as `dim` aggregate columns in ONE keyed agg —
+    # not posexplode: exploding N×dim rows through a shuffle per
+    # iteration dominated the fit at sf10 (128M-row explodes, 44 s);
+    # column aggregates combine map-side and shuffle k×(dim+1) doubles.
+    # The whole means step ships as ONE server-parsed SQL string over a
+    # temp view instead of `dim` Column-API aggregates: building 64
+    # `F.avg(F.element_at(...))` columns cost ~0.27 s of py4j round trips
+    # PER ITERATION (~1.1 s of the 4.3 s query at sf0.1, measured warm),
+    # the parse is <10 ms, and the parsed expression tree is IDENTICAL —
+    # `element_at(CAST(col AS array<double>), <int literal>)` — so every
+    # avg is bit-identical to the Column form (pinned in
+    # tests/test_kmeans.py::test_means_sql_matches_column_form).
+    spark = df.sparkSession
+    view = f"__promhouse_kmeans_means_{next(_FIT_VIEW_IDS)}"
+    cast_v = f"CAST(`{vec_col}` AS array<double>)"
+    means_sql = (
+        "SELECT centroid_id, "
+        + ", ".join(
+            f"avg(element_at({cast_v}, {i + 1})) AS m{i}" for i in range(dim)
         )
-        new = [list(c) for c in centers]
-        for r in means:
-            new[r["centroid_id"]] = [
-                quantize(r[f"m{i}"], quant) for i in range(dim)
-            ]
-        centers = new
+        + f" FROM {view} GROUP BY centroid_id"
+    )
+    try:
+        for _ in range(iters):
+            assigned = assign_fn(df, centers, vec_col)
+            assigned.createOrReplaceTempView(view)
+            means = spark.sql(means_sql).collect()
+            new = [list(c) for c in centers]
+            for r in means:
+                new[r["centroid_id"]] = [
+                    quantize(r[f"m{i}"], quant) for i in range(dim)
+                ]
+            centers = new
+    finally:
+        spark.catalog.dropTempView(view)
     return centers
 
 

@@ -249,3 +249,39 @@ def test_exact_kernel_degenerate_inputs_match_fold(spark):
             assert fd == ed, k
     with pytest.raises(ValueError, match="finite centroids"):
         assign_with_dist_exact(df, [[float("nan"), 0.0]])
+
+
+def test_means_sql_matches_column_form(spark, sf_dir):
+    """r12: the re-center step ships as ONE server-parsed SQL string
+    (removing ~dim×5 py4j calls per iteration). The parsed expression —
+    avg(element_at(CAST(col AS array<double>), <int literal>)) — must be
+    the same analyzed aggregate as the Column form, so the collected
+    means are BIT-identical doubles."""
+    from promhouse_spark.operators.kmeans import assign_with_dist_exact
+    from promhouse_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    centers = kmeans_fit(emb, k=4, iters=1)
+    assigned = assign_with_dist_exact(emb, centers, "embedding")
+    v = F.col("embedding").cast("array<double>")
+    col_form = sorted(
+        tuple(r)
+        for r in assigned.groupBy("centroid_id")
+        .agg(*[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)])
+        .collect()
+    )
+    assigned.createOrReplaceTempView("__t_means_sql")
+    cast_v = "CAST(`embedding` AS array<double>)"
+    sql_form = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT centroid_id, "
+            + ", ".join(
+                f"avg(element_at({cast_v}, {i + 1})) AS m{i}" for i in range(dim)
+            )
+            + " FROM __t_means_sql GROUP BY centroid_id"
+        ).collect()
+    )
+    spark.catalog.dropTempView("__t_means_sql")
+    assert col_form == sql_form  # exact equality, doubles included
