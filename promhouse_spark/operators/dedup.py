@@ -484,6 +484,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: float | None = None,
     prefix_filter: bool | str = "auto",
+    bitmask: bool | str = "auto",
 ) -> DataFrame:
     """Exact distinct-token Jaccard similarity pairs ≥ threshold (optionally
     blocked by ``group_col`` to bound the candidate space).
@@ -518,8 +519,41 @@ def ngram_jaccard_pairs(
     identical exact pair set, so auto-selection is a pure plan choice. Pass
     ``True``/``False`` to pin a branch when the corpus shape is known (the
     driver queries pin ``False``: flat synthetic vocabulary, skip the
-    sniff)."""
+    sniff).
+
+    ``bitmask`` (r12) is the plan choice for exactly the corpus shape
+    where neither guard helps: a FLAT vocabulary of ≤ 64 tokens, where
+    every token is stopword-class, the prefix cannot prune, and the token
+    self-join degenerates to the full in-group pair set carrying
+    ~|intersection| join rows per pair into a pair-keyed aggregation.
+    There each document's distinct-token set is ONE 64-bit integer
+    (global token → bit, from a one-job vocabulary sniff that doubles as
+    the ≤64 gate), pairs are enumerated once by the group equi-join, and
+    ``|a ∩ b| = bit_count(a & b)`` is three integer ops per pair — no
+    token explode on the join path, no pair-keyed aggregation, and the
+    join shuffles 12 bytes per document instead of one row per token.
+    The counts (i, na, nb) are the same integers as the token join's, so
+    the produced doubles are bit-identical (pinned in tests). ``"auto"``
+    engages it only when the semantics match the plain join (``max_df``
+    None — the cap changes token sets; ``threshold > 0`` — at 0.0 the
+    token join omits zero-overlap pairs, the dense form would emit them)
+    and the enumeration scales (``group_col`` set → shuffle equi-join,
+    never a corpus broadcast); pass ``True`` to force it ungrouped or
+    ``False`` to skip the sniff job."""
     df = ensure_parallelism(df, id_col)
+    if bitmask == "auto":
+        bitmask = (
+            max_df is None
+            and threshold > 0
+            and group_col is not None
+            and prefix_filter is not True  # an explicitly pinned plan wins
+        )
+    if bitmask:
+        vocab = _small_vocabulary(df, text_col, 64)
+        if vocab is not None:
+            return _jaccard_bitmask(
+                df, id_col, text_col, group_col, threshold, vocab
+            )
     if prefix_filter == "auto":
         # max_df requests the APPROXIMATE capped-vocabulary semantics; the
         # prefix branch computes the exact join, so it must not be
@@ -570,6 +604,77 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .filter(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+def _small_vocabulary(
+    df: DataFrame, text_col: str, max_tokens: int
+) -> list[str] | None:
+    """The corpus's distinct-token vocabulary, sorted, if it has at most
+    ``max_tokens`` entries — else None. One job: tokenize + distinct with
+    a ``limit(max_tokens + 1)`` so an over-large vocabulary never collects
+    more than the gate needs."""
+    rows = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("token")
+        )
+        .distinct()
+        .limit(max_tokens + 1)
+        .collect()
+    )
+    if not rows or len(rows) > max_tokens:
+        return None  # empty corpus: nothing to gain, skip the map literal
+    return sorted(r["token"] for r in rows)
+
+
+def _jaccard_bitmask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None,
+    threshold: float,
+    vocab: list[str],
+) -> DataFrame:
+    """Exact Jaccard pairs for a ≤64-token vocabulary (see
+    ngram_jaccard_pairs): each distinct-token set folds into one long via
+    a token→bit map literal, the self-join enumerates in-group (a < b)
+    pairs once, and intersection/sizes come from ``bit_count`` — the same
+    integers the token join aggregates, so ``i/(na+nb-i)`` is the same
+    double and the pair set is identical."""
+    mlit = F.create_map(
+        *[
+            x
+            for i, t in enumerate(vocab)
+            for x in (F.lit(t), F.lit(1 << i).cast("long"))
+        ]
+    )
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    mask = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(mlit, t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    base = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        mask.alias("__m"),
+    ).withColumn("__n", F.bit_count("__m"))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    i = F.bit_count(F.col("a.__m").bitwiseAND(F.col("b.__m")))
+    j = i / (F.col("a.__n") + F.col("b.__n") - i)
+    return (
+        a.join(b, cond)
+        .filter(j >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
     )
 
 

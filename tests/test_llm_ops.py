@@ -454,7 +454,11 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
             map(
                 tuple,
                 D.ngram_jaccard_pairs(
-                    docs, group_col=grp, threshold=thr, prefix_filter=False
+                    docs,
+                    group_col=grp,
+                    threshold=thr,
+                    prefix_filter=False,
+                    bitmask=False,  # pin the token join: this test is its coverage
                 ).collect(),
             )
         )
@@ -467,6 +471,92 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
             )
         )
         assert fast == plain, f"thr={thr} grp={grp}: {len(fast)} vs {len(plain)}"
+
+
+def test_jaccard_bitmask_is_lossless(spark, sf_dir):
+    """The r12 bitmask path (≤64-token vocabulary → one long per doc,
+    bit_count intersections) must return the IDENTICAL pair set as the
+    plain token join — same pairs, same DOUBLES (the counts are the same
+    integers, so i/(na+nb-i) must match bit for bit). Checked on the real
+    corpus grouped and (forced) ungrouped, at three thresholds."""
+    from promhouse_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for thr, grp, bm in [
+        (0.8, "source", "auto"),  # the judged queries' shape
+        (0.3, "source", "auto"),
+        (0.5, None, True),  # ungrouped needs the explicit opt-in
+    ]:
+        plain = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    docs,
+                    group_col=grp,
+                    threshold=thr,
+                    prefix_filter=False,
+                    bitmask=False,
+                ).collect(),
+            )
+        )
+        fast = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    docs,
+                    group_col=grp,
+                    threshold=thr,
+                    prefix_filter=False,
+                    bitmask=bm,
+                ).collect(),
+            )
+        )
+        assert fast == plain, f"thr={thr} grp={grp}: {len(fast)} vs {len(plain)}"
+        assert len(plain) > 0  # a 0-row match certifies nothing
+
+
+def test_jaccard_bitmask_gates(spark):
+    """Auto-gating of the bitmask path: a >64-token vocabulary falls back
+    (sniff returns None), NULL/empty texts behave like the token join,
+    and threshold 0.0 keeps the token-join semantics (zero-overlap pairs
+    stay absent)."""
+    big_vocab = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i, i + 10)), "s") for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    assert D._small_vocabulary(big_vocab, "text", 64) is None
+
+    rows = [
+        (1, "a b c", "s"),
+        (2, "a b c", "s"),
+        (3, None, "s"),  # NULL text: no pairs either way
+        (4, "", "s"),  # "" tokenizes to [""] — a real (odd) token
+        (5, "x y z", "s"),  # zero overlap with doc 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for thr in (0.5, 1.0):
+        plain = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    df, group_col="source", threshold=thr, bitmask=False
+                ).collect(),
+            )
+        )
+        fast = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    df, group_col="source", threshold=thr, bitmask=True
+                ).collect(),
+            )
+        )
+        assert fast == plain, thr
+    # threshold 0.0: auto must NOT engage (the dense form would emit
+    # zero-overlap pairs the token join never produces)
+    zero = D.ngram_jaccard_pairs(df, group_col="source", threshold=0.0)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in zero.collect()}
+    assert (1, 5) not in pairs  # no shared token → absent, token-join semantics
 
 
 def _zipf_corpus(spark, n_docs=120, vocab=400, seed=3):
